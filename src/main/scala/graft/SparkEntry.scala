@@ -1,13 +1,544 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analyzer
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Aggregates, Processors, Router, Route}
+import graft.query.BruteForce
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2),
+  * each paired (where ANSI-SQL-expressible) with a DuckDB oracle over the
+  * same parquet tables. Non-SQL-expressible operators (minhash, simhash,
+  * xxhash fingerprints, LSH/IVF ANN, the corpus/index pipeline) register
+  * rows-only here and carry their real verification in the scalatest
+  * differential suites (brute-force vs WAND, cross-parallelism identity).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    // driver parquet carries TIMESTAMP_NTZ; engine semantics are UTC
+    // instants (session tz pinned UTC) → cast once at the scan
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** Flagship: the full north-rule slice with zero external input —
+    * synthesize Common-Crawl-style pages, extract text (byte-identity
+    * enforced by the corpus contract), tokenize, score BM25, top-10. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = graft.corpus.SyntheticCorpus.generate(spark, 300, seed = 42L)
+    val extractUdf = udf((h: Array[Byte]) => graft.extract.HtmlText.extract(h))
+    val extracted = pages.withColumn("etext", extractUdf($"html"))
+    BruteForce.topK(extracted.select($"url", $"etext"), "url", "etext",
+      Seq("the", "w00001"), 10)
+  }
+
+  // ------------------------------------------------------------------
+  // Registry: name -> (query fn, Option(oracle sql)).
+  // Column names/types in the Spark result and the SQL MUST match.
+  // ------------------------------------------------------------------
+
+  private val tokSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  private val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---------- analyzer / index statistics family ----------
+    ("q_tokenize", (s: SparkSession, dir: String) => {
+      Analyzer.tokens(docs(s, dir), "doc_id", "text")
+    }, Some(s"""SELECT doc_id, unnest($tokSql) AS term
+               | FROM documents""".stripMargin)),
+
+    ("q_doclen", (s: SparkSession, dir: String) => {
+      Analyzer.tokens(docs(s, dir), "doc_id", "text")
+        .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    }, Some(s"""SELECT doc_id, len($tokSql) AS dl FROM documents""")),
+
+    ("q_term_stats", (s: SparkSession, dir: String) => {
+      Analyzer.termFreqs(docs(s, dir), "doc_id", "text")
+        .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+               | SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+               | FROM toks GROUP BY term""".stripMargin)),
+
+    ("q_bm25_topk", (s: SparkSession, dir: String) => {
+      bm25TopK(docs(s, dir), Seq("spark", "hash", "join"), 20)
+    }, Some(bm25Sql(Seq("spark", "hash", "join"), 20))),
+
+    ("q_bm25_topk_stopheavy", (s: SparkSession, dir: String) => {
+      bm25TopK(docs(s, dir), Seq("the", "data", "query"), 20)
+    }, Some(bm25Sql(Seq("the", "data", "query"), 20))),
+
+    // ---------- mutate algebra (SURVEY §2.4) ----------
+    ("q_add_entries", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.AddEntry("doc_ref", concat(col("source"), lit(":"), col("doc_id"))),
+        Processors.AddEntry("is_long", (col("n_chars") > 300).cast("int")),
+        Processors.SelectEntries("doc_id", "doc_ref", "is_long"))(docs(s, dir))
+    }, Some("""SELECT doc_id, source || ':' || CAST(doc_id AS VARCHAR) AS doc_ref,
+              | CAST(n_chars > 300 AS INT) AS is_long FROM documents""".stripMargin)),
+
+    ("q_rename_copy_delete", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.CopyValue("lang", "lang_copy"),
+        Processors.RenameKeys("text" -> "body"),
+        Processors.DeleteEntries("source", "n_chars"))(docs(s, dir))
+    }, Some("SELECT doc_id, text AS body, lang, lang AS lang_copy FROM documents")),
+
+    ("q_select_entries", (s: SparkSession, dir: String) => {
+      Processors.SelectEntries("doc_id", "lang")(docs(s, dir))
+    }, Some("SELECT doc_id, lang FROM documents")),
+
+    ("q_convert_type", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.ConvertType("value", "bigint"),
+        Processors.SelectEntries("event_id", "value"))(events(s, dir))
+    }, Some("SELECT event_id, CAST(trunc(value) AS BIGINT) AS value FROM events")),
+
+    ("q_drop_events", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.DropEvents(col("value") < 10.0),
+        Processors.SelectEntries("event_id", "event_type", "value"))(events(s, dir))
+    }, Some("SELECT event_id, event_type, value FROM events WHERE NOT (value < 10.0)")),
+
+    ("q_split_event", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.SelectEntries("doc_id", "text"),
+        Processors.SplitEvent("text", " "))(docs(s, dir))
+        .withColumnRenamed("text", "part")
+    }, Some("SELECT doc_id, unnest(string_split(text, ' ')) AS part FROM documents")),
+
+    ("q_truncate", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.Truncate("text", startAt = 5, len = Some(40)),
+        Processors.SelectEntries("doc_id", "text"))(docs(s, dir))
+        .withColumnRenamed("text", "snippet")
+    }, Some("SELECT doc_id, substr(text, 6, 40) AS snippet FROM documents")),
+
+    ("q_obfuscate_mask", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.ObfuscateMask("text", "[0-9]+", "#", 3),
+        Processors.SelectEntries("doc_id", "text"))(docs(s, dir))
+        .withColumnRenamed("text", "masked")
+    }, Some("SELECT doc_id, regexp_replace(text, '[0-9]+', '###', 'g') AS masked FROM documents")),
+
+    ("q_obfuscate_hash", (s: SparkSession, dir: String) => {
+      docs(s, dir).select(col("doc_id"),
+        sha2(concat(col("text"), lit("pepper")), 256).as("hashed"))
+    }, Some("SELECT doc_id, sha256(text || 'pepper') AS hashed FROM documents")),
+
+    ("q_string_ops", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.UppercaseString("lang"),
+        Processors.LowercaseString("source"),
+        Processors.TrimString("text"),
+        Processors.SelectEntries("doc_id", "lang", "source"))(docs(s, dir))
+    }, Some("SELECT doc_id, upper(lang) AS lang, lower(source) AS source FROM documents")),
+
+    ("q_substitute_string", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.SubstituteString("text", "[aeiou]", "_"),
+        Processors.SelectEntries("doc_id", "text"))(docs(s, dir))
+        .withColumnRenamed("text", "subbed")
+    }, Some("SELECT doc_id, regexp_replace(text, '[aeiou]', '_', 'g') AS subbed FROM documents")),
+
+    ("q_split_string", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.SplitString("source", "c"),
+        Processors.SelectEntries("doc_id", "source"))(docs(s, dir))
+        .select(col("doc_id"), size(col("source")).as("n_parts"))
+    }, Some("SELECT doc_id, len(string_split(source, 'c')) AS n_parts FROM documents")),
+
+    // ---------- parsers / extractors (SURVEY §2.5) ----------
+    ("q_grok_extract", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.RegexExtract("props", "\\{\"k\": ([0-9]+)\\}", Seq("k" -> 1)),
+        Processors.SelectEntries("event_id", "k"))(events(s, dir))
+    }, Some("SELECT event_id, regexp_extract(props, '\\{\"k\": ([0-9]+)\\}', 1) AS k FROM events")),
+
+    ("q_dissect", (s: SparkSession, dir: String) => {
+      val withLine = docs(s, dir).withColumn("line",
+        concat(lit("lang="), col("lang"), lit(" src="), col("source")))
+      graft.pipeline.Pipeline(
+        Processors.Dissect("line", "lang=%{dlang} src=%{dsrc}"),
+        Processors.SelectEntries("doc_id", "dlang", "dsrc"))(withLine)
+    }, Some("SELECT doc_id, lang AS dlang, source AS dsrc FROM documents")),
+
+    ("q_date_parse", (s: SparkSession, dir: String) => {
+      events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    }, Some("SELECT event_id, epoch_us(ts) AS ts_us, strftime(ts, '%Y-%m-%d') AS day FROM events")),
+
+    ("q_csv_roundtrip", (s: SparkSession, dir: String) => {
+      val withCsv = docs(s, dir).withColumn("line",
+        concat(col("source"), lit(","), col("lang")))
+      graft.pipeline.Pipeline(
+        Processors.CsvParse("line", Seq("csrc", "clang")),
+        Processors.SelectEntries("doc_id", "csrc", "clang"))(withCsv)
+    }, Some("SELECT doc_id, source AS csrc, lang AS clang FROM documents")),
+
+    ("q_key_value", (s: SparkSession, dir: String) => {
+      val kvline = docs(s, dir).withColumn("kvline",
+        concat(lit("lang="), col("lang"), lit("&src="), col("source")))
+      Processors.KeyValue("kvline", "kv", "&", "=")(kvline)
+        .select(col("doc_id"), col("kv")("lang").as("kv_lang"), col("kv")("src").as("kv_src"))
+    }, Some("SELECT doc_id, lang AS kv_lang, source AS kv_src FROM documents")),
+
+    ("q_parse_json", (s: SparkSession, dir: String) => {
+      events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    }, Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events")),
+
+    ("q_detect_format", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.DetectFormat("props", "fmt"),
+        Processors.SelectEntries("event_id", "fmt"))(events(s, dir))
+    }, Some("SELECT event_id, 'json' AS fmt FROM events")),
+
+    ("q_translate", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.Translate("lang", "lang_name", Seq(
+          "en" -> "english", "de" -> "german", "fr" -> "french",
+          "es" -> "spanish", "zh" -> "chinese"), default = Some("other")),
+        Processors.SelectEntries("doc_id", "lang", "lang_name"))(docs(s, dir))
+    }, Some("""SELECT d.doc_id, d.lang,
+              | coalesce(m.v, 'other') AS lang_name
+              | FROM documents d LEFT JOIN (VALUES ('en','english'),('de','german'),
+              |  ('fr','french'),('es','spanish'),('zh','chinese')) m(k, v)
+              | ON d.lang = m.k""".stripMargin)),
+
+    ("q_translate_range", (s: SparkSession, dir: String) => {
+      graft.pipeline.Pipeline(
+        Processors.TranslateRange("value", "tier", Seq(
+          (0.0, 9.999999, "low"), (10.0, 49.999999, "mid"), (50.0, 1e18, "high"))),
+        Processors.SelectEntries("event_id", "value", "tier"))(events(s, dir))
+    }, Some("""SELECT event_id, value,
+              | CASE WHEN value >= 0 AND value < 10 THEN 'low'
+              |      WHEN value >= 10 AND value < 50 THEN 'mid'
+              |      WHEN value >= 50 THEN 'high' END AS tier FROM events""".stripMargin)),
+
+    // ---------- aggregate actions (SURVEY §2.6) ----------
+    ("q_agg_count", (s: SparkSession, dir: String) => {
+      events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("value"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))
+        .withColumn("h", unix_micros(col("h")))
+    }, Some("""SELECT event_type, epoch_us(date_trunc('hour', ts)) AS h,
+              | count(*) AS value, epoch_us(min(ts)) AS start_us,
+              | epoch_us(max(ts)) AS end_us
+              | FROM events GROUP BY 1, 2""".stripMargin)),
+
+    ("q_agg_count_distinct", (s: SparkSession, dir: String) => {
+      Aggregates.countDistinctAction(events(s, dir), Seq("event_type"), "user_id")
+    }, Some("SELECT event_type, count(DISTINCT user_id) AS value FROM events GROUP BY 1")),
+
+    ("q_agg_histogram", (s: SparkSession, dir: String) => {
+      Aggregates.histogramAction(events(s, dir), Seq("event_type"), "value",
+        Seq(5.0, 10.0, 25.0, 50.0))
+        .withColumn("sum", round(col("sum"), 4))
+    }, Some("""SELECT event_type,
+              | CASE WHEN value < 5 THEN 0 WHEN value < 10 THEN 1 WHEN value < 25 THEN 2
+              |      WHEN value < 50 THEN 3 ELSE 4 END AS bucket,
+              | count(*) AS count, round(sum(value), 4) AS sum,
+              | min(value) AS min, max(value) AS max
+              | FROM events GROUP BY 1, 2""".stripMargin)),
+
+    ("q_agg_put_all", (s: SparkSession, dir: String) => {
+      Aggregates.putAllAction(events(s, dir), Seq("user_id"), "event_id",
+        Seq("event_type", "value"))
+    }, Some("""SELECT user_id, arg_max(event_type, event_id) AS event_type,
+              | arg_max(value, event_id) AS value FROM events GROUP BY 1""".stripMargin)),
+
+    ("q_agg_append", (s: SparkSession, dir: String) => {
+      Aggregates.appendAction(events(s, dir), Seq("user_id"), "event_id",
+        Seq("event_type"))
+        .select(col("user_id"), concat_ws("|", col("event_type")).as("types"))
+    }, Some("""SELECT user_id, string_agg(event_type, '|' ORDER BY event_id) AS types
+              | FROM events GROUP BY 1""".stripMargin)),
+
+    ("q_remove_duplicates", (s: SparkSession, dir: String) => {
+      Aggregates.removeDuplicates(events(s, dir), Seq("user_id", "event_type"), "event_id")
+        .select("event_id", "user_id", "event_type")
+    }, Some("""SELECT event_id, user_id, event_type FROM (
+              |  SELECT event_id, user_id, event_type,
+              |   row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+              |  FROM events) WHERE rn = 1""".stripMargin)),
+
+    ("q_percent_sampler", (s: SparkSession, dir: String) => {
+      Aggregates.percentSampler(events(s, dir), Seq("user_id"), "event_id", 30.0)
+        .select("event_id", "user_id")
+    }, Some("""SELECT event_id, user_id FROM (
+              |  SELECT event_id, user_id,
+              |   row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS i
+              |  FROM events) WHERE floor(i * 0.3) > floor((i - 1) * 0.3)""".stripMargin)),
+
+    ("q_rate_limiter", (s: SparkSession, dir: String) => {
+      Aggregates.rateLimiterDrop(events(s, dir), Seq("user_id"), "ts", 2)
+        .select("event_id", "user_id")
+    }, Some("""SELECT event_id, user_id FROM (
+              |  SELECT event_id, user_id,
+              |   row_number() OVER (PARTITION BY user_id, date_trunc('second', ts)
+              |                      ORDER BY ts, event_id) AS rn
+              |  FROM events) WHERE rn <= 2""".stripMargin)),
+
+    ("q_tail_sampler", (s: SparkSession, dir: String) => {
+      Aggregates.tailSampler(events(s, dir), Seq("user_id"), "ts", "3600",
+        col("event_type") === "error", percent = 0.0)
+        .select("event_id", "user_id", "event_type")
+    }, Some("""WITH sess AS (
+              |  SELECT event_id, user_id, event_type, ts,
+              |   sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 3600
+              |       THEN 1 ELSE 0 END)
+              |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |          ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              |        AS prev_ts FROM events))
+              | SELECT event_id, user_id, event_type FROM (
+              |  SELECT *, max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              |   OVER (PARTITION BY user_id, sid) AS has_err FROM sess)
+              | WHERE has_err = 1""".stripMargin)),
+
+    ("q_service_map", (s: SparkSession, dir: String) => {
+      // service-map edge building (§2.6): prev event_type → event_type per
+      // user session stream, edge counts
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type")).agg(count(lit(1)).as("edges"))
+    }, Some("""SELECT prev_type, event_type, count(*) AS edges FROM (
+              |  SELECT event_type, lag(event_type) OVER (
+              |   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events)
+              | WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin)),
+
+    // ---------- routing (SURVEY §2.8) ----------
+    ("q_routes", (s: SparkSession, dir: String) => {
+      Router.tag(docs(s, dir), Seq(
+        Route("english", col("lang") === "en"),
+        Route("longdoc", col("n_chars") > 300)))
+        .select(col("doc_id"), concat_ws(",", col("routes")).as("routes"))
+    }, Some("""SELECT doc_id, concat_ws(',',
+              |  CASE WHEN lang = 'en' THEN 'english' END,
+              |  CASE WHEN n_chars > 300 THEN 'longdoc' END) AS routes
+              | FROM documents""".stripMargin)),
+
+    // ---------- dedup family ----------
+    ("q_dedup_exact", (s: SparkSession, dir: String) => {
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+    }, Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id,
+              | count(*) AS dup_count FROM documents GROUP BY 1""".stripMargin)),
+
+    ("q_dedup_survivors", (s: SparkSession, dir: String) => {
+      Dedup.exactSurvivors(docs(s, dir), "doc_id", "text").select("doc_id", "lang")
+    }, Some("""SELECT doc_id, lang FROM documents WHERE doc_id IN (
+              |  SELECT min(doc_id) FROM documents GROUP BY sha256(text))""".stripMargin)),
+
+    ("q_ngram_jaccard", (s: SparkSession, dir: String) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleW = 3,
+        threshold = 0.2)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    }, Some(ngramJaccardSql(0.2))),
+
+    ("q_minhash_neardups", (s: SparkSession, dir: String) => {
+      Dedup.minHashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    }, None),
+
+    ("q_simhash_neardups", (s: SparkSession, dir: String) => {
+      Dedup.simHashNearDups(docs(s, dir), "doc_id", "text", maxHamming = 6)
+    }, None),
+
+    // ---------- text analysis ----------
+    ("q_lang_id", (s: SparkSession, dir: String) => {
+      TextAnalysis.langId(docs(s, dir), "text").select("doc_id", "lang_pred")
+    }, Some(langIdSql())),
+
+    ("q_quality_score", (s: SparkSession, dir: String) => {
+      TextAnalysis.qualityScore(docs(s, dir), "text")
+        .select("doc_id", "n_tokens", "stopword_ratio", "alpha_ratio", "quality_score")
+    }, None), // arithmetic parity with DuckDB is verified for components in scalatest
+
+    ("q_token_counts", (s: SparkSession, dir: String) => {
+      TextAnalysis.tokenCounts(docs(s, dir), "text").select("doc_id", "ws_tokens", "bpe_tokens")
+    }, Some("""SELECT doc_id,
+              | len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
+              | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+              | FROM documents""".stripMargin)),
+
+    ("q_fingerprint", (s: SparkSession, dir: String) => {
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+    }, None),
+
+    // ---------- similarity / ANN ----------
+    ("q_ann_brute", (s: SparkSession, dir: String) => {
+      val q = annQueryVec(64)
+      // order by the ROUNDED cosine (same as the oracle) so sub-1e-4
+      // engine noise can never flip ranks between engines
+      embeddings(s, dir).select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), array(q.map(lit): _*)), 4).as("cosine"))
+        .orderBy(desc("cosine"), col("vec_id")).limit(10)
+    }, Some(annBruteSql(annQueryVec(64), 10))),
+
+    ("q_ann_lsh", (s: SparkSession, dir: String) => {
+      val q = annQueryVec(64)
+      Similarity.lshTopK(embeddings(s, dir), "vec_id", "embedding", q, 10,
+        bits = 6, probeHamming = 6)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }, None),
+
+    ("q_ann_ivf", (s: SparkSession, dir: String) => {
+      val q = annQueryVec(64)
+      val (assigned, centroids) = Similarity.ivfAssign(embeddings(s, dir), "embedding", 8)
+      Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding", q, 10, nprobe = 3)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }, None),
+
+    ("q_cosine_neardups", (s: SparkSession, dir: String) => {
+      // random 64-d embeddings have cosine ~ N(0, 1/64); 0.3 ≈ +2.4σ picks
+      // the near-dup tail without an empty result on synthetic data
+      Similarity.cosineNearDups(embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.3, bits = 2)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }, None),
+
+    // ---------- multimodal plumbing ----------
+    ("q_multimodal_features", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = Multimodal.synthesize(s, 200)
+      Multimodal.extractFeatures(media, featDim = 8).toDF()
+        .select(col("media_id"), col("modality"), col("feat_dim"), col("ok"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+    }, None),
+
+    ("q_multimodal_frames", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = Multimodal.synthesize(s, 200).toDF()
+      Multimodal.sampleFrames(media, everyN = 30)
+        .select("media_id", "n_frames", "frame_idx")
+    }, None),
+
+    // ---------- corpus / north-rule pipeline (rows-only; the real gates
+    // are the scalatest differential + identity suites) ----------
+    ("q_corpus_extract", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pages = graft.corpus.SyntheticCorpus.generate(s, 500, seed = 42L)
+      val ex = udf((h: Array[Byte]) => graft.extract.HtmlText.extract(h))
+      pages.withColumn("etext", ex(col("html")))
+        .select(col("url"),
+          (col("etext") === col("text")).cast("int").as("byte_identical"),
+          length(col("etext")).as("text_len"), col("lang"))
+    }, None),
+
+    ("q_corpus_bm25", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pages = graft.corpus.SyntheticCorpus.generate(s, 500, seed = 42L)
+      BruteForce.topK(pages.toDF(), "url", "text", Seq("the", "w00002"), 10)
+        .withColumnRenamed("docId", "url")
+        .withColumn("score", round(col("score"), 4))
+    }, None)
+  )
+
+  // ---------------------------------------------------------- helpers
+
+  /** Deterministic ANN query vector (dim 8, matches embeddings table). */
+  private def annQueryVec(dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val r = graft.util.SplitMix64.stream(7L, i.toLong)
+      math.rint((r.nextDouble() * 2.0 - 1.0) * 1000.0) / 1000.0
+    }
+
+  /** BM25 top-k over the documents table with rounded scores and rounded-
+    * score ordering (rank stability across engines' last-ulp noise). */
+  private def bm25TopK(d: DataFrame, terms0: Seq[String], k: Int): DataFrame = {
+    val terms = terms0.distinct.sorted
+    val full = BruteForce.topK(d, "doc_id", "text", terms, d.count().toInt)
+    full.withColumn("score", round(col("score"), 4))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", "doc_id")
+  }
+
+  private def bm25Sql(terms0: Seq[String], k: Int): String = {
+    val terms = terms0.distinct.sorted
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |        WHERE term IN ($termList) GROUP BY 1, 2),
+       | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | scored AS (
+       |  SELECT tf.doc_id,
+       |   ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+       |        / (CAST(df.df AS DOUBLE) + 0.5))
+       |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+       |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |        / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
+       | SELECT doc_id, round(sum(s), 4) AS score FROM scored GROUP BY 1
+       | ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  private def ngramJaccardSql(threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | idx AS (SELECT doc_id, l, unnest(range(1, greatest(len(l) - 1, 2))) AS i
+       |         FROM toks),
+       | sh AS (SELECT DISTINCT doc_id,
+       |         CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
+       |              ELSE array_to_string(l[i:i+2], ' ') END AS sh
+       |        FROM idx),
+       | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       | inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS inter
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       | SELECT idA, idB, round(CAST(inter AS DOUBLE) /
+       |   CAST(za.sz + zb.sz - inter AS DOUBLE), 4) AS jaccard
+       | FROM inter JOIN sz za ON za.doc_id = idA JOIN sz zb ON zb.doc_id = idB
+       | WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE)
+       |   >= $threshold""".stripMargin
+
+  private def annBruteSql(q: Seq[Double], k: Int): String = {
+    val vec = q.mkString("[", ", ", "]")
+    s"""SELECT vec_id, round(list_cosine_similarity(
+       |  CAST(embedding AS DOUBLE[]), $vec), 4) AS cosine
+       | FROM embeddings
+       | ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  private def langIdSql(): String = {
+    val markers = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+    val hitExprs = markers.map { case (lang, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter($tokSql, t -> t IN ($set))) AS hits_$lang"
+    }.mkString(",\n  ")
+    // argmax with name-order tie-break (en < de? alphabetical: de, en, fr)
+    s"""WITH h AS (SELECT doc_id, greatest(len($tokSql), 1) AS total,
+       |  $hitExprs FROM documents)
+       | SELECT doc_id, CASE
+       |   WHEN greatest(hits_de, hits_en, hits_fr) / CAST(total AS DOUBLE) < 0.05 THEN 'und'
+       |   WHEN hits_de >= hits_en AND hits_de >= hits_fr
+       |        AND NOT (hits_en > hits_de) AND NOT (hits_fr > hits_de) THEN
+       |     CASE WHEN hits_de = -1 THEN 'x' ELSE 'de' END
+       |   ELSE CASE WHEN hits_en >= hits_fr THEN 'en' ELSE 'fr' END
+       | END AS lang_pred FROM h""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

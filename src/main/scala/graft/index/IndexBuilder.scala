@@ -1,0 +1,312 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analyzer
+import graft.corpus.Page
+import graft.extract.HtmlText
+import graft.query.Bm25
+
+/** Index layout parameters.
+  *
+  * @param buckets   term-hash buckets; postings are directory-partitioned by
+  *                  `bucket = pmod(xxhash64(term), buckets)` so query-time
+  *                  reads prune to the buckets of the query terms.
+  * @param shardSize docIds per shard (docId range). Shards are the
+  *                  *document-sharded* unit of query execution (each shard
+  *                  holds every term's postings for its docId range) and the
+  *                  *salt* of the build shuffle: a hot term's postings are
+  *                  split across all shards, so no reducer owns `the`
+  *                  (SURVEY.md §7.5 skew). At 10^12 docs this is ~10M docs
+  *                  per shard; in-sandbox defaults keep tens of shards.
+  * @param blockSize postings per compressed block (Block-Max WAND skip unit).
+  */
+final case class IndexParams(
+    buckets: Int = 16,
+    shardSize: Long = 4096,
+    blockSize: Int = 128,
+    buildPartitions: Int = 0) {
+  def resolvedPartitions(spark: SparkSession): Int =
+    if (buildPartitions > 0) buildPartitions else spark.sparkContext.defaultParallelism
+  def asMap: Map[String, String] = Map(
+    "buckets" -> buckets.toString, "shardSize" -> shardSize.toString,
+    "blockSize" -> blockSize.toString)
+}
+
+/** One compressed posting block for (term, shard): `n` postings whose
+  * docIds/tfs/doclens are VarByte-compressed (docIds delta-gap vs
+  * `firstDocId`). `maxScore` = max BM25 score inside the block (the
+  * Block-Max WAND skip bound); `df` is the term's *global* document
+  * frequency, denormalized for query-side idf without an extra join.
+  */
+final case class SegmentRow(
+    term: String, df: Long, shard: Long, blockId: Int,
+    firstDocId: Long, lastDocId: Long, n: Int, maxScore: Double,
+    gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte], bucket: Int)
+
+final case class DocRow(docId: Long, url: String, text: String, lang: String)
+
+final case class Globals(n: Long, sumDl: Long) {
+  /** Deterministic across parallelism: long/long division in double —
+    * never a floating `avg()` whose accumulation order varies. */
+  def avgdl: Double = sumDl.toDouble / n.toDouble
+}
+
+object Globals {
+  def write(indexDir: String, g: Globals): Unit = {
+    val p = Paths.get(indexDir, "globals.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, s"""{"n": ${g.n}, "sumDl": ${g.sumDl}}""")
+  }
+  def read(indexDir: String): Globals = {
+    val s = Files.readString(Paths.get(indexDir, "globals.json"))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    Globals(m.get("n").asLong(), m.get("sumDl").asLong())
+  }
+}
+
+/** Thrown by the test-only failure injection to simulate a killed build. */
+final class InjectedFailure(stage: String)
+  extends RuntimeException(s"injected failure after stage $stage")
+
+/** SPIMI-style distributed inverted-index build over the north-rule corpus.
+  *
+  * Stage DAG (each stage = one materialized Parquet artifact + committed
+  * [[StageManifest]]; a rerun skips committed stages → resumable):
+  *
+  *   docs      extract html→text (verified byte-identical to the stored
+  *             reference text per url), assign dense docIds by global url
+  *             order (range-partition + per-partition prefix-sum offsets —
+  *             no single-partition window, scales to any cluster).
+  *   tf        (docId, term, tf) — explode+groupBy, map-side combined.
+  *   stats     doclen(docId, dl), termstats(term, df), globals(N, sumDl).
+  *   postings  tf ⋈ doclen ⋈ termstats → repartition by (bucket, shard) →
+  *             sortWithinPartitions(term, docId) → mapPartitions packs
+  *             VarByte blocks with per-block max BM25 score (SPIMI: each
+  *             partition writes its own sorted run; because shard = docId
+  *             range, the per-shard runs of one term concatenate in shard
+  *             order into the globally docId-sorted posting list — the
+  *             "external multi-way merge" is positional, never re-sorted).
+  *
+  * Scale notes: every shuffle is keyed — (docId,term) for tf, docId/term
+  * for stats, (bucket,shard) for postings. Hot-term skew is defused
+  * structurally: the build partitions by (bucket, shard), so a term with
+  * df = 10^11 spreads over all shards instead of one reducer. Nothing is
+  * ever collected to the driver except scalars and manifests.
+  */
+final class IndexBuilder(
+    spark: SparkSession, indexDir: String, params: IndexParams = IndexParams()) {
+
+  import spark.implicits._
+
+  val docsPath = s"$indexDir/docs"
+  val tfPath = s"$indexDir/tf"
+  val doclenPath = s"$indexDir/doclen"
+  val termstatsPath = s"$indexDir/termstats"
+  val postingsPath = s"$indexDir/postings"
+
+  private def lineage(path: String): (Long, Seq[PartitionLineage]) = {
+    val per = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file")).count()
+      .as[(String, Long)].collect()
+      .map { case (f, c) => PartitionLineage(f.substring(f.lastIndexOf('/') + 1), c) }
+      .toSeq
+    (per.map(_.rows).sum, per)
+  }
+
+  private def commit(stage: String, path: String, inputs: Seq[String],
+      metrics: Map[String, String]): Unit = {
+    val (rows, per) = lineage(path)
+    val attempt = Manifest.read(indexDir, stage).map(_.attempt + 1).getOrElse(1)
+    Manifest.write(indexDir,
+      StageManifest(stage, "committed", rows, params.asMap, inputs, per, metrics, attempt))
+  }
+
+  private def skip(stage: String): Boolean =
+    Manifest.isCommitted(indexDir, stage, params.asMap)
+
+  /** Build the full index. `failAfterStage` is a test hook simulating a
+    * kill between stages (resume test, BASELINE.md correctness gates). */
+  def build(pages: Dataset[Page], inputDesc: String,
+      failAfterStage: Option[String] = None): Unit = {
+    def checkpoint(stage: String): Unit =
+      if (failAfterStage.contains(stage)) throw new InjectedFailure(stage)
+
+    def timed(stage: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(f"[graft-index] stage $stage%-9s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    if (!skip("docs")) timed("docs")(stageDocs(pages, inputDesc))
+    checkpoint("docs")
+    if (!skip("tf")) timed("tf")(stageTf())
+    checkpoint("tf")
+    if (!skip("stats")) timed("stats")(stageStats())
+    checkpoint("stats")
+    if (!skip("postings")) timed("postings")(stagePostings())
+    checkpoint("postings")
+  }
+
+  /** Stage 1: distributed extraction (byte-identity-verified) + dense docId
+    * assignment in global url order. */
+  def stageDocs(pages: Dataset[Page], inputDesc: String): Unit = {
+    val parts = params.resolvedPartitions(spark)
+    val extractUdf = udf((html: Array[Byte]) => HtmlText.extract(html))
+    val extracted = pages
+      .withColumn("extracted", extractUdf(col("html")))
+      .select($"url", $"extracted", $"text", $"lang")
+
+    // Byte-identity gate (north rule): re-extracted text must equal the
+    // reference-extracted text stored in the corpus, for every row.
+    val sorted = extracted
+      .repartitionByRange(parts, $"url")
+      .sortWithinPartitions("url")
+      .persist()
+    val mismatches = sorted.filter($"extracted" =!= $"text").count()
+    require(mismatches == 0,
+      s"HTML extraction not byte-identical to reference for $mismatches urls")
+
+    // Dense docIds without a global single-partition window: count per
+    // range-partition, prefix-sum on the driver (P longs), offset locally.
+    val counts = sorted.select($"url").as[String].mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    val docs = sorted.select($"url", $"extracted", $"lang")
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        var id = bc.value(TaskContext.getPartitionId())
+        it.map { case (url, text, lang) =>
+          val r = DocRow(id, url, text, lang); id += 1; r
+        }
+      }
+    docs.write.mode(SaveMode.Overwrite).parquet(docsPath)
+    sorted.unpersist()
+    commit("docs", docsPath, Seq(inputDesc),
+      Map("mismatches" -> "0", "n" -> acc.toString))
+  }
+
+  /** Stage 2: per-(doc, term) frequencies. */
+  def stageTf(): Unit = {
+    val docs = spark.read.parquet(docsPath)
+    Analyzer.termFreqs(docs, "docId", "text")
+      .write.mode(SaveMode.Overwrite).parquet(tfPath)
+    commit("tf", tfPath, Seq(docsPath), Map.empty)
+  }
+
+  /** Stage 3: corpus statistics (SURVEY.md §7.1 `stats/`). */
+  def stageStats(): Unit = {
+    val tf = spark.read.parquet(tfPath)
+    tf.groupBy($"docId").agg(sum($"tf").as("dl"))
+      .write.mode(SaveMode.Overwrite).parquet(doclenPath)
+    tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(termstatsPath)
+    val (n, sumDl) = spark.read.parquet(doclenPath)
+      .agg(count(lit(1)), sum($"dl")).as[(Long, Long)].head()
+    Globals.write(indexDir, Globals(n, sumDl))
+    commit("stats", doclenPath, Seq(tfPath),
+      Map("n" -> n.toString, "sumDl" -> sumDl.toString))
+  }
+
+  /** Stage 4: SPIMI posting-block build. */
+  def stagePostings(): Unit = {
+    val parts = params.resolvedPartitions(spark)
+    val g = Globals.read(indexDir)
+    val n = g.n
+    val avgdl = g.avgdl
+    val shardSize = params.shardSize
+    val blockSize = params.blockSize
+    val nBuckets = params.buckets
+
+    val tf = spark.read.parquet(tfPath)
+    val dl = spark.read.parquet(doclenPath)
+    val ts = spark.read.parquet(termstatsPath)
+
+    val joined = tf
+      .join(dl, "docId") // co-partitioned candidates; AQE picks broadcast when small
+      .join(ts, "term")
+      .select($"term", $"docId", $"tf", $"dl", $"df")
+      .withColumn("bucket", pmod(xxhash64($"term"), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("shard", expr(s"docId DIV $shardSize"))
+
+    val packed = joined
+      .repartition(parts, $"bucket", $"shard")
+      .sortWithinPartitions($"term", $"docId")
+      .select($"term", $"docId", $"tf", $"dl", $"df", $"bucket", $"shard")
+      .as[(String, Long, Long, Long, Long, Int, Long)]
+      .mapPartitions { it =>
+        new BlockPacker(it, n, avgdl, shardSize, blockSize, nBuckets)
+      }
+
+    packed.write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(postingsPath)
+    commit("postings", postingsPath, Seq(tfPath, doclenPath, termstatsPath),
+      Map("n" -> n.toString, "avgdl" -> avgdl.toString))
+  }
+}
+
+/** Streaming block packer: consumes a (term, docId)-sorted run and emits
+  * one [[SegmentRow]] per filled block, cutting at term change, shard
+  * boundary (shard = docId DIV shardSize), or blockSize. Constant memory
+  * per partition (one block buffer) — the SPIMI inner loop.
+  */
+final class BlockPacker(
+    rows: Iterator[(String, Long, Long, Long, Long, Int, Long)],
+    n: Long, avgdl: Double, shardSize: Long, blockSize: Int, nBuckets: Int)
+  extends Iterator[SegmentRow] {
+
+  private val in = rows.buffered
+  private val ids = new Array[Long](blockSize)
+  private val tfs = new Array[Long](blockSize)
+  private val dls = new Array[Long](blockSize)
+
+  override def hasNext: Boolean = in.hasNext
+
+  override def next(): SegmentRow = {
+    val (term, d0, tf0, dl0, df, bucket, shard) = in.next()
+    val idfV = Bm25.idf(n, df)
+    var k = 0
+    ids(0) = d0; tfs(0) = tf0; dls(0) = dl0
+    var maxScore = Bm25.score(idfV, tf0.toDouble, dl0.toDouble, avgdl)
+    k = 1
+    var blockId = ((d0 % shardSize) / blockSize).toInt // stable id base; reassigned below
+    while (k < blockSize && in.hasNext && {
+        val h = in.head
+        h._1 == term && (h._2 / shardSize) == shard
+      }) {
+      val (_, d, t, l, _, _, _) = in.next()
+      ids(k) = d; tfs(k) = t; dls(k) = l
+      val s = Bm25.score(idfV, t.toDouble, l.toDouble, avgdl)
+      if (s > maxScore) maxScore = s
+      k += 1
+    }
+    // blockId = ordinal of the first docId within the (term, shard) cell's
+    // packing; derived from position so ids are deterministic under resume.
+    blockId = blockOrdinal(term, shard, ids(0))
+    SegmentRow(term, df, shard, blockId,
+      ids(0), ids(k - 1), k, maxScore,
+      VarByte.encodeGaps(java.util.Arrays.copyOf(ids, k), ids(0)),
+      VarByte.encode(java.util.Arrays.copyOf(tfs, k)),
+      VarByte.encode(java.util.Arrays.copyOf(dls, k)),
+      bucket)
+  }
+
+  // Blocks of a (term, shard) cell are strictly increasing in firstDocId;
+  // readers order by firstDocId, so the id only needs to be unique+ordered.
+  private var lastTerm: String = null
+  private var lastShard: Long = -1L
+  private var ordinal: Int = 0
+  private def blockOrdinal(term: String, shard: Long, firstDocId: Long): Int = {
+    if (term != lastTerm || shard != lastShard) { lastTerm = term; lastShard = shard; ordinal = 0 }
+    else ordinal += 1
+    ordinal
+  }
+}

@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analyzer
+
+/** Large-scale training-data deduplication over a documents table.
+  *
+  * Four tiers, cheapest → richest (each is a separate operator so a 100 TB
+  * pipeline can stop at the tier it needs):
+  *   exact        — content hash groupBy (one shuffle on the hash).
+  *   minhash LSH  — shingle → minhash signature → banded bucket join:
+  *                  candidate pairs only ever meet inside a bucket, so the
+  *                  shuffle is on (band, bandHash) and no O(n²) pair join
+  *                  exists anywhere in the plan.
+  *   simhash      — 64-bit signature, near-dup = hamming ≤ t via
+  *                  bank-partitioned exact-match join + bit_count verify.
+  *   n-gram Jaccard — exact verification (or small-scale exact dedup):
+  *                  pair counts via a shared-shingle join, never a cross
+  *                  join.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: first (smallest idCol) row per sha256 of the text. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = sha2(col(textCol).cast("string"), 256).as("content_hash")
+    df.withColumn("content_hash", h)
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+  }
+
+  /** Rows surviving exact dedup (min id per hash wins). */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exact(df, idCol, textCol).select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word w-shingles as a deduplicated array column (codegen'd HOFs:
+    * sequence + transform + slice — no UDF). */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = Analyzer.tokensCol(text)
+    array_distinct(
+      when(size(toks) < w, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - w),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w))))))
+  }
+
+  /** xxhash64 of every shingle (the minhash universe). */
+  def shingleHashes(text: Column, w: Int): Column =
+    transform(shingles(text, w), s => xxhash64(s))
+
+  // -------------------------------------------------------------- minhash
+
+  /** Deterministic permutation parameters for k minhashes. */
+  private def perms(k: Int, seed: Long): Array[(Long, Long)] =
+    Array.tabulate(k) { j =>
+      val rng = graft.util.SplitMix64.stream(seed, j.toLong)
+      // odd multiplier, arbitrary addend — (a*h + b) is a bijection on Z/2^64
+      ((rng.nextLong() | 1L), rng.nextLong())
+    }
+
+  /** k-perm minhash signature of the shingle-hash array. The permutation
+    * `h → a*h + b (mod 2^64)` is applied per element and min-reduced; a
+    * single deterministic kernel over the array beats k stacked
+    * `aggregate()` expressions at both codegen and run time. */
+  def minHashSignature(shingleHashes0: Column, k: Int, seed: Long = 42L): Column = {
+    val ps = perms(k, seed)
+    val f = udf { (hs: Seq[Long]) =>
+      if (hs == null || hs.isEmpty) Array.fill(k)(Long.MaxValue)
+      else {
+        val sig = Array.fill(k)(Long.MaxValue)
+        var i = 0
+        while (i < hs.length) {
+          val h = hs(i)
+          var j = 0
+          while (j < k) {
+            // unsigned comparison: permuted values are uniform over 2^64
+            val v = ps(j)._1 * h + ps(j)._2
+            if (java.lang.Long.compareUnsigned(v, sig(j)) < 0) sig(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        sig
+      }
+    }
+    f(shingleHashes0)
+  }
+
+  /** Near-duplicate candidate pairs via banded LSH: signatures split into
+    * `bands` bands of `rows` values; docs sharing any full band collide.
+    * Returns (idA, idB) with idA < idB, distinct. The only shuffles are the
+    * groupBy-style self-join on (band, bandHash) — no cross join. */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleW: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minHashSignature(shingleHashes(col(textCol), shingleW), k, seed)
+    val withBands = df.select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    val a = withBands.as("a")
+    val b = withBands.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bandHash") === col("b.bandHash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("idA"), col(s"b.$idCol").as("idB"))
+      .distinct()
+  }
+
+  /** Candidates + exact Jaccard verification ≥ threshold. */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleW: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, shingleW, bands, rowsPerBand, seed)
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleW).as("sh"))
+    cands
+      .join(sh.withColumnRenamed(idCol, "idA").withColumnRenamed("sh", "shA"), "idA")
+      .join(sh.withColumnRenamed(idCol, "idB").withColumnRenamed("sh", "shB"), "idB")
+      .withColumn("jaccard",
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over token hashes weighted by tf. */
+  def simHash(text: Column): Column = {
+    val f = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.isEmpty) 0L
+      else {
+        val acc = new Array[Int](64)
+        toks.foreach { t =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            b += 1
+          }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+        out
+      }
+    }
+    f(Analyzer.tokensCol(text))
+  }
+
+  /** SimHash near-dups: hamming(sigA, sigB) <= maxHamming. Candidate
+    * generation = pigeonhole on 4 16-bit banks (a pair within hamming ≤ 3
+    * must agree exactly on ≥ 1 bank) → equi-join per bank, verify with
+    * bit_count(xor) — never a cross join. */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol), simHash(col(textCol)).as("sim"))
+    val banked = sigs.select(col(idCol), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "bank").withColumnRenamed("col", "bankVal")
+    val a = banked.as("a")
+    val b = banked.as("b")
+    a.join(b, col("a.bank") === col("b.bank") &&
+        col("a.bankVal") === col("b.bankVal") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("idA"), col(s"b.$idCol").as("idB"),
+        col("a.sim").as("simA"), col("b.sim").as("simB"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("simA").bitwiseXOR(col("simB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
+  }
+
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥ 1 shingle:
+    * explode shingles → self-join on the shingle (shuffle key = shingle,
+    * so only actually-overlapping docs ever pair) → |∩| per pair →
+    * |∪| = |A| + |B| − |∩|. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleW: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles(col(textCol), shingleW)).as("sh"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.withColumnRenamed(idCol, "idA")
+    val b = sh.withColumnRenamed(idCol, "idB")
+    val inter = a.join(b, Seq("sh")).filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "idA").withColumnRenamed("sz", "szA"), "idA")
+      .join(sizes.withColumnRenamed(idCol, "idB").withColumnRenamed("sz", "szB"), "idB")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("szA") + col("szB") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over an embedding column
+  * (`array<float>`).
+  *
+  * Three tiers:
+  *   brute-force — exact cosine top-k, pure higher-order-function math
+  *                 (zip_with + aggregate, codegen'd; no UDF): the oracle,
+  *                 and still the right plan below ~10^7 rows because it is
+  *                 one scan with no shuffle.
+  *   LSH         — random-hyperplane signatures; query probes its own
+  *                 bucket (and optional multi-probe neighbors). Scale path:
+  *                 the scan reduces to one bucket ≈ n/2^bits rows.
+  *   IVF         — k-means coarse quantizer (Spark ML), query probes the
+  *                 `nprobe` nearest centroids. The 10^12-row layout:
+  *                 partitionBy(cluster) at write time → partition pruning
+  *                 turns a full scan into nprobe directory reads.
+  */
+object Similarity {
+
+  /** dot(a, b) over array<float|double> columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a, b); 0 for zero-norm vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  /** Exact cosine top-k against one query vector. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes: `bits` vectors of dimension `dim`,
+    * components in {-1, +1} from the seeded PRNG (sign-random-projection —
+    * Charikar '02 SimHash for angles). */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(bits) { b =>
+      val rng = graft.util.SplitMix64.stream(seed, 1000L + b)
+      Array.fill(dim)(if (rng.nextLong() < 0) -1.0 else 1.0)
+    }
+
+  /** LSH bucket id column: sign bit per hyperplane, packed into a long. */
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val pc = array(p.map(lit): _*)
+      when(dot(vecCol, pc) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduceLeft(_ + _)
+  }
+
+  /** ANN top-k via LSH: probe the query's bucket plus all buckets within
+    * `probeHamming` bit flips (multi-probe improves recall without touching
+    * more than a sliver of the table). Exact cosine within the probed rows. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, bits: Int = 8, probeHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(dim, bits, seed)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a * b }.sum
+      if (d >= 0.0) 1L << i else 0L
+    }.sum
+    val probes: Seq[Long] =
+      if (probeHamming <= 0) Seq(qBucket)
+      else qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))
+    val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), planes))
+    bucketed.filter(col("_bucket").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), array(query.map(lit): _*)).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF index: k-means coarse assignment. Returns (df + `_cluster`,
+    * centroids). Deterministic via fixed seed. */
+  def ivfAssign(df: DataFrame, vecCol: String, nClusters: Int,
+      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featurized = df.withColumn("_features", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("_features").setPredictionCol("_cluster")
+      .fit(featurized)
+    val assigned = model.transform(featurized).drop("_features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF query: exact cosine within the `nprobe` centroids nearest to the
+    * query. With cluster-partitioned storage this is partition pruning. */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, vecCol: String, query: Seq[Double], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(c, query), i) }
+      .take(nprobe).map(_._2.toLong)
+    assigned.filter(col("_cluster").isin(probed: _*))
+      .select(col(idCol), cosine(col(vecCol), array(query.map(lit): _*)).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the embedding tier of dedup):
+    * bucket by LSH, pair only within buckets, verify cosine ≥ threshold. */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val first = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(first, bits, seed)
+    val bucketed = df.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes).as("_bucket"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a._bucket") === col("b._bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("idA"), col(s"b.$idCol").as("idB"),
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

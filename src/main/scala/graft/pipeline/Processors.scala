@@ -1,0 +1,349 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-Prepper processor parity, Spark-first (SURVEY.md §2.4–2.5).
+  *
+  * The reference executes these row-at-a-time over `Collection<Record>`
+  * (`Processor.execute`); here each processor is a declarative
+  * `DataFrame => DataFrame` stage built from codegen'd Catalyst columns, so
+  * filter/projection pushdown, constant folding and whole-stage codegen
+  * apply across a composed pipeline for free (§4.2). Every processor
+  * supports the reference's `*_when` gate: rows failing the condition pass
+  * through unchanged (implemented with `when(cond, new).otherwise(old)` —
+  * still a single projection, no branch in the plan).
+  */
+trait Stage extends (DataFrame => DataFrame) {
+  def andThen(next: Stage): Stage = (df: DataFrame) => next(apply(df))
+}
+
+object Pipeline {
+  /** Compose stages in order — the YAML `processor:` list analog. */
+  def apply(stages: Stage*): Stage = (df: DataFrame) => stages.foldLeft(df)((d, s) => s(d))
+}
+
+object Processors {
+
+  private def gated(df: DataFrame, col0: String, newValue: Column,
+      when0: Option[Column]): DataFrame = {
+    val old = if (df.columns.contains(col0)) col(col0) else lit(null)
+    when0 match {
+      case None => df.withColumn(col0, newValue)
+      case Some(c) => df.withColumn(col0, when(c, newValue).otherwise(old))
+    }
+  }
+
+  /** `add_entries` (mutate-event-processors/.../AddEntryProcessor.java:39):
+    * add/overwrite a key with a literal, a format string, or an expression.
+    * `overwriteIfExists=false` ≈ the reference default (keep existing). */
+  final case class AddEntry(key: String, value: Column,
+      overwriteIfExists: Boolean = true, addWhen: Option[Column] = None) extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val v = if (!overwriteIfExists && df.columns.contains(key))
+        coalesce(col(key), value) else value
+      gated(df, key, v, addWhen)
+    }
+  }
+
+  /** `copy_values` (CopyValueProcessor.java:29). */
+  final case class CopyValue(from: String, to: String,
+      overwriteIfExists: Boolean = true, copyWhen: Option[Column] = None) extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val v = if (!overwriteIfExists && df.columns.contains(to))
+        coalesce(col(to), col(from)) else col(from)
+      gated(df, to, v, copyWhen)
+    }
+  }
+
+  /** `rename_keys` (RenameKeyProcessor.java:29). */
+  final case class RenameKeys(renames: (String, String)*) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+  }
+
+  /** `delete_entries` (DeleteEntryProcessor.java:33). */
+  final case class DeleteEntries(keys: String*) extends Stage {
+    def apply(df: DataFrame): DataFrame = df.drop(keys: _*)
+  }
+
+  /** `select_entries` (SelectEntriesProcessor.java:26) — projection. */
+  final case class SelectEntries(keys: String*) extends Stage {
+    def apply(df: DataFrame): DataFrame = df.select(keys.map(col): _*)
+  }
+
+  /** `convert_type` (ConvertEntryTypeProcessor.java): cast with
+    * null-on-failure semantics (Spark ANSI-off cast) and optional scale. */
+  final case class ConvertType(key: String, to: String,
+      scale: Option[Int] = None, convertWhen: Option[Column] = None) extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val cast0 = col(key).cast(to)
+      val v = scale match {
+        case Some(s) if to == "double" => round(cast0, s)
+        case _ => cast0
+      }
+      gated(df, key, v, convertWhen)
+    }
+  }
+
+  /** `drop_events` (drop-events-processor/.../DropEventsProcessor.java:26):
+    * keep rows where dropWhen is false. */
+  final case class DropEvents(dropWhen: Column) extends Stage {
+    def apply(df: DataFrame): DataFrame = df.filter(!coalesce(dropWhen, lit(false)))
+  }
+
+  /** `split_event` (split-event-processor/.../SplitEventProcessor.java:35-51):
+    * one row per delimited part of `field`. */
+  final case class SplitEvent(field: String, delimiterRegex: String) extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val others = df.columns.filterNot(_ == field).map(col)
+      df.select(others :+ explode(split(col(field), delimiterRegex)).as(field): _*)
+    }
+  }
+
+  /** `truncate` (truncate-processor/.../TruncateProcessor.java:53-78). */
+  final case class Truncate(key: String, startAt: Int = 0,
+      len: Option[Int] = None, truncateWhen: Option[Column] = None) extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val v = len match {
+        case Some(l) => substring(col(key), startAt + 1, l)
+        case None => col(key).substr(lit(startAt + 1),
+          greatest(length(col(key)) - startAt, lit(0)))
+      }
+      gated(df, key, v, truncateWhen)
+    }
+  }
+
+  /** `obfuscate` with mask action (obfuscate-processor/.../MaskAction.java:16):
+    * replace every regex match with `maskChar` × `maskLength`. */
+  final case class ObfuscateMask(key: String, pattern: String,
+      maskChar: String = "*", maskLength: Int = 3) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(key, regexp_replace(col(key), pattern, maskChar * maskLength))
+  }
+
+  /** `obfuscate` with one-way-hash action (OneWayHashAction.java:28):
+    * SHA-512 with salt, like the reference's default. */
+  final case class ObfuscateHash(key: String, salt: String = "") extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(key, sha2(concat(col(key).cast("string"), lit(salt)), 512))
+  }
+
+  /** `substitute_string` (mutate-string-processors/.../SubstituteStringProcessor.java:27). */
+  final case class SubstituteString(key: String, from: String, to: String) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(key, regexp_replace(col(key), from, to))
+  }
+
+  /** `split_string` → array column (SplitStringProcessor.java:22). */
+  final case class SplitString(key: String, delimiterRegex: String) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(key, split(col(key), delimiterRegex))
+  }
+
+  /** `trim_string` / `uppercase_string` / `lowercase_string`. */
+  final case class TrimString(keys: String*) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, trim(col(k))))
+  }
+  final case class UppercaseString(keys: String*) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, upper(col(k))))
+  }
+  final case class LowercaseString(keys: String*) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, lower(col(k))))
+  }
+
+  /** `grok`-style named-regex extraction (grok-processor/.../GrokProcessor.java:63):
+    * the pattern library is expanded to a plain regex once on the driver;
+    * each named capture becomes a column (regexp_extract, codegen'd —
+    * no per-row interpreter, no timeout thread needed). */
+  final case class RegexExtract(source: String, pattern: String,
+      captures: Seq[(String, Int)]) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      captures.foldLeft(df) { case (d, (name, group)) =>
+        d.withColumn(name, regexp_extract(col(source), pattern, group))
+      }
+  }
+
+  /** `dissect` positional %{field} tokenization
+    * (dissect-processor/.../DissectProcessor.java:37-50): compiled on the
+    * driver into a single anchored regex with one group per field. */
+  final case class Dissect(source: String, pattern: String) extends Stage {
+    private val fieldRe = "%\\{([^}]*)\\}".r
+    def apply(df: DataFrame): DataFrame = {
+      val ms = fieldRe.findAllMatchIn(pattern).toSeq
+      val sb = new StringBuilder("^")
+      var last = 0
+      val names = ms.map { m =>
+        if (m.start > last) sb.append(java.util.regex.Pattern.quote(pattern.substring(last, m.start)))
+        sb.append("(.*?)")
+        last = m.end
+        m.group(1)
+      }
+      if (last < pattern.length) sb.append(java.util.regex.Pattern.quote(pattern.substring(last)))
+      sb.append("$")
+      // dissect is leftmost-shortest, but a trailing field consumes the rest
+      val regex =
+        if (pattern.endsWith("}")) sb.toString.patch(sb.lastIndexOf("(.*?)"), "(.*)", 5)
+        else sb.toString
+      names.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
+        if (name.isEmpty || name.startsWith("?")) d // skip-field modifier
+        else d.withColumn(name, regexp_extract(col(source), regex, i + 1))
+      }
+    }
+  }
+
+  /** `date` (date-processor/.../DateProcessor.java:40): first-match-wins
+    * multi-pattern parse → ISO-8601 string at `destination`. */
+  final case class DateParse(source: String, patterns: Seq[String],
+      destination: String = "@timestamp") extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val parsed = coalesce(patterns.map(p => to_timestamp(col(source), p)): _*)
+      df.withColumn(destination,
+        date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+    }
+  }
+
+  /** `csv` processor (csv-processor/.../CsvProcessor.java): parse a CSV
+    * string field into named columns via from_csv. */
+  final case class CsvParse(source: String, columnNames: Seq[String],
+      delimiter: String = ",") extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val schema = columnNames.map(c => s"`$c` STRING").mkString(", ")
+      val parsed = from_csv(col(source), org.apache.spark.sql.types.StructType.fromDDL(schema),
+        Map("sep" -> delimiter))
+      columnNames.foldLeft(df.withColumn("_csv", parsed)) { (d, c) =>
+        d.withColumn(c, col("_csv").getField(c))
+      }.drop("_csv")
+    }
+  }
+
+  /** `key_value` (key-value-processor/.../KeyValueProcessor.java:43), simple
+    * path: str_to_map with configurable splitters. */
+  final case class KeyValue(source: String, destination: String = "kv",
+      fieldSplit: String = "&", valueSplit: String = "=") extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destination, str_to_map(col(source), lit(fieldSplit), lit(valueSplit)))
+  }
+
+  /** `parse_json` (parse-json-processor/.../ParseJsonProcessor.java:30). */
+  final case class ParseJson(source: String, schemaDdl: String,
+      destination: String = "parsed") extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destination,
+        from_json(col(source), org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)))
+  }
+
+  /** `write_json` (write-json-processor/.../WriteJsonProcessor.java:27). */
+  final case class WriteJson(source: String, destination: String) extends Stage {
+    def apply(df: DataFrame): DataFrame = df.withColumn(destination, to_json(col(source)))
+  }
+
+  /** `translate` (translate-processor/.../TranslateProcessor.java:41):
+    * dictionary lookup as a broadcast hash join — the Spark-native form of
+    * the reference's in-memory map, scales to dimension tables that no
+    * longer fit one heap. */
+  final case class Translate(source: String, target: String,
+      mapping: Seq[(String, String)], default: Option[String] = None) extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val dim = mapping.toDF("_tk", target)
+      val joined = df.join(broadcast(dim), df(source) === dim("_tk"), "left").drop("_tk")
+      default match {
+        case Some(d) => joined.withColumn(target, coalesce(col(target), lit(d)))
+        case None => joined
+      }
+    }
+  }
+
+  /** `translate` numeric-range flavor (TargetsParameterConfig.java:24-54
+    * `"1,10": value`): when-chain over [lo, hi] ranges. */
+  final case class TranslateRange(source: String, target: String,
+      ranges: Seq[(Double, Double, String)], default: Option[String] = None) extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val chain = ranges.foldLeft[Column](lit(null)) { case (acc, (lo, hi, v)) =>
+        when(col(source).between(lo, hi) && acc.isNull, lit(v)).otherwise(acc)
+      }
+      df.withColumn(target, default.map(d => coalesce(chain, lit(d))).getOrElse(chain))
+    }
+  }
+
+  /** `detect_format` (detect-format-processor/.../DetectFormatProcessor.java:24). */
+  final case class DetectFormat(source: String, destination: String = "format") extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destination,
+        when(col(source).rlike("^\\s*[\\[{]"), "json")
+          .when(col(source).rlike("^[^,\\n]+(,[^,\\n]*)+$"), "csv")
+          .when(col(source).rlike("^[^=\\s]+=[^=]*([&;][^=\\s]+=[^=]*)*$"), "kv")
+          .otherwise("unknown"))
+  }
+
+  /** `flatten` (flatten-processor/.../FlattenProcessor.java:28): hoist every
+    * leaf of a struct column to a top-level `a/b` column. */
+  final case class Flatten(source: String, sep: String = "/") extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val st = df.schema(source).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      def leaves(prefix: Seq[String], t: org.apache.spark.sql.types.StructType): Seq[Seq[String]] =
+        t.fields.toSeq.flatMap { f =>
+          f.dataType match {
+            case s: org.apache.spark.sql.types.StructType => leaves(prefix :+ f.name, s)
+            case _ => Seq(prefix :+ f.name)
+          }
+        }
+      leaves(Seq.empty, st).foldLeft(df) { (d, path) =>
+        d.withColumn((source +: path).mkString(sep),
+          path.foldLeft(col(source))((c, f) => c.getField(f)))
+      }.drop(source)
+    }
+  }
+
+  /** `list_to_map` (ListToMapProcessor.java:29): array<struct<k,v>> → map. */
+  final case class ListToMap(source: String, keyField: String, valueField: String,
+      destination: String) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destination, map_from_entries(
+        transform(col(source), e => struct(e.getField(keyField), e.getField(valueField)))))
+  }
+
+  /** `map_to_list` (MapToListProcessor.java:33): map → array<struct<key,value>>. */
+  final case class MapToList(source: String, destination: String) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destination,
+        transform(map_entries(col(source)), e =>
+          struct(e.getField("key").as("key"), e.getField("value").as("value"))))
+  }
+
+  /** `filter_list` (FilterListProcessor.java:35): keep array elements
+    * matching a per-element predicate (higher-order filter). */
+  final case class FilterList(source: String, destination: String,
+      predicate: Column => Column) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destination, filter(col(source), predicate))
+  }
+
+  /** `wrap_entries` (WrapEntriesProcessor.java:31): nest keys in a struct. */
+  final case class WrapEntries(keys: Seq[String], wrapper: String) extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(wrapper, struct(keys.map(col): _*)).drop(keys: _*)
+  }
+
+  /** `decompress` (decompress-processor/.../DecompressProcessor.java:32):
+    * gunzip a binary column. UDF — java.util.zip has no Column form. */
+  final case class Decompress(source: String, destination: String) extends Stage {
+    private val gunzip = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else try {
+        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var r = in.read(buf)
+        while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } catch { case _: Exception => null }
+    }
+    def apply(df: DataFrame): DataFrame = df.withColumn(destination, gunzip(col(source)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analyzer
+
+/** Brute-force DataFrame BM25 scorer — the oracle the WAND executor must
+  * match rank-identically (FIXTURES.md §2).
+  *
+  * Whole-corpus scan, no index: tokenize → tf → per-term score columns →
+  * fixed-order sum → orderBy(score desc, docId asc).limit(k). Trustworthy
+  * because it is ~30 lines of declarative Catalyst plan; also serves as the
+  * scale path for one-off analytical scoring (it is a single pass with one
+  * shuffle on (docId, term) and one on docId).
+  *
+  * Determinism contract (SURVEY.md §7.5): scores per (term, doc) use the
+  * exact [[Bm25]] operand order, and per-doc totals are accumulated over
+  * query terms in ascending term order via a *pivoted* fixed expression —
+  * never a groupBy-sum over doubles whose accumulation order floats.
+  */
+object BruteForce {
+
+  /** BM25 score column with operand order identical to [[Bm25.score]]. */
+  def scoreCol(tf: Column, dl: Column, df: Column, n: Long, avgdl: Double): Column = {
+    val nd = lit(n.toDouble)
+    val idf = log(lit(1.0) + ((nd - df.cast("double")) + lit(0.5)) / (df.cast("double") + lit(0.5)))
+    idf * ((tf.cast("double") * lit(2.2)) /
+      (tf.cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * (dl.cast("double") / lit(avgdl)))))
+  }
+
+  /** Top-k over a docs table `(idCol, textCol)` for an OR-semantics query.
+    * Returns (docId, score), k rows, ordered (score desc, docId asc). */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int): DataFrame = {
+    val terms = query.distinct.sorted
+    val spark = docs.sparkSession
+
+    val withDl = docs.select(col(idCol).as("docId"),
+      Analyzer.tokensCol(col(textCol)).as("toks"))
+      .select(col("docId"), col("toks"), size(col("toks")).cast("long").as("dl"))
+
+    // exact global stats from integer aggregates (deterministic doubles)
+    val (n, sumDl) = {
+      import spark.implicits._
+      withDl.agg(count(lit(1)), sum(col("dl"))).as[(Long, Long)].head()
+    }
+    val avgdl = sumDl.toDouble / n.toDouble
+
+    val tf = withDl.select(col("docId"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("docId"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, "term")
+      .select(col("docId"),
+        col("term"),
+        scoreCol(col("tf"), col("dl"), col("df"), n, avgdl).as("s"))
+
+    // pivot to one column per query term → fixed-order sum
+    val pivoted = scored.groupBy(col("docId")).pivot("term", terms).agg(first(col("s")))
+    val total = terms.map(t => coalesce(col(s"`$t`"), lit(0.0))).reduceLeft(_ + _)
+    pivoted.select(col("docId"), total.as("score"))
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.analyze.Analyzer
+
+/** Structured-Streaming parity (SURVEY.md §1.3, §2.6).
+  *
+  * The reference is a streaming ETL server: bounded-blocking buffers feed
+  * worker threads (BlockingBuffer.java:159-181), and its `aggregate`
+  * processor windows on wall clock per group. The Spark-native form is
+  * micro-batch Structured Streaming: `maxFilesPerTrigger` is the buffer
+  * capacity, triggers are the worker cadence, watermarks give the event-
+  * time semantics the reference lacks, and `flatMapGroupsWithState`
+  * replaces its hand-rolled per-group state maps (AggregateGroupManager).
+  */
+object Streaming {
+
+  /** Micro-batch ingest of corpus files → extracted + tokenized tf deltas.
+    * `Trigger.AvailableNow` = bounded catch-up run (the reference's
+    * iceberg-source "consume the snapshot then stop" mode); a continuous
+    * deployment uses ProcessingTime + the same query. */
+  def tfDeltaStream(spark: SparkSession, pagesDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 4): Unit = {
+    val schema = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
+    val pages = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(pagesDir)
+    val extractUdf = udf((html: Array[Byte]) => graft.extract.HtmlText.extract(html))
+    val tf = pages
+      .withColumn("text", extractUdf(col("html")))
+      .select(col("url"), explode(Analyzer.tokensCol(col("text"))).as("term"))
+      .groupBy(col("url"), col("term")).agg(count(lit(1)).as("tf"))
+    val q = tf.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("tf_delta") // sandbox sink; parquet in prod
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("tf_delta").write.mode("overwrite").parquet(outDir)
+  }
+
+  /** `aggregate` count action, streaming form: event-time tumbling window
+    * + watermark (strictly stronger than the reference's wall-clock
+    * group_duration, AggregateProcessorConfig.java:59). */
+  def windowedCounts(events: DataFrame, ts: String, keys: Seq[String],
+      windowDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark(ts, watermark)
+      .groupBy((keys.map(col) :+ window(col(ts), windowDur)): _*)
+      .agg(count(lit(1)).as("value"), sum(col("value")).as("sum_value"))
+
+  /** Session state for the tail-sampler/service-map family: custom
+    * per-key state via flatMapGroupsWithState — the Spark-native
+    * replacement for the reference's rotating in-memory window maps
+    * (ServiceMapStatefulProcessor.java:150,199-212). Emits one row per
+    * closed session: (key, nEvents, anyMatch). */
+  final case class SessionAgg(key: Long, nEvents: Long, anyMatch: Boolean)
+  final case class SessionState(nEvents: Long, anyMatch: Boolean, lastTsMs: Long)
+
+  def sessionize(spark: SparkSession, events: DataFrame, keyCol: String,
+      tsCol: String, matchCol: String, gapMs: Long): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col(keyCol).cast("long"),
+      col(tsCol).cast("timestamp"), col(matchCol).cast("boolean"))
+      .as[(Long, java.sql.Timestamp, Boolean)]
+    val out = typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Boolean)],
+       state: GroupState[SessionState]) => {
+        // batch mode: rows arrive complete per key; emit per-gap sessions
+        val sorted = rows.toSeq.sortBy(_._2.getTime)
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+        var cur: Option[SessionState] = None
+        sorted.foreach { case (_, ts, m) =>
+          cur match {
+            case Some(s) if ts.getTime - s.lastTsMs <= gapMs =>
+              cur = Some(SessionState(s.nEvents + 1, s.anyMatch || m, ts.getTime))
+            case Some(s) =>
+              sessions += SessionAgg(key, s.nEvents, s.anyMatch)
+              cur = Some(SessionState(1, m, ts.getTime))
+            case None =>
+              cur = Some(SessionState(1, m, ts.getTime))
+          }
+        }
+        cur.foreach(s => sessions += SessionAgg(key, s.nEvents, s.anyMatch))
+        sessions.iterator
+      })
+    out.toDF()
+  }
+}

@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup of 1
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "unrelated short text")).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per hash, counts dups") {
+    val g = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(g.length == 4)
+    val dupGroup = g.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dupGroup.getAs[Long]("doc_id") == 1L)
+    val survivors = Dedup.exactSurvivors(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair missed")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near dup pair missed")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "false positive")
+  }
+
+  test("minhash signature approximates jaccard") {
+    // identical texts → identical signatures
+    val sigs = docs.select($"doc_id",
+      Dedup.minHashSignature(Dedup.shingleHashes($"text", 3), 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val sim13 = sigs(1L).zip(sigs(3L)).count(p => p._1 == p._2) / 64.0
+    val sim14 = sigs(1L).zip(sigs(4L)).count(p => p._1 == p._2) / 64.0
+    assert(sim13 > 0.4, s"near-dup minhash sim too low: $sim13")
+    assert(sim14 < 0.2, s"unrelated minhash sim too high: $sim14")
+  }
+
+  test("simhash near-dups by hamming distance") {
+    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 16)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 5L))
+  }
+
+  test("exact n-gram jaccard values") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, threshold = 0.1)
+      .collect().map(r => ((r.getAs[Long]("idA"), r.getAs[Long]("idB")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs(((1L, 2L))) == 1.0)
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.3 && j < 1.0))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val vecs = {
+    val rng = new graft.util.SplitMix64(5L)
+    (0 until 200).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextDouble() * 2 - 1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+  private val query = Seq(0.5, -0.25, 0.8, 0.1, -0.6, 0.3, 0.0, 0.9)
+
+  test("cosine column matches scala computation") {
+    val got = vecs.where($"vec_id" === 0)
+      .select(Similarity.cosine($"embedding", array(query.map(lit): _*)))
+      .as[Double].head()
+    val v = vecs.where($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+    val dot = v.map(_.toDouble).zip(query).map { case (a, b) => a * b }.sum
+    val exp = dot / (math.sqrt(v.map(x => x.toDouble * x).sum) *
+      math.sqrt(query.map(x => x * x).sum))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("brute-force top-k is exact and ordered") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 10)
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(top.map(_._2).sameElements(top.map(_._2).sorted(Ordering[Double].reverse)))
+  }
+
+  test("LSH top-k with full multi-probe recall covers brute-force head") {
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", query, 20,
+      bits = 4, probeHamming = 4) // probe all buckets → exact
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(brute.subsetOf(lsh), s"LSH missed ${brute -- lsh}")
+  }
+
+  test("IVF top-k recall with generous nprobe") {
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val (assigned, centroids) = Similarity.ivfAssign(vecs, "embedding", 4)
+    val ivf = Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
+      query, 5, nprobe = 4) // probe all → exact
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(brute == ivf)
+  }
+
+  test("cosine near-dup pairs find planted duplicates") {
+    val planted = vecs.union(
+      vecs.where($"vec_id" < 3).withColumn("vec_id", $"vec_id" + 1000))
+    val dups = Similarity.cosineNearDups(planted, "vec_id", "embedding",
+      threshold = 0.999, bits = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    (0 until 3).foreach { i =>
+      assert(dups.contains((i.toLong, i + 1000L)), s"missed planted dup $i")
+    }
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("language id picks marker-dominant language") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house is in the garden"),
+      (2L, "der hund und die katze ist nicht ein problem mit der sache"),
+      (3L, "le chat est dans la maison et la porte pour le jardin"),
+      (4L, "zzz qqq xxx yyy www vvv")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(d, "text").orderBy("doc_id")
+      .select("lang_pred").as[String].collect()
+    assert(got.sameElements(Array("en", "de", "fr", "und")))
+  }
+
+  test("quality score components are deterministic and bounded") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "1234 5678 90 12 34 56"),
+      (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityScore(d, "text").orderBy("doc_id").collect()
+    val q1 = rows(0).getAs[Double]("quality_score")
+    val q2 = rows(1).getAs[Double]("quality_score")
+    assert(q1 > q2, "clean prose must outscore digit noise")
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val d = Seq((1L, "Hello, world! x2")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(d, "text").head()
+    assert(r.getAs[Long]("ws_tokens") == 3)
+    // Hello , world ! x2 → [Hello][,][world][!][x][2]
+    assert(r.getAs[Long]("bpe_tokens") == 6)
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val d = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("feature extraction schema, determinism across partitionings") {
+    val m1 = Multimodal.synthesize(spark, 100).repartition(1)
+    val m8 = Multimodal.synthesize(spark, 100).repartition(8)
+    def feats(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+      Multimodal.extractFeatures(ds, featDim = 8).collect()
+        .map(f => f.media_id -> f.features.toSeq).toMap
+    val a = feats(m1)
+    val b = feats(m8)
+    assert(a == b, "features must not depend on partitioning")
+    assert(a.values.forall(_.length == 8))
+  }
+
+  test("frame sampling is a deterministic stride") {
+    val frames = Multimodal.sampleFrames(Multimodal.synthesize(spark, 50).toDF(), 30)
+    val byId = frames.select("media_id", "n_frames", "frame_idx")
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    byId.values.foreach { rows =>
+      val n = rows.head._2
+      val idxs = rows.map(_._3).sorted.toSeq
+      assert(idxs == (0 until n by 30).toSeq)
+    }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AggregatesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  private lazy val events = Seq(
+    (1L, 10L, "view", 1.0, ts(0)),
+    (2L, 10L, "click", 2.0, ts(10)),
+    (3L, 10L, "error", 3.0, ts(20)),
+    (4L, 20L, "view", 4.0, ts(5)),
+    (5L, 20L, "view", 5.0, ts(4000)), // separate session for user 20
+    (6L, 30L, "view", 6.0, ts(8))
+  ).toDF("event_id", "user_id", "event_type", "value", "ts")
+
+  test("count action: per-key tumbling window counts") {
+    val out = Aggregates.countAction(events, Seq("user_id"), "ts", "1 hour")
+    val m = out.select("user_id", "value").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(m == Map(10L -> 3L, 20L -> 2L, 30L -> 1L))
+  }
+
+  test("count distinct action") {
+    val out = Aggregates.countDistinctAction(events, Seq("event_type"), "user_id")
+    val m = out.as[(String, Long)].collect().toMap
+    assert(m("view") == 3 && m("click") == 1 && m("error") == 1)
+  }
+
+  test("histogram action buckets with open ends") {
+    val out = Aggregates.histogramAction(events, Seq.empty, "value", Seq(2.0, 5.0))
+    val m = out.select("bucket", "count").as[(Int, Long)].collect().toMap
+    assert(m == Map(0 -> 1L, 1 -> 3L, 2 -> 2L)) // <2: {1}; [2,5): {2,3,4}; >=5: {5,6}
+  }
+
+  test("put_all keeps last writer by order") {
+    val out = Aggregates.putAllAction(events, Seq("user_id"), "event_id",
+      Seq("event_type", "value"))
+    val m = out.select("user_id", "event_type").as[(Long, String)].collect().toMap
+    assert(m(10L) == "error" && m(20L) == "view")
+  }
+
+  test("append collects in event order") {
+    val out = Aggregates.appendAction(events, Seq("user_id"), "event_id", Seq("event_type"))
+    val m = out.select($"user_id", concat_ws(",", $"event_type"))
+      .as[(Long, String)].collect().toMap
+    assert(m(10L) == "view,click,error")
+  }
+
+  test("remove_duplicates keeps first per key by order") {
+    val out = Aggregates.removeDuplicates(events, Seq("user_id", "event_type"), "event_id")
+    assert(out.count() == 5) // user 20 has two views → one dropped
+    assert(out.where($"user_id" === 20).select("event_id").as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("percent sampler admits the closed-form running ratio") {
+    val d = (1 to 100).map(i => (i.toLong, 1L)).toDF("event_id", "user_id")
+    val out = Aggregates.percentSampler(d, Seq("user_id"), "event_id", 30.0)
+    assert(out.count() == 30)
+  }
+
+  test("rate limiter caps events per key-second") {
+    val burst = (1 to 10).map(i => (i.toLong, 1L, ts(0))).toDF("event_id", "user_id", "ts")
+    val out = Aggregates.rateLimiterDrop(burst, Seq("user_id"), "ts", 2)
+    assert(out.count() == 2)
+  }
+
+  test("tail sampler emits whole sessions containing a match") {
+    val out = Aggregates.tailSampler(events, Seq("user_id"), "ts", "3600",
+      $"event_type" === "error", percent = 0.0)
+    val kept = out.select("event_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L)) // user 10's whole session; others have no error
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("micro-batch corpus ingest produces the same tf as batch") {
+    val work = graft.TestSpark.tmpDir("graft-stream")
+    val pages = graft.corpus.SyntheticCorpus.generate(spark, 120, seed = 3L, partitions = 6)
+    pages.write.parquet(s"$work/pages")
+    graft.streaming.Streaming.tfDeltaStream(spark, s"$work/pages",
+      s"$work/tf", s"$work/ckpt", maxFilesPerTrigger = 2)
+    val streamed = spark.read.parquet(s"$work/tf")
+      .select("url", "term", "tf").as[(String, String, Long)].collect().sorted
+    val batch = graft.analyze.Analyzer
+      .termFreqs(pages.toDF(), "url", "text")
+      .select($"url", $"term", $"tf").as[(String, String, Long)].collect().sorted
+    assert(streamed.sameElements(batch))
+  }
+
+  test("sessionize via flatMapGroupsWithState (batch-mode state fn)") {
+    val ts0 = 1700000000000L
+    val d = Seq(
+      (1L, new java.sql.Timestamp(ts0), false),
+      (1L, new java.sql.Timestamp(ts0 + 1000), true),
+      (1L, new java.sql.Timestamp(ts0 + 100000), false), // new session
+      (2L, new java.sql.Timestamp(ts0), false)
+    ).toDF("user_id", "ts", "is_err")
+    val out = graft.streaming.Streaming.sessionize(spark, d, "user_id", "ts",
+      "is_err", gapMs = 10000)
+    val rows = out.select("key", "nEvents", "anyMatch")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(rows == Set((1L, 2L, true), (1L, 1L, false), (2L, 1L, false)))
+  }
+}
