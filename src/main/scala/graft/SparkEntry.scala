@@ -334,6 +334,43 @@ object SparkEntry {
               |  CASE WHEN n_chars > 300 THEN 'longdoc' END) AS routes
               | FROM documents""".stripMargin)),
 
+    // ---------- enrichment ----------
+    ("q_geoip_lookup", (s: SparkSession, dir: String) => {
+      // synthesize an IP per event (events table has none), then the
+      // broadcast range-join lookup — the geoip operator shape
+      val withIp = events(s, dir).withColumn("ip",
+        concat(lit("10."), pmod(col("user_id"), lit(200)), lit(".0.1")))
+      graft.pipeline.Enrich.geoLookup(withIp, "ip", "net",
+        Seq("10.0.0.0/9" -> "net-low", "10.128.0.0/9" -> "net-high"))
+        .select("event_id", "ip", "net")
+    }, Some("""SELECT event_id, '10.' || CAST(user_id % 200 AS VARCHAR) || '.0.1' AS ip,
+              | CASE WHEN user_id % 200 < 128 THEN 'net-low' ELSE 'net-high' END AS net
+              | FROM events""".stripMargin)),
+
+    ("q_anomaly_zscore", (s: SparkSession, dir: String) => {
+      graft.pipeline.Enrich.zScoreAnomalies(events(s, dir),
+        Seq("event_type"), "value", threshold = 2.5)
+        .select(col("event_id"), round(col("score"), 6).as("score"), col("grade"))
+    }, Some("""SELECT event_id,
+              | round(CASE WHEN s > 0 THEN abs(value - m) / s ELSE 0.0 END, 6) AS score,
+              | CASE WHEN (CASE WHEN s > 0 THEN abs(value - m) / s ELSE 0.0 END) > 2.5
+              |      THEN 1.0 ELSE 0.0 END AS grade
+              | FROM (SELECT event_id, value,
+              |        avg(value) OVER (PARTITION BY event_type) AS m,
+              |        stddev_pop(value) OVER (PARTITION BY event_type) AS s
+              |       FROM events)""".stripMargin)),
+
+    ("q_log_generator_grok", (s: SparkSession, dir: String) => {
+      // source parity + grok-style extraction end to end: synthetic Apache
+      // logs → regex captures → status histogram
+      val logs = graft.sources.Sources.logGenerator(s, 2000).toDF("message")
+      val parsed = Processors.RegexExtract("message",
+        "^(\\S+) - - \\[[^\\]]+\\] \"(\\S+) (\\S+) HTTP/1\\.1\" ([0-9]+) ([0-9]+)$",
+        Seq("ip" -> 1, "method" -> 2, "path" -> 3, "code" -> 4, "bytes" -> 5))(logs)
+      parsed.groupBy(col("method"), col("code"))
+        .agg(count(lit(1)).as("n"), sum(col("bytes").cast("long")).as("total_bytes"))
+    }, None),
+
     // ---------- dedup family ----------
     ("q_dedup_exact", (s: SparkSession, dir: String) => {
       Dedup.exact(docs(s, dir), "doc_id", "text")

@@ -45,4 +45,39 @@ object Analyzer {
   def analyzeQuery(q: String): Seq[String] =
     q.toLowerCase(java.util.Locale.ROOT)
       .split(TokenSplitRegex).iterator.filter(_.nonEmpty).toSeq.distinct
+
+  /** JVM-side per-document term-frequency kernel — the SPIMI map phase.
+    *
+    * Exactly the [[tokensCol]] spec on the corpus alphabet (the generator
+    * emits ASCII text): ASCII A–Z lowercased, [a-z0-9] runs are tokens,
+    * everything else (incl. U+00A0) separates. Used by the index build so
+    * per-doc tf+dl need NO (docId, term) shuffle: tokenize → local
+    * HashMap → emit, a narrow map over the docs scan. (The DataFrame gate
+    * queries keep the Column form; the e2e differential test pins the two
+    * paths equal on the corpus.)
+    *
+    * Returns (counts, dl).
+    */
+  def termFreqsLocal(text: String): (java.util.HashMap[String, Long], Long) = {
+    val counts = new java.util.HashMap[String, Long]()
+    var dl = 0L
+    if (text == null) return (counts, 0L)
+    val n = text.length
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      val lc =
+        if (c >= 'A' && c <= 'Z') (c + 32).toChar
+        else c
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+      else if (sb.length > 0) {
+        counts.merge(sb.toString, 1L, (a, b) => a + b)
+        dl += 1
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    (counts, dl)
+  }
 }

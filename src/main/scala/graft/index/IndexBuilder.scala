@@ -50,6 +50,10 @@ final case class SegmentRow(
 
 final case class DocRow(docId: Long, url: String, text: String, lang: String)
 
+/** One distinct (doc, term) pair with its in-doc frequency and the doc's
+  * total token count (denormalized — saves the doclen join downstream). */
+final case class TfRow(docId: Long, term: String, tf: Long, dl: Long)
+
 final case class Globals(n: Long, sumDl: Long) {
   /** Deterministic across parallelism: long/long division in double —
     * never a floating `avg()` whose accumulation order varies. */
@@ -82,9 +86,10 @@ final class InjectedFailure(stage: String)
   *             reference text per url), assign dense docIds by global url
   *             order (range-partition + per-partition prefix-sum offsets —
   *             no single-partition window, scales to any cluster).
-  *   tf        (docId, term, tf) — explode+groupBy, map-side combined.
-  *   stats     doclen(docId, dl), termstats(term, df), globals(N, sumDl).
-  *   postings  tf ⋈ doclen ⋈ termstats → repartition by (bucket, shard) →
+  *   tf        (docId, term, tf, dl) — shuffle-free narrow mapPartitions
+  *             (per-doc SPIMI map phase; see stageTf).
+  *   stats     termstats(term, df), globals(N, sumDl).
+  *   postings  tf ⋈ termstats(broadcast) → repartition by (bucket, shard) →
   *             sortWithinPartitions(term, docId) → mapPartitions packs
   *             VarByte blocks with per-block max BM25 score (SPIMI: each
   *             partition writes its own sorted run; because shard = docId
@@ -92,8 +97,9 @@ final class InjectedFailure(stage: String)
   *             order into the globally docId-sorted posting list — the
   *             "external multi-way merge" is positional, never re-sorted).
   *
-  * Scale notes: every shuffle is keyed — (docId,term) for tf, docId/term
-  * for stats, (bucket,shard) for postings. Hot-term skew is defused
+  * Scale notes: exactly three shuffles end to end — url range-partition
+  * (docIds), groupBy(term) (df stats), repartition(bucket, shard)
+  * (postings); tf is narrow. Hot-term skew is defused
   * structurally: the build partitions by (bucket, shard), so a term with
   * df = 10^11 spreads over all shards instead of one reducer. Nothing is
   * ever collected to the driver except scalars and manifests.
@@ -105,7 +111,6 @@ final class IndexBuilder(
 
   val docsPath = s"$indexDir/docs"
   val tfPath = s"$indexDir/tf"
-  val doclenPath = s"$indexDir/doclen"
   val termstatsPath = s"$indexDir/termstats"
   val postingsPath = s"$indexDir/postings"
 
@@ -166,18 +171,24 @@ final class IndexBuilder(
       .repartitionByRange(parts, $"url")
       .sortWithinPartitions("url")
       .persist()
-    val mismatches = sorted.filter($"extracted" =!= $"text").count()
+
+    // One fused pass over the cached partitions: per-partition row count
+    // (for the dense-docId prefix sum) AND the byte-identity mismatch
+    // count (north-rule extraction gate).
+    val counts = sorted.select($"extracted", $"text")
+      .as[(String, String)].mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var n = 0L
+        var mism = 0L
+        it.foreach { case (e, t) => n += 1; if (e != t) mism += 1 }
+        Iterator.single((pid, n, mism))
+      }.collect().sortBy(_._1)
+    val mismatches = counts.map(_._3).sum
     require(mismatches == 0,
       s"HTML extraction not byte-identical to reference for $mismatches urls")
-
-    // Dense docIds without a global single-partition window: count per
-    // range-partition, prefix-sum on the driver (P longs), offset locally.
-    val counts = sorted.select($"url").as[String].mapPartitions { it =>
-      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().sortBy(_._1)
     val offsets = new Array[Long](parts)
     var acc = 0L
-    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    counts.foreach { case (pid, c, _) => offsets(pid) = acc; acc += c }
     val bc = spark.sparkContext.broadcast(offsets)
 
     val docs = sorted.select($"url", $"extracted", $"lang")
@@ -194,25 +205,49 @@ final class IndexBuilder(
       Map("mismatches" -> "0", "n" -> acc.toString))
   }
 
-  /** Stage 2: per-(doc, term) frequencies. */
+  /** Stage 2: per-(doc, term) frequencies + doc length, denormalized into
+    * one row shape (docId, term, tf, dl).
+    *
+    * SHUFFLE-FREE: tokenization and tf-counting happen per document inside
+    * a narrow mapPartitions (the SPIMI map phase) — the naive
+    * explode→groupBy(docId, term) plan shuffles every token occurrence
+    * (~300 rows/doc → 3·10^14 rows at north-rule scale); this emits only
+    * distinct (doc, term) pairs and never exchanges them. Carrying `dl` on
+    * each row also deletes the doclen join from the postings stage. */
   def stageTf(): Unit = {
-    val docs = spark.read.parquet(docsPath)
-    Analyzer.termFreqs(docs, "docId", "text")
+    spark.read.parquet(docsPath).select($"docId", $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val (counts, dl) = Analyzer.termFreqsLocal(text)
+          val out = new Array[TfRow](counts.size)
+          val e = counts.entrySet().iterator()
+          var i = 0
+          while (e.hasNext) {
+            val kv = e.next()
+            out(i) = TfRow(id, kv.getKey, kv.getValue, dl)
+            i += 1
+          }
+          out
+        }
+      }
       .write.mode(SaveMode.Overwrite).parquet(tfPath)
     commit("tf", tfPath, Seq(docsPath), Map.empty)
   }
 
-  /** Stage 3: corpus statistics (SURVEY.md §7.1 `stats/`). */
+  /** Stage 3: corpus statistics — term document frequencies (the one
+    * unavoidable by-term shuffle, map-side combined) and exact integer
+    * globals (N, sumDl) for a parallelism-invariant avgdl. */
   def stageStats(): Unit = {
     val tf = spark.read.parquet(tfPath)
-    tf.groupBy($"docId").agg(sum($"tf").as("dl"))
-      .write.mode(SaveMode.Overwrite).parquet(doclenPath)
     tf.groupBy($"term").agg(count(lit(1)).as("df"))
       .write.mode(SaveMode.Overwrite).parquet(termstatsPath)
-    val (n, sumDl) = spark.read.parquet(doclenPath)
-      .agg(count(lit(1)), sum($"dl")).as[(Long, Long)].head()
+    // n from the docs table (metadata-only count — includes empty docs);
+    // sumDl = total token count as an exact integer
+    val n = spark.read.parquet(docsPath).count()
+    val sumDl = tf.agg(coalesce(sum($"tf"), lit(0L))).as[Long].head()
     Globals.write(indexDir, Globals(n, sumDl))
-    commit("stats", doclenPath, Seq(tfPath),
+    commit("stats", termstatsPath, Seq(tfPath),
       Map("n" -> n.toString, "sumDl" -> sumDl.toString))
   }
 
@@ -227,12 +262,17 @@ final class IndexBuilder(
     val nBuckets = params.buckets
 
     val tf = spark.read.parquet(tfPath)
-    val dl = spark.read.parquet(doclenPath)
     val ts = spark.read.parquet(termstatsPath)
 
-    val joined = tf
-      .join(dl, "docId") // co-partitioned candidates; AQE picks broadcast when small
-      .join(ts, "term")
+    // df lookup: broadcast when the vocabulary fits one executor (web
+    // vocabularies are heavy-tailed; tens of millions of terms is a few
+    // hundred MB of (term, df)); otherwise fall back to a shuffle join.
+    val vocabSize = ts.count()
+    val withDf =
+      if (vocabSize <= 5_000_000L) tf.join(broadcast(ts), "term")
+      else tf.join(ts, "term")
+
+    val joined = withDf
       .select($"term", $"docId", $"tf", $"dl", $"df")
       .withColumn("bucket", pmod(xxhash64($"term"), lit(nBuckets.toLong)).cast("int"))
       .withColumn("shard", expr(s"docId DIV $shardSize"))
@@ -248,7 +288,7 @@ final class IndexBuilder(
 
     packed.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(postingsPath)
-    commit("postings", postingsPath, Seq(tfPath, doclenPath, termstatsPath),
+    commit("postings", postingsPath, Seq(tfPath, termstatsPath),
       Map("n" -> n.toString, "avgdl" -> avgdl.toString))
   }
 }

@@ -74,9 +74,12 @@ object Similarity {
       val d = p.zip(query).map { case (a, b) => a * b }.sum
       if (d >= 0.0) 1L << i else 0L
     }.sum
+    // all buckets within `probeHamming` bit flips of the query bucket
+    // (bits is small — ≤ ~20 — so enumerating 2^bits masks is cheap)
     val probes: Seq[Long] =
-      if (probeHamming <= 0) Seq(qBucket)
-      else qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))
+      (0L until (1L << bits))
+        .filter(mask => java.lang.Long.bitCount(mask) <= probeHamming)
+        .map(mask => qBucket ^ mask)
     val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), planes))
     bucketed.filter(col("_bucket").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), array(query.map(lit): _*)).as("cosine"))

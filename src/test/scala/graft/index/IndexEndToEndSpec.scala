@@ -44,15 +44,26 @@ class IndexEndToEndSpec extends AnyFunSuite {
     assert(docs.map(_._2).sameElements(docs.map(_._2).sorted))
   }
 
-  test("globals agree with doclen aggregates") {
+  test("globals agree with tf aggregates; tf matches the Spark-function tokenizer") {
     built
     import spark.implicits._
+    import org.apache.spark.sql.functions._
     val g = Globals.read(indexDir)
-    val (n, sumDl) = spark.read.parquet(s"$indexDir/doclen")
-      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-        org.apache.spark.sql.functions.sum("dl")).as[(Long, Long)].head()
-    assert(g.n == n && g.n == 1000)
+    val tf = spark.read.parquet(s"$indexDir/tf")
+    val sumDl = tf.agg(sum("tf")).as[Long].head()
+    assert(g.n == 1000)
     assert(g.sumDl == sumDl)
+    // dl denormalization is consistent: per doc, dl == sum(tf)
+    assert(tf.groupBy("docId").agg(first("dl").as("dl"), sum("tf").as("s"))
+      .filter(col("dl") =!= col("s")).count() == 0)
+    // the JVM tokenizer (termFreqsLocal) ≡ the Catalyst tokensCol spec
+    val docs = spark.read.parquet(s"$indexDir/docs")
+    val fromCols = graft.analyze.Analyzer.termFreqs(docs, "docId", "text")
+      .select($"docId", $"term", $"tf").as[(Long, String, Long)]
+      .collect().sorted
+    val fromTf = tf.select($"docId", $"term", $"tf").as[(Long, String, Long)]
+      .collect().sorted
+    assert(fromTf.sameElements(fromCols))
   }
 
   test("driver bucketOf matches Spark pmod(xxhash64(term), B)") {
@@ -69,7 +80,6 @@ class IndexEndToEndSpec extends AnyFunSuite {
     built
     import spark.implicits._
     val fromTf = spark.read.parquet(s"$indexDir/tf")
-      .join(spark.read.parquet(s"$indexDir/doclen"), "docId")
       .select($"term", $"docId", $"tf", $"dl").as[(String, Long, Long, Long)]
       .collect().sortBy(t => (t._1, t._2))
     val fromSegments = spark.read.parquet(s"$indexDir/postings").as[SegmentRowRead]

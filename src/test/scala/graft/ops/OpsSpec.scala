@@ -28,7 +28,11 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash LSH finds exact and near dups, not unrelated docs") {
-    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
+    // banding tuned for the J≈0.57 near-dup pair: 32 bands × 2 rows gives
+    // collision probability 1-(1-0.57²)³² ≈ 1-10⁻⁶ (16×4 would miss ~17%
+    // of the time — LSH recall is a banding choice, not a coin flip)
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5,
+      shingleW = 3, bands = 32, rowsPerBand = 2)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)), "exact dup pair missed")
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near dup pair missed")
