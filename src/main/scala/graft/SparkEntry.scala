@@ -323,6 +323,27 @@ object SparkEntry {
               |   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events)
               | WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin)),
 
+    // ---------- expression language (SURVEY §2.7) ----------
+    ("q_expr_language", (s: SparkSession, dir: String) => {
+      // Data-Prepper expression syntax compiled once on the driver to a
+      // Catalyst Column (ExprCompiler) — filter + routing predicate parity
+      val cond = graft.pipeline.ExprCompiler.compile(
+        "(/lang == 'en' or /lang == 'fr') and /n_chars > 200 and " +
+          "not (/source in {'src0', 'src1'}) and startsWith(/source, 'src')")
+      docs(s, dir).filter(cond).select("doc_id", "lang", "source")
+    }, Some("""SELECT doc_id, lang, source FROM documents
+              | WHERE (lang = 'en' OR lang = 'fr') AND n_chars > 200
+              |   AND NOT (source IN ('src0', 'src1'))
+              |   AND source LIKE 'src%'""".stripMargin)),
+
+    ("q_expr_arithmetic", (s: SparkSession, dir: String) => {
+      val projected = graft.pipeline.ExprCompiler.compile("/value * 2 + 1")
+      val cond = graft.pipeline.ExprCompiler.compile("/value % 10 >= 5")
+      events(s, dir).filter(cond)
+        .select(col("event_id"), round(projected, 4).as("derived"))
+    }, Some("""SELECT event_id, round(value * 2 + 1, 4) AS derived
+              | FROM events WHERE fmod(value, 10) >= 5""".stripMargin)),
+
     // ---------- routing (SURVEY §2.8) ----------
     ("q_routes", (s: SparkSession, dir: String) => {
       Router.tag(docs(s, dir), Seq(

@@ -161,15 +161,19 @@ final class IndexBuilder(
   def stageDocs(pages: Dataset[Page], inputDesc: String): Unit = {
     val parts = params.resolvedPartitions(spark)
     val extractUdf = udf((html: Array[Byte]) => HtmlText.extract(html))
-    val extracted = pages
-      .withColumn("extracted", extractUdf(col("html")))
-      .select($"url", $"extracted", $"text", $"lang")
 
+    // Extraction goes AFTER the range exchange: the range partitioner's
+    // sampling pass executes the exchange's child plan, so anything
+    // upstream of the exchange runs twice — with the UDF downstream the
+    // sample only touches the raw scan.
     // Byte-identity gate (north rule): re-extracted text must equal the
     // reference-extracted text stored in the corpus, for every row.
-    val sorted = extracted
+    val sorted = pages
+      .select($"url", $"html", $"text", $"lang")
       .repartitionByRange(parts, $"url")
       .sortWithinPartitions("url")
+      .withColumn("extracted", extractUdf(col("html")))
+      .select($"url", $"extracted", $"text", $"lang")
       .persist()
 
     // One fused pass over the cached partitions: per-partition row count
@@ -242,9 +246,11 @@ final class IndexBuilder(
     val tf = spark.read.parquet(tfPath)
     tf.groupBy($"term").agg(count(lit(1)).as("df"))
       .write.mode(SaveMode.Overwrite).parquet(termstatsPath)
-    // n from the docs table (metadata-only count — includes empty docs);
+    // n from the docs-stage manifest (no extra job; includes empty docs);
     // sumDl = total token count as an exact integer
-    val n = spark.read.parquet(docsPath).count()
+    val n = Manifest.read(indexDir, "docs")
+      .flatMap(_.metrics.get("n").map(_.toLong))
+      .getOrElse(spark.read.parquet(docsPath).count())
     val sumDl = tf.agg(coalesce(sum($"tf"), lit(0L))).as[Long].head()
     Globals.write(indexDir, Globals(n, sumDl))
     commit("stats", termstatsPath, Seq(tfPath),
@@ -267,7 +273,9 @@ final class IndexBuilder(
     // df lookup: broadcast when the vocabulary fits one executor (web
     // vocabularies are heavy-tailed; tens of millions of terms is a few
     // hundred MB of (term, df)); otherwise fall back to a shuffle join.
-    val vocabSize = ts.count()
+    // Vocabulary size comes from the stats manifest — no counting job.
+    val vocabSize = Manifest.read(indexDir, "stats").map(_.rows)
+      .getOrElse(ts.count())
     val withDf =
       if (vocabSize <= 5_000_000L) tf.join(broadcast(ts), "term")
       else tf.join(ts, "term")
