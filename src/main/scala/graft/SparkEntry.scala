@@ -198,6 +198,15 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))
     }, Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events")),
 
+    ("q_parse_xml", (s: SparkSession, dir: String) => {
+      val withXml = docs(s, dir).withColumn("xml",
+        concat(lit("<r><lang>"), col("lang"), lit("</lang><src>"),
+          col("source"), lit("</src></r>")))
+      graft.pipeline.Pipeline(
+        Processors.ParseXml("xml", "lang STRING, src STRING", "p"))(withXml)
+        .select(col("doc_id"), col("p")("lang").as("xlang"), col("p")("src").as("xsrc"))
+    }, Some("SELECT doc_id, lang AS xlang, source AS xsrc FROM documents")),
+
     ("q_detect_format", (s: SparkSession, dir: String) => {
       graft.pipeline.Pipeline(
         Processors.DetectFormat("props", "fmt"),

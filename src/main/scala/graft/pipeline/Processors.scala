@@ -236,6 +236,17 @@ object Processors {
         from_json(col(source), org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)))
   }
 
+  /** `parse_xml` (parse-json-processor family): parse an XML string field
+    * into a struct at `destination` (Spark 4 native from_xml — codegen'd,
+    * no external parser). */
+  final case class ParseXml(source: String, schemaDdl: String,
+      destination: String = "parsed") extends Stage {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destination,
+        from_xml(col(source),
+          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)))
+  }
+
   /** `write_json` (write-json-processor/.../WriteJsonProcessor.java:27). */
   final case class WriteJson(source: String, destination: String) extends Stage {
     def apply(df: DataFrame): DataFrame = df.withColumn(destination, to_json(col(source)))
