@@ -122,8 +122,21 @@ object Bench {
     val ceilLo = (0 until 3).map(_ => cpuMops(2)).max
     val ceilHi = (0 until 3).map(_ => cpuMops(8)).max
     val cpuCeiling = math.min(1.0, math.max(0.5, (ceilHi / ceilLo) / 4.0))
-    val runs = Seq((2, 0), (8, 0), (2, 1), (8, 1), (2, 2), (8, 2))
-      .map { case (c, r) => c -> buildAt(c, r) }
+    // soft time budget: under severe host starvation (observed 20×
+    // slowdowns lasting minutes) later repeats are skipped once each level
+    // has at least one measurement, so the driver always gets its JSON line
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toLong
+    val benchStart = System.nanoTime()
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var last8Run = -1
+    Seq((2, 0), (8, 0), (2, 1), (8, 1), (2, 2), (8, 2)).foreach { case (c, r) =>
+      val elapsed = (System.nanoTime() - benchStart) / 1e9
+      val haveBoth = runs.exists(_._1 == 2) && runs.exists(_._1 == 8)
+      if (!haveBoth || elapsed < budgetSec) {
+        runs += (c -> buildAt(c, r))
+        if (c == 8) last8Run = r
+      } else System.err.println(s"[graft-bench] budget exceeded, skipping local[$c] run $r")
+    }
     val tN = runs.collect { case (2, t) => t }.min   // N = 2 cores
     val t4N = runs.collect { case (8, t) => t }.min  // 4N = 8 cores
     val thrN = benchDocs / tN
@@ -133,7 +146,7 @@ object Bench {
 
     // --- query p95 latency over the fixture query set (warm, k=10) ---
     spark = newSession(32)
-    val reader = new IndexReader(spark, s"$work/index-8-2")
+    val reader = new IndexReader(spark, s"$work/index-8-$last8Run")
     val queries = SyntheticCorpus.querySet()
     val cache = reader.loadCache(queries.flatten.distinct)
     // warmup
