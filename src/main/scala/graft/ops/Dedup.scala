@@ -93,16 +93,16 @@ object Dedup {
     f(shingleHashes0)
   }
 
-  /** Near-duplicate candidate pairs via banded LSH: signatures split into
-    * `bands` bands of `rows` values; docs sharing any full band collide.
-    * Returns (idA, idB) with idA < idB, distinct. The only shuffles are the
-    * groupBy-style self-join on (band, bandHash) — no cross join. */
-  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleW: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
+  /** Banded-LSH candidate pairs from a precomputed `(idCol, sh)` shingle
+    * table: signatures split into `bands` bands of `rows` values; docs
+    * sharing any full band collide. Returns (idA, idB) with idA < idB,
+    * distinct. The only shuffles are the self-join on (band, bandHash) —
+    * no cross join. */
+  private def candidatesFromShingles(sh: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int, seed: Long): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minHashSignature(shingleHashes(col(textCol), shingleW), k, seed)
-    val withBands = df.select(col(idCol), sig.as("sig"))
+    val sig = minHashSignature(transform(col("sh"), s => xxhash64(s)), k, seed)
+    val withBands = sh.select(col(idCol), sig.as("sig"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
@@ -116,12 +116,23 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidates + exact Jaccard verification ≥ threshold. */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleW: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame =
+    candidatesFromShingles(
+      df.select(col(idCol), shingles(col(textCol), shingleW).as("sh")),
+      idCol, bands, rowsPerBand, seed)
+
+  /** Candidates + exact Jaccard verification ≥ threshold. The shingle
+    * table is computed once and cached — it feeds signature generation AND
+    * both sides of the verification join (3 reuses; shingling is the
+    * expensive kernel at scale). */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleW: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
-    val cands = minHashCandidates(df, idCol, textCol, shingleW, bands, rowsPerBand, seed)
     val sh = df.select(col(idCol), shingles(col(textCol), shingleW).as("sh"))
+      .persist() // reused 3×; evicted LRU / freed with the session
+    val cands = candidatesFromShingles(sh, idCol, bands, rowsPerBand, seed)
     cands
       .join(sh.withColumnRenamed(idCol, "idA").withColumnRenamed("sh", "shA"), "idA")
       .join(sh.withColumnRenamed(idCol, "idB").withColumnRenamed("sh", "shB"), "idB")

@@ -72,6 +72,20 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
       .limit(k)
   }
 
+  /** Distributed top-k with the typed [[TopKAggregator]] merge: per-shard
+    * candidates partially aggregate map-side, the driver receives one
+    * Array[Scored] — no row-level sort/limit stage. Rank-identical to
+    * [[topK]]. */
+  def topKAgg(query: Seq[String], k: Int): Array[Scored] = {
+    val terms = query.distinct.sorted
+    val seg = segmentsFor(terms)
+    val (n, avgdl, kk) = (globals.n, globals.avgdl, k)
+    val perShard = seg.groupByKey(_.shard)
+      .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
+        IndexReader.shardTopK(n, avgdl, kk)(shard, rows))
+    perShard.select(new TopKAggregator(k).toColumn).head()
+  }
+
   /** Driver-local serving cache: term -> (df, globally docId-sorted
     * blocks). Because shard = docId range, concatenating a term's blocks
     * across shards in (shard, firstDocId) order IS the external multi-way
