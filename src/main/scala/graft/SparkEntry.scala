@@ -173,10 +173,98 @@ object SparkEntry {
     }, Some("SELECT doc_id, lang AS dlang, source AS dsrc FROM documents")),
 
     ("q_date_parse", (s: SparkSession, dir: String) => {
-      events(s, dir).select(col("event_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"))
-    }, Some("SELECT event_id, epoch_us(ts) AS ts_us, strftime(ts, '%Y-%m-%d') AS day FROM events")),
+      // DateParse end-to-end over a MIXED fixture: three source formats in
+      // one column (NY-wall-clock local, epoch millis, zoned http-date) —
+      // first-match-wins multi-pattern + source_timezone + epoch patterns
+      // + epoch output format (DateProcessorConfig.java:46-53 surface).
+      val raw = when(col("event_id") % 3 === 0,
+          date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss"))
+        .when(col("event_id") % 3 === 1, unix_millis(col("ts")).cast("string"))
+        .otherwise(date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss Z"))
+      graft.pipeline.Pipeline(
+        Processors.DateParse("raw",
+          patterns = Seq("yyyy-MM-dd HH:mm:ss", "epoch_milli", "dd/MMM/yyyy:HH:mm:ss Z"),
+          destination = "parsed_us",
+          sourceTimezone = "America/New_York",
+          outputFormat = "epoch_micro"))(
+        events(s, dir).withColumn("raw", raw))
+        .select(col("event_id"), col("parsed_us").cast("long").as("ts_us"))
+    }, Some("""SELECT event_id,
+              | CASE WHEN event_id % 3 = 1 THEN epoch_ms(ts) * 1000
+              |      ELSE epoch_us(date_trunc('second', ts)) END AS ts_us
+              | FROM events""".stripMargin)),
+
+    ("q_grok_patterns", (s: SparkSession, dir: String) => {
+      // %{COMMONAPACHELOG} from the embedded pattern library over a line
+      // BUILT from event columns — self-validating against the oracle's
+      // direct column reconstruction (GrokProcessor.java:63 parity).
+      val line = concat(
+        lit("10."), pmod(col("user_id"), lit(200)), lit(".0.1 - user"),
+        col("user_id"), lit(" ["),
+        date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss Z"), lit("] \"GET /api/"),
+        col("event_type"), lit("/"), col("event_id"), lit(" HTTP/1.1\" 200 "),
+        (col("value") * 100).cast("long"))
+      graft.pipeline.Grok("line", Seq("%{COMMONAPACHELOG}"))(
+        events(s, dir).withColumn("line", line))
+        .select(col("event_id"), col("clientip"), col("auth"),
+          col("timestamp"), col("verb"), col("request"), col("response"),
+          col("bytes"))
+    }, Some("""SELECT event_id,
+              | '10.' || CAST(user_id % 200 AS VARCHAR) || '.0.1' AS clientip,
+              | 'user' || CAST(user_id AS VARCHAR) AS auth,
+              | strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000' AS timestamp,
+              | 'GET' AS verb,
+              | '/api/' || event_type || '/' || CAST(event_id AS VARCHAR) AS request,
+              | '200' AS response,
+              | CAST(CAST(trunc(value * 100) AS BIGINT) AS VARCHAR) AS bytes
+              | FROM events""".stripMargin)),
+
+    ("q_add_entries_format", (s: SparkSession, dir: String) => {
+      // ${key}/${expr} format-string templating (JacksonEvent.java:544-586)
+      graft.pipeline.Pipeline(
+        Processors.AddEntry.format("doc_key",
+          "${source}/${lang}-${/doc_id}.part${/doc_id % 4}"),
+        Processors.SelectEntries("doc_id", "doc_key"))(docs(s, dir))
+    }, Some("""SELECT doc_id, source || '/' || lang || '-' ||
+              | CAST(doc_id AS VARCHAR) || '.part' ||
+              | CAST(doc_id % 4 AS VARCHAR) AS doc_key
+              | FROM documents""".stripMargin)),
+
+    ("q_key_value_grouped", (s: SparkSession, dir: String) => {
+      // value_grouping + transform_key + defaults + include/exclude
+      // (KeyValueProcessorConfig.java:49-273)
+      val kvline = docs(s, dir).withColumn("kvline",
+        concat(lit("Lang="), col("lang"), lit(" note=\"from "), col("source"),
+          lit(" x\" SRC=["), col("source"), lit("] drop=me")))
+      Processors.KeyValueAdvanced("kvline", "kv",
+        fieldSplitCharacters = " ", keyValueDelimiterCharacters = "=",
+        valueGrouping = true, excludeKeys = Seq("drop"),
+        defaultValues = Map("tier" -> "std"),
+        transformKey = "lowercase", removeBrackets = true)(kvline)
+        .select(col("doc_id"),
+          element_at(col("kv")("lang"), 1).as("kv_lang"),
+          element_at(col("kv")("note"), 1).as("kv_note"),
+          element_at(col("kv")("src"), 1).as("kv_src"),
+          element_at(col("kv")("tier"), 1).as("kv_tier"),
+          map_contains_key(col("kv"), "drop").cast("int").as("has_drop"))
+    }, Some("""SELECT doc_id, lang AS kv_lang,
+              | '"from ' || source || ' x"' AS kv_note,
+              | source AS kv_src, 'std' AS kv_tier, 0 AS has_drop
+              | FROM documents""".stripMargin)),
+
+    ("q_key_value_recursive", (s: SparkSession, dir: String) => {
+      // recursive bracket-group parsing → JSON (createRecursedMap analog)
+      val kvline = docs(s, dir).withColumn("kvline",
+        concat(lit("outer="), col("lang"), lit("&nest=[a="), col("source"),
+          lit("&b=2]")))
+      Processors.KeyValueRecursive("kvline", "kvj")(kvline)
+        .select(col("doc_id"),
+          get_json_object(col("kvj"), "$.outer").as("outer_v"),
+          get_json_object(col("kvj"), "$.nest.a").as("nest_a"),
+          get_json_object(col("kvj"), "$.nest.b").as("nest_b"))
+    }, Some("""SELECT doc_id, lang AS outer_v, source AS nest_a, '2' AS nest_b
+              | FROM documents""".stripMargin)),
 
     ("q_csv_roundtrip", (s: SparkSession, dir: String) => {
       val withCsv = docs(s, dir).withColumn("line",
@@ -353,6 +441,46 @@ object SparkEntry {
     }, Some("""SELECT event_id, round(value * 2 + 1, 4) AS derived
               | FROM events WHERE fmod(value, 10) >= 5""".stripMargin)),
 
+    ("q_expr_functions", (s: SparkSession, dir: String) => {
+      // the r1-broken argument paths: every separator here is non-default
+      val c = (e: String) => graft.pipeline.ExprCompiler.compile(e)
+      docs(s, dir).withColumn("parts", split(col("source"), "r"))
+        .select(col("doc_id"),
+          c("substringBefore(/text, ' ')").as("first_word"),
+          c("substringAfter(/source, 'c')").as("after_c"),
+          c("substringBeforeLast(/text, 'e')").as("before_last_e"),
+          c("substringAfterLast(/text, 'e')").as("after_last_e"),
+          c("join('-', /parts)").as("joined"),
+          c("length(/text) > 100 and /doc_id typeof integer")
+            .cast("int").as("long_and_int"))
+    }, Some("""SELECT doc_id,
+              | split_part(text, ' ', 1) AS first_word,
+              | CASE WHEN strpos(source, 'c') > 0
+              |      THEN substr(source, strpos(source, 'c') + 1) ELSE source END AS after_c,
+              | CASE WHEN contains(text, 'e')
+              |      THEN substr(text, 1, len(text) - strpos(reverse(text), 'e'))
+              |      ELSE text END AS before_last_e,
+              | CASE WHEN contains(text, 'e')
+              |      THEN substr(text, len(text) - strpos(reverse(text), 'e') + 2)
+              |      ELSE text END AS after_last_e,
+              | replace(source, 'r', '-') AS joined,
+              | CAST(len(text) > 100 AS INT) AS long_and_int
+              | FROM documents""".stripMargin)),
+
+    ("q_expr_metadata", (s: SparkSession, dir: String) => {
+      // getMetadata/hasTags/getEventType over the engine's _meta struct
+      val c = (e: String) => graft.pipeline.ExprCompiler.compile(e)
+      docs(s, dir).withColumn("_meta", struct(
+          lit("DOCUMENT").as("event_type"),
+          array(lit("web"), col("lang")).as("tags"),
+          map(lit("origin"), col("source")).as("attributes")))
+        .select(col("doc_id"),
+          c("getMetadata('/origin')").as("meta_origin"),
+          c("getEventType()").as("etype"),
+          c("hasTags('web', 'en')").cast("int").as("has_en"))
+    }, Some("""SELECT doc_id, source AS meta_origin, 'DOCUMENT' AS etype,
+              | CAST(lang = 'en' AS INT) AS has_en FROM documents""".stripMargin)),
+
     // ---------- routing (SURVEY §2.8) ----------
     ("q_routes", (s: SparkSession, dir: String) => {
       Router.tag(docs(s, dir), Seq(
@@ -414,9 +542,9 @@ object SparkEntry {
 
     ("q_ngram_jaccard", (s: SparkSession, dir: String) => {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleW = 3,
-        threshold = 0.2)
+        threshold = 0.2, maxShingleDf = 50)
         .withColumn("jaccard", round(col("jaccard"), 4))
-    }, Some(ngramJaccardSql(0.2))),
+    }, Some(ngramJaccardSql(0.2, 50))),
 
     ("q_minhash_neardups", (s: SparkSession, dir: String) => {
       Dedup.minHashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
@@ -559,14 +687,16 @@ object SparkEntry {
        | ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
-  private def ngramJaccardSql(threshold: Double): String =
+  private def ngramJaccardSql(threshold: Double, maxShingleDf: Int): String =
     s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
        | idx AS (SELECT doc_id, l, unnest(range(1, greatest(len(l) - 1, 2))) AS i
        |         FROM toks),
-       | sh AS (SELECT DISTINCT doc_id,
+       | sh0 AS (SELECT DISTINCT doc_id,
        |         CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
        |              ELSE array_to_string(l[i:i+2], ' ') END AS sh
        |        FROM idx),
+       | keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $maxShingleDf),
+       | sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),
        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        | inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS inter
        |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -16,14 +16,24 @@ import org.apache.spark.sql.functions._
   *
   * Supported surface (lowest → highest precedence, .g4:53-143):
   *   or | and | not | ==, != | =~, !~ | <, <=, >, >= | in, not in |
-  *   + - | * / % | unary - | literals (int, float, string, true/false,
-  *   null, {set, literals}) | /json/pointer or "/quoted key" field refs |
-  *   functions: length(x), contains(a,b), startsWith(a,b), join(sep,x),
-  *   substringBefore/After(x,sep), toJsonString(x), formatDateTime(x,p).
+  *   typeof | + - | * / % | unary - | literals (int, float, string,
+  *   true/false, null, {set, literals}) | /json/pointer or "/quoted key"
+  *   field refs | functions: length(x), contains(a,b), startsWith(a,b),
+  *   endsWith(a,b), join([sep,]x), substringBefore/After(x,sep),
+  *   substringBeforeLast/AfterLast(x,sep), toJsonString(x),
+  *   formatDateTime(x,p[,tz]), now(), generateUuid(), cidrContains(c,ip),
+  *   getMetadata('/k'), hasTags('t',…), getEventType().
   *
   * Semantics notes: `==`/`!=` are null-safe like GenericEqualOperator
   * (null == null → true) → `<=>`; `=~` uses full-match like
   * java.util.regex.Matcher.matches() → pattern anchored with \A…\z.
+  * The substring family follows AbstractSubstringExpressionFunction.java:
+  * delimiter absent → the whole source; delimiter empty → the source.
+  * Event metadata (getMetadata/hasTags/getEventType, reference
+  * GetMetadataExpressionFunction.java etc.) reads the engine's `_meta`
+  * struct column convention:
+  * `_meta: struct<event_type: string, tags: array<string>,
+  *  attributes: map<string,string>>`.
   */
 object ExprCompiler {
 
@@ -52,11 +62,7 @@ object ExprCompiler {
     }
 
     private def parseNot(): Column =
-      if (eatKeyword("not") && !peekKeywordWasIn) !parseNot() else parseEquality()
-
-    // `not in` is handled inside parseEquality; this flag keeps `not (...)`
-    // and `x not in {..}` disjoint.
-    private var peekKeywordWasIn = false
+      if (eatKeyword("not")) !parseNot() else parseEquality()
 
     private def parseEquality(): Column = {
       var left = parseRelational()
@@ -68,11 +74,39 @@ object ExprCompiler {
         else if (eat("=~")) left = left.rlike(anchor(parseStringLiteralText()))
         else if (eat("!~")) left = !left.rlike(anchor(parseStringLiteralText()))
         else if (eatKeyword("in")) left = parseSetMembership(left, negate = false)
-        else if (eatKeyword("not") && eatKeyword("in"))
-          left = parseSetMembership(left, negate = true)
-        else done = true
+        else if (eatKeyword("typeof")) left = parseTypeOf(left)
+        else {
+          // `not in` must be eaten as one unit: a bare `not` here belongs
+          // to an enclosing `not <expr>`, so rewind if `in` doesn't follow.
+          val save = pos
+          if (eatKeyword("not") && eatKeyword("in"))
+            left = parseSetMembership(left, negate = true)
+          else { pos = save; done = true }
+        }
       }
       left
+    }
+
+    /** `x typeof integer` (DataPrepperExpression.g4 typeOfOperator): maps
+      * the reference's event-value type names onto the static schema via
+      * the foldable [[graft.functions.TypeNameOf]] — with fixed schemas
+      * the whole comparison constant-folds to true/false. */
+    private def parseTypeOf(left: Column): Column = {
+      skipWs()
+      val start = pos
+      while (pos < src.length && src.charAt(pos).isLetter) pos += 1
+      val tn = src.substring(start, pos)
+      val actual = graft.functions.TypeNameOf(left)
+      tn match {
+        case "integer" => actual.isin("int", "bigint")
+        case "long" => actual === "bigint"
+        case "double" => actual.isin("double", "float")
+        case "boolean" => actual === "boolean"
+        case "string" => actual === "string"
+        case "map" => actual.startsWith("map") || actual.startsWith("struct")
+        case "array" => actual.startsWith("array")
+        case other => throw new IllegalArgumentException(s"typeof: unknown type $other")
+      }
     }
 
     private def anchor(re: String): String = "\\A(?:" + re + ")\\z"
@@ -217,31 +251,95 @@ object ExprCompiler {
       sb.toString
     }
 
-    /** ExpressionFunction parity (SURVEY.md §2.7 function list). */
+    /** A parsed function argument: the Column, plus the raw text when the
+      * argument was a plain string literal (separators/patterns/tags must
+      * reach Spark builtins as Scala strings, not Columns). */
+    private final case class Arg(col: Column, raw: Option[String])
+
+    private def parseArg(): Arg = {
+      skipWs()
+      if (peek == '\'') {
+        val save = pos
+        val text = parseStringLiteralText()
+        skipWs()
+        if (peek == ',' || peek == ')') Arg(lit(text), Some(text))
+        else { pos = save; Arg(parseOr(), None) } // literal-headed expression
+      } else Arg(parseOr(), None)
+    }
+
+    /** ExpressionFunction parity (SURVEY.md §2.7 function list; reference
+      * impls under data-prepper-expression/.../[*]ExpressionFunction.java). */
     private def functionCall(): Column = {
       val start = pos
       while (pos < src.length && (src.charAt(pos).isLetterOrDigit || src.charAt(pos) == '_')) pos += 1
       val name = src.substring(start, pos)
       require(name.nonEmpty, s"unexpected char '${peek}' at $pos in: $src")
       skipWs(); require(eat("("), s"expected ( after $name at $pos")
-      val args = scala.collection.mutable.ArrayBuffer.empty[Column]
+      val args = scala.collection.mutable.ArrayBuffer.empty[Arg]
       while ({ skipWs(); !eat(")") }) {
         if (args.nonEmpty) { require(eat(","), s"expected , at $pos"); skipWs() }
-        args += parseOr()
+        args += parseArg()
       }
+      def rawStr(i: Int): String = args(i).raw.getOrElse(
+        throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be a string literal in: $src"))
       name match {
-        case "length" => length(args(0))
-        case "contains" => args(0).contains(args(1))
-        case "startsWith" => args(0).startsWith(args(1))
-        case "endsWith" => args(0).endsWith(args(1))
-        case "join" => concat_ws(",", args(0)) // join(list) with default ","
-        case "substringBefore" => substring_index(args(0), ",", 1)
-        case "toJsonString" => to_json(args(0))
-        case "formatDateTime" => date_format(args(0), "yyyy-MM-dd'T'HH:mm:ss")
+        case "length" => length(args(0).col)
+        case "contains" => args(0).col.contains(args(1).col)
+        case "startsWith" => args(0).col.startsWith(args(1).col)
+        case "endsWith" => args(0).col.endsWith(args(1).col)
+        // join(source) | join(delimiter, source) — JoinExpressionFunction.java:29
+        // ("\\," escapes a literal comma in the delimiter)
+        case "join" =>
+          if (args.size == 1) concat_ws(",", args(0).col)
+          else concat_ws(rawStr(0).replace("\\\\,", ","), args(1).col)
+        case "substringBefore" => substringFn(args(0).col, rawStr(1), SubBefore)
+        case "substringAfter" => substringFn(args(0).col, rawStr(1), SubAfter)
+        case "substringBeforeLast" => substringFn(args(0).col, rawStr(1), SubBeforeLast)
+        case "substringAfterLast" => substringFn(args(0).col, rawStr(1), SubAfterLast)
+        case "toJsonString" => to_json(args(0).col)
+        // formatDateTime(time, pattern[, destTz]) —
+        // FormatDateTimeExpressionFunction.java:28 (default zone UTC; the
+        // session zone is pinned UTC, so only an explicit tz shifts)
+        case "formatDateTime" =>
+          val ts = args(0).col.cast("timestamp")
+          val shifted = if (args.size > 2) from_utc_timestamp(ts, rawStr(2)) else ts
+          date_format(shifted, rawStr(1))
         case "now" => current_timestamp()
         case "generateUuid" => expr("uuid()")
-        case "cidrContains" => cidrContains(args.toSeq)
+        case "cidrContains" => cidrContains(args.map(_.col).toSeq)
+        // event-metadata functions over the `_meta` struct convention
+        case "getMetadata" =>
+          val key = rawStr(0).trim.stripPrefix("/")
+          col("_meta").getField("attributes").getItem(key)
+        case "hasTags" =>
+          args.indices.map(i => array_contains(col("_meta").getField("tags"), rawStr(i)))
+            .reduce(_ && _)
+        case "getEventType" => col("_meta").getField("event_type")
         case other => throw new IllegalArgumentException(s"unknown function $other")
+      }
+    }
+
+    /** AbstractSubstringExpressionFunction.java semantics: delimiter empty
+      * → source unchanged; delimiter absent from source → source unchanged;
+      * null source → null (Column null propagation). */
+    private def substringFn(s: Column, delim: String, mode: SubMode): Column = {
+      if (delim.isEmpty) return s
+      val d = lit(delim)
+      mode match {
+        // substring_index returns the whole string when sep is absent —
+        // exactly the reference's indexOf == -1 branch
+        case SubBefore => substring_index(s, delim, 1)
+        case SubAfterLast => substring_index(s, delim, -1)
+        case SubAfter =>
+          when(instr(s, delim) > 0,
+            s.substr(instr(s, delim) + lit(delim.length), length(s)))
+            .otherwise(s)
+        case SubBeforeLast =>
+          when(s.contains(d),
+            s.substr(lit(1),
+              length(s) - length(substring_index(s, delim, -1)) - lit(delim.length)))
+            .otherwise(s)
       }
     }
 
@@ -286,4 +384,10 @@ object ExprCompiler {
   }
 
   private def negate(c: Column): Column = c * lit(-1)
+
+  private sealed trait SubMode
+  private case object SubBefore extends SubMode
+  private case object SubAfter extends SubMode
+  private case object SubBeforeLast extends SubMode
+  private case object SubAfterLast extends SubMode
 }

@@ -46,6 +46,19 @@ object Processors {
     }
   }
 
+  object AddEntry {
+    /** `format: "${key}-${expr}"` flavor (AddEntryProcessor format entries,
+      * JacksonEvent.formatStringInternal templating). */
+    def format(key: String, template: String, overwriteIfExists: Boolean = true,
+        addWhen: Option[Column] = None): AddEntry =
+      AddEntry(key, FormatString.compile(template), overwriteIfExists, addWhen)
+
+    /** `value_expression` flavor (AddEntryProcessor value_expression). */
+    def expression(key: String, expr0: String, overwriteIfExists: Boolean = true,
+        addWhen: Option[Column] = None): AddEntry =
+      AddEntry(key, ExprCompiler.compile(expr0), overwriteIfExists, addWhen)
+  }
+
   /** `copy_values` (CopyValueProcessor.java:29). */
   final case class CopyValue(from: String, to: String,
       overwriteIfExists: Boolean = true, copyWhen: Option[Column] = None) extends Stage {
@@ -195,14 +208,104 @@ object Processors {
     }
   }
 
-  /** `date` (date-processor/.../DateProcessor.java:40): first-match-wins
-    * multi-pattern parse → ISO-8601 string at `destination`. */
+  /** `date` (date-processor/.../DateProcessor.java:40,
+    * DateProcessorConfig.java:46-53): first-match-wins multi-pattern parse
+    * → formatted string at `destination`.
+    *
+    * Full option surface:
+    *  - `patterns` may mix DateTimeFormatter patterns with the epoch
+    *    pseudo-patterns `epoch_second` / `epoch_milli` / `epoch_micro` /
+    *    `epoch_nano` (reference extractKeyAndFormatters);
+    *  - `sourceTimezone` supplies the zone for patterns that carry none
+    *    (reference getSourceFormatter's `.withZone(sourceZoneId)` — a
+    *    pattern with its own zone field wins, like DateTimeFormatter);
+    *  - `outputFormat` is a pattern or an epoch pseudo-pattern
+    *    (getEpochFormatOutput);
+    *  - `destinationTimezone` shifts the formatted wall time;
+    *  - `locale` ≠ English routes through a JVM DateTimeFormatter kernel
+    *    (documented UDF seam — Spark's datetime builtins are Locale.US);
+    *  - `fromTimeReceived` formats `_meta.time_received` instead of
+    *    parsing (getDateTimeFromTimeReceived);
+    *  - `dateWhen` gates rows (reference date_when).
+    *
+    * Missing-field defaults: Spark's `to_timestamp` defaults a missing
+    * date to 1970-01-01 — deterministic, unlike the reference's
+    * `LocalDate.now()` defaulting, which is a documented divergence (a
+    * batch engine must not produce run-dependent output).
+    */
   final case class DateParse(source: String, patterns: Seq[String],
-      destination: String = "@timestamp") extends Stage {
+      destination: String = "@timestamp",
+      sourceTimezone: String = "UTC",
+      destinationTimezone: String = "UTC",
+      locale: String = "ENGLISH",
+      outputFormat: String = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+      fromTimeReceived: Boolean = false,
+      dateWhen: Option[Column] = None) extends Stage {
+
+    private def hasZoneField(p: String): Boolean =
+      p.exists("XxZzVO".contains(_))
+
+    private def parseOne(p: String): Column = p match {
+      case "epoch_second" => timestamp_seconds(col(source).cast("long"))
+      case "epoch_milli" => timestamp_millis(col(source).cast("long"))
+      case "epoch_micro" => timestamp_micros(col(source).cast("long"))
+      case "epoch_nano" => timestamp_micros((col(source).cast("long") / 1000L).cast("long"))
+      case pat if isEnglish =>
+        val t = to_timestamp(col(source), pat)
+        if (hasZoneField(pat) || sourceTimezone == "UTC") t
+        else to_utc_timestamp(t, sourceTimezone)
+      case pat => localeParseUdf(pat)(col(source))
+    }
+
+    private def isEnglish: Boolean =
+      Seq("ENGLISH", "US", "ROOT", "en", "en-US", "en_US").contains(locale)
+
+    /** JVM kernel for non-English locales — the one case Catalyst's
+      * Locale.US datetime builtins cannot express. */
+    private def localeParseUdf(pat: String) = {
+      val (loc, srcTz) = (locale, sourceTimezone) // capture primitives
+      udf { (s: String) =>
+        if (s == null) null
+        else try {
+          val b = new java.time.format.DateTimeFormatterBuilder()
+            .appendPattern(pat)
+            .parseDefaulting(java.time.temporal.ChronoField.YEAR_OF_ERA, 1970)
+            .parseDefaulting(java.time.temporal.ChronoField.MONTH_OF_YEAR, 1)
+            .parseDefaulting(java.time.temporal.ChronoField.DAY_OF_MONTH, 1)
+            .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
+            .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+            .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
+            .toFormatter(java.util.Locale.forLanguageTag(loc))
+            .withZone(java.time.ZoneId.of(srcTz))
+          java.sql.Timestamp.from(
+            java.time.ZonedDateTime.parse(s, b).toInstant)
+        } catch { case _: Exception => null }
+      }
+    }
+
     def apply(df: DataFrame): DataFrame = {
-      val parsed = coalesce(patterns.map(p => to_timestamp(col(source), p)): _*)
-      df.withColumn(destination,
-        date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+      val parsed: Column =
+        if (fromTimeReceived) col("_meta").getField("time_received")
+        else coalesce(patterns.map(parseOne): _*)
+      val out: Column = outputFormat match {
+        case "epoch_second" => unix_seconds(parsed).cast("string")
+        case "epoch_milli" => unix_millis(parsed).cast("string")
+        case "epoch_micro" => unix_micros(parsed).cast("string")
+        case "epoch_nano" => (unix_micros(parsed) * 1000L).cast("string")
+        case pat if destinationTimezone == "UTC" => date_format(parsed, pat)
+        case pat =>
+          // non-UTC offsets in the output pattern need the JVM formatter
+          // (from_utc_timestamp shifts wall time but formats the session
+          // zone's offset — wrong for XXX/Z fields)
+          val tz = destinationTimezone
+          val f = udf { (t: java.sql.Timestamp) =>
+            if (t == null) null
+            else java.time.format.DateTimeFormatter.ofPattern(pat)
+              .withZone(java.time.ZoneId.of(tz)).format(t.toInstant)
+          }
+          f(parsed)
+      }
+      gated(df, destination, out, dateWhen)
     }
   }
 
@@ -226,6 +329,62 @@ object Processors {
       fieldSplit: String = "&", valueSplit: String = "=") extends Stage {
     def apply(df: DataFrame): DataFrame =
       df.withColumn(destination, str_to_map(col(source), lit(fieldSplit), lit(valueSplit)))
+  }
+
+  /** `key_value`, full option surface (key-value-processor/.../
+    * KeyValueProcessor.java:421-491,570-640 + KeyValueProcessorConfig.java:
+    * 49-273). A JVM scanner kernel (UDF seam — bracket-aware splitting has
+    * no Column form): `value_grouping` keeps quoted/bracketed/url runs
+    * unsplit; include/exclude/default keys, transform_key, whitespace
+    * strict, remove_brackets, delete regexes, key_prefix,
+    * skip_duplicate_values, drop_keys_with_no_value follow the reference's
+    * executeConfigs order. Output is `map<string, array<string>>`
+    * (duplicate keys accumulate — the reference's list promotion, made
+    * schema-static). `recursive=true` is [[KeyValueRecursive]].
+    */
+  final case class KeyValueAdvanced(
+      source: String, destination: String = "kv",
+      fieldSplitCharacters: String = "&",
+      keyValueDelimiterCharacters: String = "=",
+      valueGrouping: Boolean = false,
+      includeKeys: Seq[String] = Nil,
+      excludeKeys: Seq[String] = Nil,
+      defaultValues: Map[String, String] = Map.empty,
+      transformKey: String = "none",
+      whitespace: String = "lenient",
+      removeBrackets: Boolean = false,
+      deleteKeyRegex: String = "",
+      deleteValueRegex: String = "",
+      keyPrefix: String = "",
+      skipDuplicateValues: Boolean = false,
+      dropKeysWithNoValue: Boolean = false) extends Stage {
+
+    def apply(df: DataFrame): DataFrame = {
+      val self = this
+      val f = udf { (s: String) =>
+        if (s == null) null
+        else KeyValueKernel.parseToMap(s, self)
+      }
+      df.withColumn(destination, f(col(source)))
+    }
+  }
+
+  /** `key_value` with `recursive: true` (KeyValueProcessor.createRecursedMap):
+    * bracketed values are parsed as nested key-value groups. The nested
+    * result is emitted as a JSON STRING column (consume with `from_json`
+    * at a known schema) — a columnar engine needs a static type where the
+    * reference returns arbitrarily nested maps. */
+  final case class KeyValueRecursive(
+      source: String, destination: String = "kv",
+      fieldSplitCharacters: String = "&",
+      keyValueDelimiterCharacters: String = "=") extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val (fs, kv) = (fieldSplitCharacters, keyValueDelimiterCharacters)
+      val f = udf { (s: String) =>
+        if (s == null) null else KeyValueKernel.parseRecursiveJson(s, fs, kv)
+      }
+      df.withColumn(destination, f(col(source)))
+    }
   }
 
   /** `parse_json` (parse-json-processor/.../ParseJsonProcessor.java:30). */

@@ -23,23 +23,32 @@ object Router {
   /** Materialize each route's branch. `onBranch` is the sink action (e.g.
     * `_.write.parquet(...)`). Returns per-route row counts (the reference's
     * router metrics). The input is persisted around the fan-out so N sinks
-    * don't recompute the upstream pipeline N times. */
+    * don't recompute the upstream pipeline N times.
+    *
+    * Counts ride on each branch's own write action via `observe` (an
+    * `AggregatingAccumulator` filled during the sink job) — no second
+    * count job per route. If `onBranch` runs no action (dry-run callers),
+    * the observation is empty and one explicit count fills in. */
   def fanOut(df: DataFrame, routes: Seq[Route],
       onBranch: (String, DataFrame) => Unit,
       includeDefault: Boolean = true): Map[String, Long] = {
     val cached = df.persist()
+    def run(name: String, branch0: DataFrame): (String, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"route_$name")
+      val branch = branch0.observe(obs, count(lit(1)).as("n"))
+      onBranch(name, branch)
+      val n = org.apache.spark.sql.graft.ColumnLift.observedOrEmpty(obs).get("n") match {
+        case Some(v: Long) => v
+        case _ => branch0.count()
+      }
+      name -> n
+    }
     try {
-      val counts = routes.map { r =>
-        val branch = cached.filter(r.condition)
-        onBranch(r.name, branch)
-        r.name -> branch.count()
-      }.toMap
+      val counts = routes.map(r => run(r.name, cached.filter(r.condition))).toMap
       val defCount = if (includeDefault) {
         val unrouted = routes.map(r => coalesce(r.condition, lit(false)))
           .reduceLeft(_ || _).unary_!
-        val branch = cached.filter(unrouted)
-        onBranch(DefaultRoute, branch)
-        Map(DefaultRoute -> branch.count())
+        Map(run(DefaultRoute, cached.filter(unrouted)))
       } else Map.empty[String, Long]
       counts ++ defCount
     } finally { cached.unpersist() }

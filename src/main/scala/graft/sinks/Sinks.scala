@@ -25,11 +25,23 @@ import graft.pipeline.{Route, Router}
   */
 object Sinks {
 
+  /** `keyTemplate`: the reference's `${}`-templated object-key prefix
+    * (KeyGenerator.java + ObjectKeyOptions `path_prefix`) — compiled once
+    * via [[graft.pipeline.FormatString]] to a `_key` column and written as
+    * a directory partition, the object-store layout the templated prefix
+    * produces there. */
   def writeGrouped(df: DataFrame, path: String, format: String = "parquet",
       groupBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0,
-      compression: Option[String] = None): Unit = {
-    var w = df.write.mode(SaveMode.Overwrite).format(format)
-    if (groupBy.nonEmpty) w = w.partitionBy(groupBy: _*)
+      compression: Option[String] = None,
+      keyTemplate: Option[String] = None): Unit = {
+    val (data, parts) = keyTemplate match {
+      case Some(t) =>
+        (df.withColumn("_key", graft.pipeline.FormatString.compile(t)),
+          "_key" +: groupBy)
+      case None => (df, groupBy)
+    }
+    var w = data.write.mode(SaveMode.Overwrite).format(format)
+    if (parts.nonEmpty) w = w.partitionBy(parts: _*)
     if (maxRecordsPerFile > 0)
       w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
     compression.foreach(c => w = w.option("compression", c))

@@ -65,6 +65,51 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(((1L, 2L))) == 1.0)
     assert(pairs.get((1L, 3L)).exists(j => j > 0.3 && j < 1.0))
   }
+
+  test("hot shingles above the df cap leave the jaccard universe") {
+    // four docs share exactly one boilerplate shingle; with the cap below
+    // its df the quadratic pair group disappears (VERDICT r1 #3)
+    val d = Seq(
+      (1L, "common boiler plate alpha beta"),
+      (2L, "common boiler plate gamma delta"),
+      (3L, "common boiler plate epsilon zeta"),
+      (4L, "common boiler plate eta theta")).toDF("doc_id", "text")
+    val loose = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.0,
+      maxShingleDf = 10).collect()
+    assert(loose.length == 6) // all pairs share the one hot shingle
+    assert(loose.forall(_.getAs[Double]("jaccard") == 0.2)) // 1/(3+3-1)
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.0,
+      maxShingleDf = 3)
+    assert(capped.count() == 0)
+  }
+
+  test("simhash candidate generation: EXACT recall vs brute force at radius 6") {
+    // r1's 4×16-bit banks only guaranteed radius 3; the gate asks for 6.
+    // 100 base docs × 3 mutated variants → many pairs in the 1-10 hamming
+    // band; the banked join must equal the brute-force hamming join.
+    val rng = new graft.util.SplitMix64(11L)
+    val base = (0 until 100).map(_ =>
+      Array.fill(30)(s"w${rng.nextInt(60)}"))
+    val texts = base.zipWithIndex.flatMap { case (words, i) =>
+      (0 until 3).map { v =>
+        val w = words.clone()
+        if (v > 0) w(rng.nextInt(w.length)) = s"m${rng.nextInt(60)}"
+        ((i * 3 + v).toLong, w.mkString(" "))
+      }
+    }
+    val df = texts.toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", Dedup.simHash($"text").as("sim"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture produced no close pairs — weak test")
+    val banked = Dedup.simHashNearDups(df, "doc_id", "text", maxHamming = 6)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(banked == brute,
+      s"banked missed ${(brute -- banked).size}, extra ${(banked -- brute).size}")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
