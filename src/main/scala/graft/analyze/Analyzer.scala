@@ -41,36 +41,42 @@ object Analyzer {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** The EXACT lowercase Catalyst's `lower()` applies (Lower evaluates
+    * UTF8String.toLowerCase) — every JVM-side tokenizer path routes
+    * through this so index build, query parsing and the Column form can
+    * never diverge on non-ASCII input (U+212A Kelvin → 'k', U+0130 →
+    * "i̇"…; r1 lowercased only ASCII in the JVM kernel — ADVICE r1). */
+  def lowerLikeCatalyst(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString
+
   /** Query-side tokenization, driver-local; identical spec. */
   def analyzeQuery(q: String): Seq[String] =
-    q.toLowerCase(java.util.Locale.ROOT)
+    lowerLikeCatalyst(q)
       .split(TokenSplitRegex).iterator.filter(_.nonEmpty).toSeq.distinct
 
   /** JVM-side per-document term-frequency kernel — the SPIMI map phase.
     *
-    * Exactly the [[tokensCol]] spec on the corpus alphabet (the generator
-    * emits ASCII text): ASCII A–Z lowercased, [a-z0-9] runs are tokens,
-    * everything else (incl. U+00A0) separates. Used by the index build so
-    * per-doc tf+dl need NO (docId, term) shuffle: tokenize → local
-    * HashMap → emit, a narrow map over the docs scan. (The DataFrame gate
-    * queries keep the Column form; the e2e differential test pins the two
-    * paths equal on the corpus.)
+    * Exactly the [[tokensCol]] spec: Catalyst-identical lowercasing (see
+    * [[lowerLikeCatalyst]]), then [a-z0-9] runs are tokens, everything
+    * else (incl. U+00A0) separates. Used by the index build so per-doc
+    * tf+dl need NO (docId, term) shuffle: tokenize → local HashMap →
+    * emit, a narrow map over the docs scan. (The DataFrame gate queries
+    * keep the Column form; the e2e differential test pins the two paths
+    * equal on the corpus.)
     *
     * Returns (counts, dl).
     */
   def termFreqsLocal(text: String): (java.util.HashMap[String, Long], Long) = {
     val counts = new java.util.HashMap[String, Long]()
-    var dl = 0L
     if (text == null) return (counts, 0L)
-    val n = text.length
+    val lowered = lowerLikeCatalyst(text)
+    var dl = 0L
+    val n = lowered.length
     val sb = new java.lang.StringBuilder(16)
     var i = 0
     while (i <= n) {
-      val c = if (i < n) text.charAt(i) else ' '
-      val lc =
-        if (c >= 'A' && c <= 'Z') (c + 32).toChar
-        else c
-      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+      val c = if (i < n) lowered.charAt(i) else ' '
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
       else if (sb.length > 0) {
         counts.merge(sb.toString, 1L, (a, b) => a + b)
         dl += 1

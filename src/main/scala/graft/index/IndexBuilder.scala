@@ -61,13 +61,12 @@ final case class Globals(n: Long, sumDl: Long) {
 }
 
 object Globals {
-  def write(indexDir: String, g: Globals): Unit = {
-    val p = Paths.get(indexDir, "globals.json")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, s"""{"n": ${g.n}, "sumDl": ${g.sumDl}}""")
-  }
+  def write(indexDir: String, g: Globals): Unit =
+    IndexIO.writeString(s"$indexDir/globals.json",
+      s"""{"n": ${g.n}, "sumDl": ${g.sumDl}}""")
   def read(indexDir: String): Globals = {
-    val s = Files.readString(Paths.get(indexDir, "globals.json"))
+    val s = IndexIO.readString(s"$indexDir/globals.json").getOrElse(
+      throw new IllegalStateException(s"no globals.json under $indexDir"))
     val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
     Globals(m.get("n").asLong(), m.get("sumDl").asLong())
   }

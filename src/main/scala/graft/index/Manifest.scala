@@ -1,6 +1,5 @@
 package graft.index
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
@@ -34,8 +33,8 @@ final case class PartitionLineage(file: String, rows: Long)
 object Manifest {
   private val mapper = new ObjectMapper()
 
-  def path(indexDir: String, stage: String): Path =
-    Paths.get(indexDir, "_manifests", s"$stage.json")
+  def path(indexDir: String, stage: String): String =
+    s"$indexDir/_manifests/$stage.json"
 
   def write(indexDir: String, m: StageManifest): Unit = {
     val root: ObjectNode = mapper.createObjectNode()
@@ -54,21 +53,17 @@ object Manifest {
     val me = root.putObject("metrics")
     m.metrics.toSeq.sortBy(_._1).foreach { case (k, v) => me.put(k, v) }
 
-    val target = path(indexDir, m.stage)
-    Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(s".${m.stage}.json.tmp")
-    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    // commit = atomic rename (same pattern as the reference's idempotent
-    // segment paths in its bulk-retry/DLQ flow)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // commit = write-temp + rename through the Hadoop FS API (same pattern
+    // as the reference's idempotent segment paths in its bulk-retry/DLQ
+    // flow); works against file:, hdfs:, s3a:, … — see [[IndexIO]]
+    IndexIO.writeString(path(indexDir, m.stage),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
   }
 
   def read(indexDir: String, stage: String): Option[StageManifest] = {
-    val p = path(indexDir, stage)
-    if (!Files.exists(p)) return None
+    val s = IndexIO.readString(path(indexDir, stage)).getOrElse(return None)
     try {
-      val root = mapper.readTree(Files.readString(p))
+      val root = mapper.readTree(s)
       def strMap(n: JsonNode): Map[String, String] =
         if (n == null) Map.empty
         else n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap

@@ -181,9 +181,19 @@ object Processors {
   }
 
   /** `dissect` positional %{field} tokenization
-    * (dissect-processor/.../DissectProcessor.java:37-50): compiled on the
-    * driver into a single anchored regex with one group per field. */
-  final case class Dissect(source: String, pattern: String) extends Stage {
+    * (dissect-processor/.../DissectProcessor.java:37-50 and the dissect
+    * field notation): compiled on the driver into a single anchored regex
+    * with one group per field occurrence.
+    *
+    * Modifiers: `%{}` / `%{?name}` skip; `%{+name}` appends every
+    * occurrence in order joined with `appendSeparator`; `%{?key} … %{&key}`
+    * indirect pairs land in a `dissect_indirect` MAP column (a row-
+    * dependent column NAME cannot exist in a static schema — the map is
+    * the columnar equivalent). `targetTypes` casts named results
+    * (target_types option). */
+  final case class Dissect(source: String, pattern: String,
+      appendSeparator: String = "",
+      targetTypes: Map[String, String] = Map.empty) extends Stage {
     private val fieldRe = "%\\{([^}]*)\\}".r
     def apply(df: DataFrame): DataFrame = {
       val ms = fieldRe.findAllMatchIn(pattern).toSeq
@@ -201,10 +211,37 @@ object Processors {
       val regex =
         if (pattern.endsWith("}")) sb.toString.patch(sb.lastIndexOf("(.*?)"), "(.*)", 5)
         else sb.toString
-      names.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
-        if (name.isEmpty || name.startsWith("?")) d // skip-field modifier
-        else d.withColumn(name, regexp_extract(col(source), regex, i + 1))
+      def grp(i: Int): Column = regexp_extract(col(source), regex, i + 1)
+      val indexed = names.zipWithIndex
+
+      // plain fields: last occurrence wins (reference overwrite semantics)
+      val plain = indexed.filter { case (n, _) =>
+        n.nonEmpty && !"?+&".contains(n.charAt(0))
+      }.groupBy(_._1).map { case (n, occ) => n -> grp(occ.last._2) }
+
+      // %{+name}: all occurrences joined in order
+      val appended = indexed.filter(_._1.startsWith("+"))
+        .groupBy(_._1.substring(1))
+        .map { case (n, occ) =>
+          n -> concat_ws(appendSeparator, occ.map(o => grp(o._2)): _*)
+        }
+
+      // %{?k}/%{&k} pairs → one map column
+      val keys = indexed.collect { case (n, i) if n.startsWith("?") =>
+        n.substring(1) -> i }.toMap
+      val indirect = indexed.collect { case (n, i) if n.startsWith("&") &&
+          keys.contains(n.substring(1)) =>
+        (grp(keys(n.substring(1))), grp(i))
       }
+
+      val withFields = (plain ++ appended).foldLeft(df) { case (d, (n, c)) =>
+        val casted = targetTypes.get(n).map(c.cast).getOrElse(c)
+        d.withColumn(n, casted)
+      }
+      if (indirect.isEmpty) withFields
+      else withFields.withColumn("dissect_indirect",
+        map_from_arrays(array(indirect.map(_._1): _*),
+          array(indirect.map(_._2): _*)))
     }
   }
 
@@ -452,20 +489,40 @@ object Processors {
   }
 
   /** `flatten` (flatten-processor/.../FlattenProcessor.java:28): hoist every
-    * leaf of a struct column to a top-level `a/b` column. */
-  final case class Flatten(source: String, sep: String = "/") extends Stage {
+    * leaf of a struct column to a top-level `a/b` column.
+    *
+    * Arrays-of-structs flatten with the reference's `remove_list_indices`
+    * semantics: `a: array<struct<b>>` → column `a/b: array<leaf>`
+    * (`transform(...)`, codegen'd) — per-index columns (`a/0/b`) cannot
+    * exist in a static schema. `excludeKeys` leaves the named sub-fields
+    * nested (exclude_keys option). */
+  final case class Flatten(source: String, sep: String = "/",
+      excludeKeys: Seq[String] = Nil) extends Stage {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
     def apply(df: DataFrame): DataFrame = {
-      val st = df.schema(source).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-      def leaves(prefix: Seq[String], t: org.apache.spark.sql.types.StructType): Seq[Seq[String]] =
+      val st = df.schema(source).dataType.asInstanceOf[StructType]
+      def leaves(prefix: Seq[String], t: StructType): Seq[(Seq[String], Boolean)] =
         t.fields.toSeq.flatMap { f =>
-          f.dataType match {
-            case s: org.apache.spark.sql.types.StructType => leaves(prefix :+ f.name, s)
-            case _ => Seq(prefix :+ f.name)
+          if (prefix.isEmpty && excludeKeys.contains(f.name))
+            Seq((Seq(f.name), false)) // kept as-is, not descended
+          else f.dataType match {
+            case s: StructType => leaves(prefix :+ f.name, s)
+            case ArrayType(s: StructType, _) =>
+              // one hop of list flattening: a/b = transform(a, _.b)
+              s.fields.toSeq.map(inner => (prefix ++ Seq(f.name, inner.name), true))
+            case _ => Seq((prefix :+ f.name, false))
           }
         }
-      leaves(Seq.empty, st).foldLeft(df) { (d, path) =>
-        d.withColumn((source +: path).mkString(sep),
-          path.foldLeft(col(source))((c, f) => c.getField(f)))
+      leaves(Seq.empty, st).foldLeft(df) { case (d, (path, viaArray)) =>
+        val c =
+          if (!viaArray) path.foldLeft(col(source))((c0, f) => c0.getField(f))
+          else {
+            val arrPath = path.dropRight(1)
+            val leaf = path.last
+            val arr = arrPath.foldLeft(col(source))((c0, f) => c0.getField(f))
+            transform(arr, x => x.getField(leaf))
+          }
+        d.withColumn((source +: path).mkString(sep), c)
       }.drop(source)
     }
   }

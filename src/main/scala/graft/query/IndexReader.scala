@@ -42,15 +42,22 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
     (((h % buckets) + buckets) % buckets).toInt
   }
 
-  private def numBuckets: Int = {
-    val dirs = new java.io.File(postingsPath).listFiles()
-    if (dirs == null) 0 else dirs.count(_.getName.startsWith("bucket="))
+  /** Bucket modulus from the committed postings manifest — the value the
+    * BUILD used (r1 counted bucket= directories on the local filesystem,
+    * which breaks on object stores and undercounts when a bucket holds no
+    * terms → wrong modulus → silently empty postings; ADVICE r1). */
+  private val numBuckets: Int = {
+    val b = graft.index.Manifest.read(indexDir, "postings")
+      .flatMap(_.params.get("buckets")).map(_.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed postings manifest (with buckets param) under $indexDir"))
+    require(b > 0, s"postings manifest has invalid buckets=$b")
+    b
   }
 
   /** Segment rows for the query terms, bucket-pruned. */
   def segmentsFor(terms: Seq[String]): Dataset[SegmentRead] = {
-    val b = numBuckets
-    val buckets = terms.map(bucketOf(_, b)).distinct
+    val buckets = terms.map(bucketOf(_, numBuckets)).distinct
     spark.read.parquet(postingsPath)
       .where(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))

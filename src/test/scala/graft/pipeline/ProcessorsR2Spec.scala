@@ -177,4 +177,36 @@ class GatedMetaSpec extends AnyFunSuite {
       .select("key", "twice").collect().head
     assert(out == Row("en-3", 6L))
   }
+
+  test("dissect append, indirect, target_types modifiers") {
+    val df = Seq("alpha beta rc=7 extra").toDF("line")
+    val out = Processors.Dissect("line",
+      "%{+name} %{+name} %{?k}=%{&k} %{rest}",
+      appendSeparator = "_", targetTypes = Map("rest" -> "string"))(df)
+    val r = out.select(col("name"), col("rest"),
+      element_at(col("dissect_indirect"), "rc")).collect().head
+    assert(r == Row("alpha_beta", "extra", "7"))
+  }
+
+  test("dissect target_types casts") {
+    val df = Seq("code=42 ratio=0.5").toDF("line")
+    val out = Processors.Dissect("line", "code=%{code} ratio=%{ratio}",
+      targetTypes = Map("code" -> "long", "ratio" -> "double"))(df)
+      .select("code", "ratio").collect().head
+    assert(out == Row(42L, 0.5))
+  }
+
+  test("flatten handles arrays of structs and exclude_keys") {
+    val df = Seq((1L, (("a", 2), Seq((10, "x"), (20, "y")), ("keepme", 9))))
+      .toDF("id", "s")
+      .selectExpr("id", "named_struct(" +
+        "'m', named_struct('p', s._1._1, 'q', s._1._2), " +
+        "'items', transform(s._2, e -> named_struct('n', e._1, 't', e._2)), " +
+        "'excl', named_struct('a', s._3._1, 'b', s._3._2)) AS s")
+    val out = Processors.Flatten("s", excludeKeys = Seq("excl"))(df)
+    assert(out.columns.toSet ==
+      Set("id", "s/m/p", "s/m/q", "s/items/n", "s/items/t", "s/excl"))
+    val r = out.select(col("`s/items/n`"), col("`s/excl`.a")).collect().head
+    assert(r.getSeq[Int](0) == Seq(10, 20) && r.getString(1) == "keepme")
+  }
 }
