@@ -655,11 +655,13 @@ object SparkEntry {
     }
 
   /** BM25 top-k over the documents table with rounded scores and rounded-
-    * score ordering (rank stability across engines' last-ulp noise). */
+    * score ordering (rank stability across engines' last-ulp noise).
+    * One job: scoreAll + TakeOrdered(k) on the rounded score — no count()
+    * pre-pass, no whole-corpus sort. */
   private def bm25TopK(d: DataFrame, terms0: Seq[String], k: Int): DataFrame = {
     val terms = terms0.distinct.sorted
-    val full = BruteForce.topK(d, "doc_id", "text", terms, d.count().toInt)
-    full.withColumn("score", round(col("score"), 4))
+    BruteForce.scoreAll(d, "doc_id", "text", terms)
+      .withColumn("score", round(col("score"), 4))
       .orderBy(desc("score"), col("docId"))
       .limit(k)
       .withColumnRenamed("docId", "doc_id")

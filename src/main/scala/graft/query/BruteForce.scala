@@ -29,10 +29,13 @@ object BruteForce {
       (tf.cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * (dl.cast("double") / lit(avgdl)))))
   }
 
-  /** Top-k over a docs table `(idCol, textCol)` for an OR-semantics query.
-    * Returns (docId, score), k rows, ordered (score desc, docId asc). */
-  def topK(docs: DataFrame, idCol: String, textCol: String,
-      query: Seq[String], k: Int): DataFrame = {
+  /** Score EVERY matching doc — (docId, score), unordered. The top-k entry
+    * wraps this with TakeOrdered; callers that re-rank on rounded scores
+    * (the oracle gates) consume it directly instead of asking topK for
+    * n rows (which would heap-sort the whole corpus per partition and
+    * needs a count() job just to learn n — VERDICT r1 plan audit). */
+  def scoreAll(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String]): DataFrame = {
     val terms = query.distinct.sorted
     val spark = docs.sparkSession
 
@@ -62,7 +65,13 @@ object BruteForce {
     val pivoted = scored.groupBy(col("docId")).pivot("term", terms).agg(first(col("s")))
     val total = terms.map(t => coalesce(col(s"`$t`"), lit(0.0))).reduceLeft(_ + _)
     pivoted.select(col("docId"), total.as("score"))
+  }
+
+  /** Top-k over a docs table `(idCol, textCol)` for an OR-semantics query.
+    * Returns (docId, score), k rows, ordered (score desc, docId asc). */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int): DataFrame =
+    scoreAll(docs, idCol, textCol, query)
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
-  }
 }
