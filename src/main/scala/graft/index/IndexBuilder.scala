@@ -113,12 +113,26 @@ final class IndexBuilder(
   val termstatsPath = s"$indexDir/termstats"
   val postingsPath = s"$indexDir/postings"
 
+  /** Per-file row counts from parquet FOOTERS only (driver-side, a few KB
+    * per file via the Hadoop FS API) — r1 re-scanned the entire stage
+    * output with a groupBy(input_file_name) job after every stage, adding
+    * a full extra read of the artifact per commit; footer metadata is the
+    * same numbers for free. */
   private def lineage(path: String): (Long, Seq[PartitionLineage]) = {
-    val per = spark.read.parquet(path)
-      .groupBy(input_file_name().as("file")).count()
-      .as[(String, Long)].collect()
-      .map { case (f, c) => PartitionLineage(f.substring(f.lastIndexOf('/') + 1), c) }
-      .toSeq
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
+    }
+    val per = files.sortBy(_.toString).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try PartitionLineage(f.getName, r.getRecordCount) finally r.close()
+    }.toSeq
     (per.map(_.rows).sum, per)
   }
 
@@ -243,14 +257,17 @@ final class IndexBuilder(
     * globals (N, sumDl) for a parallelism-invariant avgdl. */
   def stageStats(): Unit = {
     val tf = spark.read.parquet(tfPath)
-    tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // ONE scan of tf: df and per-term total_tf in the same aggregate;
+    // sumDl then folds over the (tiny) termstats table instead of
+    // re-scanning tf (sum of per-term exact integers == total tokens).
+    tf.groupBy($"term").agg(count(lit(1)).as("df"), sum($"tf").as("total_tf"))
       .write.mode(SaveMode.Overwrite).parquet(termstatsPath)
-    // n from the docs-stage manifest (no extra job; includes empty docs);
-    // sumDl = total token count as an exact integer
+    // n from the docs-stage manifest (no extra job; includes empty docs)
     val n = Manifest.read(indexDir, "docs")
       .flatMap(_.metrics.get("n").map(_.toLong))
       .getOrElse(spark.read.parquet(docsPath).count())
-    val sumDl = tf.agg(coalesce(sum($"tf"), lit(0L))).as[Long].head()
+    val sumDl = spark.read.parquet(termstatsPath)
+      .agg(coalesce(sum($"total_tf"), lit(0L))).as[Long].head()
     Globals.write(indexDir, Globals(n, sumDl))
     commit("stats", termstatsPath, Seq(tfPath),
       Map("n" -> n.toString, "sumDl" -> sumDl.toString))
