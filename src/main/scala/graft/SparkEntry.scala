@@ -420,6 +420,56 @@ object SparkEntry {
               |   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events)
               | WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin)),
 
+    ("q_trace_group", (s: SparkSession, dir: String) => {
+      // otel trace-group fill: root span's fields onto every span of the
+      // trace (trace = user_id; root = first event per user)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val spans = events(s, dir).withColumn("parent_id",
+        lag(col("event_id"), 1).over(w).cast("string"))
+      Aggregates.traceGroupFill(spans, "user_id", "parent_id",
+        "event_type", Seq("ts"))
+        .select(col("event_id"), col("trace_group"),
+          unix_micros(col("tg_ts")).as("root_ts_us"))
+    }, Some("""WITH roots AS (
+              |  SELECT user_id, arg_min(event_type, event_id) AS trace_group,
+              |         epoch_us(arg_min(ts, event_id)) AS root_ts_us
+              |  FROM events GROUP BY 1)
+              | SELECT e.event_id, r.trace_group, r.root_ts_us
+              | FROM events e JOIN roots r USING (user_id)""".stripMargin)),
+
+    ("q_user_agent", (s: SparkSession, dir: String) => {
+      val ua = concat(
+        lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+          "(KHTML, like Gecko) Chrome/"), col("n_chars"),
+        lit(".0.0.0 Safari/537.36"))
+      graft.pipeline.UserAgent("ua")(docs(s, dir).withColumn("ua", ua))
+        .select(col("doc_id"),
+          col("user_agent.name").as("browser"),
+          col("user_agent.version").as("bver"),
+          col("user_agent.os.full").as("os_full"),
+          col("user_agent.device.name").as("device"))
+    }, Some("""SELECT doc_id, 'Chrome' AS browser,
+              | CAST(n_chars AS VARCHAR) || '.0.0.0' AS bver,
+              | 'Windows 10' AS os_full, 'Other' AS device
+              | FROM documents""".stripMargin)),
+
+    ("q_avro_roundtrip", (s: SparkSession, dir: String) => {
+      // avro container write → read (avro-core codec seam) round-trips
+      // the documents slice byte-exactly vs the direct-table oracle
+      val schema =
+        """{"type":"record","name":"D","fields":[
+          |{"name":"doc_id","type":"long"},{"name":"lang","type":"string"}]}""".stripMargin
+      val tmp = java.nio.file.Files.createTempDirectory("graft-avro").toString
+      val json = docs(s, dir)
+        .select(to_json(struct(col("doc_id"), col("lang"))).as("json"))
+      graft.sources.AvroCodec.writeContainer(json, s"$tmp/c", schema)
+      graft.sources.AvroCodec.readContainer(s, s"$tmp/c")
+        .select(
+          get_json_object(col("json"), "$.doc_id").cast("bigint").as("doc_id"),
+          get_json_object(col("json"), "$.lang").as("lang"))
+    }, Some("SELECT doc_id, lang FROM documents")),
+
     // ---------- expression language (SURVEY §2.7) ----------
     ("q_expr_language", (s: SparkSession, dir: String) => {
       // Data-Prepper expression syntax compiled once on the driver to a

@@ -141,4 +141,21 @@ object Aggregates {
     else if (t.endsWith("h") || t.contains("hour")) num * 3600
     else num
   }
+
+  /** otel_traces trace-group fill (otel-trace-raw-processor/.../
+    * OTelTraceRawProcessor: every span of a trace receives the ROOT span's
+    * traceGroup + traceGroupFields). Root = parentId null/empty. One keyed
+    * self-join on traceId: the roots side is one row per trace — broadcast
+    * when traces fit an executor, shuffle join otherwise (Spark picks via
+    * AQE/stats; at 10^12 spans the roots table is ~n_traces rows, so the
+    * join stays a plain keyed equi-join either way, never a window over
+    * all spans). Fields are emitted as `trace_group` + `tg_<field>`. */
+  def traceGroupFill(df: DataFrame, traceId: String, parentId: String,
+      nameCol: String, fields: Seq[String]): DataFrame = {
+    val isRoot = col(parentId).isNull || col(parentId) === ""
+    val roots = df.filter(isRoot)
+      .select((col(traceId) +: col(nameCol).as("trace_group") +:
+        fields.map(f => col(f).as(s"tg_$f"))): _*)
+    df.join(roots, Seq(traceId), "left")
+  }
 }
