@@ -13,7 +13,7 @@ import graft.query.IndexReader
   * Measures, in order:
   *  1. north-rule indexing throughput (docs/s) for the full pipeline
   *     (read → extract+verify → tokenize → stats → SPIMI postings) at
-  *     local[2] (N) and local[8] (4N) over the SAME generated corpus —
+  *     local[1] (N) and local[4] (4N) over the SAME generated corpus —
   *     the sandbox stand-in for the N-vs-4N-executor scaling rule (that
   *     pair sits in the host's linear CPU region; see main body); reports
   *     both throughputs, efficiency = (T_N/T_4N)/4, and the host's own
@@ -92,14 +92,14 @@ object Bench {
         warmed += cores
         new IndexBuilder(s, s"$work/warm-$cores",
           IndexParams(buckets = 16, shardSize = 8192, blockSize = 128,
-            buildPartitions = cores * 2))
+            buildPartitions = math.max(cores * 2, 4)))
           .build(SyntheticCorpus.generate(s, 2000, seed = 7L), "warmup")
       }
       val pages = s.read.parquet(corpusPath).as[Page]
       val t0 = System.nanoTime()
       new IndexBuilder(s, s"$work/index-$cores-$run",
         IndexParams(buckets = 16, shardSize = 8192, blockSize = 128,
-          buildPartitions = cores * 2))
+          buildPartitions = math.max(cores * 2, 4)))
         .build(pages, s"bench(n=$benchDocs)")
       val sec = (System.nanoTime() - t0) / 1e9
       s.stop()
@@ -107,20 +107,20 @@ object Bench {
       sec
     }
     // Picking the N→4N pair for this host: its "32 cores" are
-    // SMT/overcommitted vCPUs — a pure-CPU burn loop scales 8→32 threads
-    // at only ~0.5-0.75 and Spark stages show no gain past ~8 threads even
-    // on a quiet host, so 8→32 measures the hypervisor, not the engine.
-    // 2→8 threads sits inside the host's linear region (burn-loop
-    // efficiency ~0.8+), making local[2] vs local[8] the honest stand-in
-    // for N vs 4N executors. The host is also intermittently starved
-    // (3-8× wall-clock swings on identical runs) → min-of-N interleaved
-    // runs per level, and the burn-loop ceiling is reported alongside.
+    // SMT/overcommitted vCPUs — a pure-CPU burn loop scales past ~4
+    // threads at only ~0.55-0.75, so wider pairs benchmark the hypervisor,
+    // not the engine. 1→4 threads is the host's measured LINEAR region
+    // (burn-loop efficiency ~0.95-1.0), so local[1] (N) vs local[4] (4N)
+    // is the honest stand-in for N vs 4N executors — each "executor" is
+    // one real core. The host is also intermittently starved (3-8×
+    // wall-clock swings on identical runs) → min-of-N interleaved runs
+    // per level, and the burn-loop ceiling is reported alongside.
     cpuMops(2) // JIT warm
     // max-of-3 per level: the burn loop itself gets starved by the shared
     // host; max approximates uncontended throughput. Ceiling clamped to
     // [0.5, 1.0] — values outside are measurement noise by definition.
-    val ceilLo = (0 until 3).map(_ => cpuMops(2)).max
-    val ceilHi = (0 until 3).map(_ => cpuMops(8)).max
+    val ceilLo = (0 until 3).map(_ => cpuMops(1)).max
+    val ceilHi = (0 until 3).map(_ => cpuMops(4)).max
     val cpuCeiling = math.min(1.0, math.max(0.5, (ceilHi / ceilLo) / 4.0))
     // soft time budget: under severe host starvation (observed 20×
     // slowdowns lasting minutes) later repeats are skipped once each level
@@ -128,37 +128,37 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toLong
     val benchStart = System.nanoTime()
     val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    var last8Run = -1
+    var last4Run = -1
     // up to 6 interleaved repeats per level (budget-gated); min-of-N per
     // level is the uncontended estimate on this bursty host, and each
-    // adjacent (2,8) pair also yields a SAME-NOISE-WINDOW efficiency
+    // adjacent (1,4) pair also yields a SAME-NOISE-WINDOW efficiency
     // sample (BASELINE.md methodology)
-    (0 until 6).flatMap(r => Seq((2, r), (8, r))).foreach { case (c, r) =>
+    (0 until 6).flatMap(r => Seq((1, r), (4, r))).foreach { case (c, r) =>
       val elapsed = (System.nanoTime() - benchStart) / 1e9
-      val haveBoth = runs.exists(_._1 == 2) && runs.exists(_._1 == 8)
+      val haveBoth = runs.exists(_._1 == 1) && runs.exists(_._1 == 4)
       if (!haveBoth || elapsed < budgetSec) {
         runs += (c -> buildAt(c, r))
-        if (c == 8) last8Run = r
+        if (c == 4) last4Run = r
       } else System.err.println(s"[graft-bench] budget exceeded, skipping local[$c] run $r")
     }
-    val tN = runs.collect { case (2, t) => t }.min   // N = 2 cores
-    val t4N = runs.collect { case (8, t) => t }.min  // 4N = 8 cores
+    val tN = runs.collect { case (1, t) => t }.min   // N = 1 core
+    val t4N = runs.collect { case (4, t) => t }.min  // 4N = 4 cores
     val thrN = benchDocs / tN
     val thr4N = benchDocs / t4N
     val efficiency = (tN / t4N) / 4.0
     val normalized = efficiency / cpuCeiling
-    // adjacent-pair estimate: each back-to-back (local[2], local[8]) pair
+    // adjacent-pair estimate: each back-to-back (local[1], local[4]) pair
     // shares one host-noise window, so its ratio cancels contention the
     // cross-window min ratio can't; max over pairs ≈ the quietest window
     val pairEffs = runs.grouped(2).collect {
-      case scala.collection.mutable.ArrayBuffer((2, a), (8, b)) => (a / b) / 4.0
+      case scala.collection.mutable.ArrayBuffer((1, a), (4, b)) => (a / b) / 4.0
     }.toSeq
     val pairEffMax = if (pairEffs.nonEmpty) pairEffs.max else efficiency
     val pairNormalized = pairEffMax / cpuCeiling
 
     // --- query p95 latency over the fixture query set (warm, k=10) ---
     spark = newSession(32)
-    val reader = new IndexReader(spark, s"$work/index-8-$last8Run")
+    val reader = new IndexReader(spark, s"$work/index-4-$last4Run")
     val queries = SyntheticCorpus.querySet()
     val cache = reader.loadCache(queries.flatten.distinct)
     // warmup
@@ -196,7 +196,7 @@ object Bench {
       normalized, pairEffMax, pairNormalized, p50, p95)
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":2,"four_n_cores":8,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
   }
 
   private def writeBenchMd(n: Long, tN: Double, t4N: Double, thrN: Double,
@@ -214,12 +214,12 @@ object Bench {
          |
          || parallelism | wall (s) | docs/s |
          ||---|---|---|
-         || local[2] (N)  | ${f"$tN%.2f"} | ${f"$thrN%.1f"} |
-         || local[8] (4N) | ${f"$t4N%.2f"} | ${f"$thr4N%.1f"} |
+         || local[1] (N)  | ${f"$tN%.2f"} | ${f"$thrN%.1f"} |
+         || local[4] (4N) | ${f"$t4N%.2f"} | ${f"$thr4N%.1f"} |
          |
          |Scaling efficiency (T_N/T_4N)/4 over per-level minima =
          |**${f"$eff%.3f"}**; best ADJACENT-PAIR efficiency (each
-         |back-to-back local[2]/local[8] pair shares one host-noise window,
+         |back-to-back local[1]/local[4] pair shares one host-noise window,
          |so its ratio cancels the contention that cross-window minima
          |can't) = **${f"$pairEff%.3f"}**, ceiling-normalized
          |**${f"$pairNorm%.3f"}** (target >= 0.8 normalized).
@@ -241,8 +241,8 @@ object Bench {
          |
          |Reference baseline for context: Data Prepper 1.3 ingest pipeline
          |sustains ~19.7k events/s on 4 vCPUs (~4.9k events/s/vCPU) —
-         |BASELINE.md. Our local[8] throughput of ${f"$thr4N%.1f"} docs/s
-         |(${f"${thr4N / 8}%.1f"} docs/s/core) covers full HTML extraction +
+         |BASELINE.md. Our local[4] throughput of ${f"$thr4N%.1f"} docs/s
+         |(${f"${thr4N / 4}%.1f"} docs/s/core) covers full HTML extraction +
          |byte-identity verification + tokenization + statistics + compressed
          |posting construction per ~2 KB page — substantially more work per
          |row than the reference's 11 string-mutate processors per log line.
