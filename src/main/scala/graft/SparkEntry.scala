@@ -389,6 +389,25 @@ object SparkEntry {
               |                      ORDER BY ts, event_id) AS rn
               |  FROM events) WHERE rn <= 2""".stripMargin)),
 
+    ("q_rate_limiter_block", (s: SparkSession, dir: String) => {
+      // BLOCK mode: over-rate events wait for the next token-bucket slot
+      // (closed-form running-max window; rate 2/s → 500ms slots)
+      Aggregates.rateLimiterBlock(events(s, dir), Seq("user_id"), "ts",
+        ratePerSecond = 2.0, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("emit_ts")).as("emit_us"))
+    }, Some("""WITH b AS (
+              |  SELECT event_id, user_id, ts,
+              |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+              |  FROM events),
+              | m AS (
+              |  SELECT event_id, user_id, rn,
+              |   max(epoch_us(ts) - rn * 500000) OVER (
+              |     PARTITION BY user_id ORDER BY ts, event_id
+              |     ROWS UNBOUNDED PRECEDING) AS mb
+              |  FROM b)
+              | SELECT event_id, user_id, rn * 500000 + mb AS emit_us FROM m""".stripMargin)),
+
     ("q_tail_sampler", (s: SparkSession, dir: String) => {
       Aggregates.tailSampler(events(s, dir), Seq("user_id"), "ts", "3600",
         col("event_type") === "error", percent = 0.0)

@@ -110,6 +110,26 @@ object Aggregates {
       .filter(col("_rn") <= eventsPerSecond).drop("_rn")
   }
 
+  /** `rate_limiter` BLOCK mode (RateLimiterAggregateAction when_exceeds:
+    * block — over-rate events WAIT instead of dropping). Batch semantics:
+    * per key, arrival-ordered events get the effective emit time of a
+    * token bucket draining at `ratePerSecond`:
+    * `emit_i = max(ts_i, emit_{i-1} + 1/rate)`. That recurrence has the
+    * closed form `emit_i = i·T + max_{j≤i}(ts_j − j·T)` (T = one slot),
+    * so it is ONE running-max window — fully declarative, no sequential
+    * per-key kernel, scales like any keyed window. Adds `emit_ts`. */
+  def rateLimiterBlock(df: DataFrame, keys: Seq[String], ts: String,
+      ratePerSecond: Double, tieBreak: Seq[String] = Nil): DataFrame = {
+    val slotUs = (1e6 / ratePerSecond).toLong
+    val order = (ts +: tieBreak).map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val withRn = df.withColumn("_rn", row_number().over(w) - 1)
+    val emitUs = col("_rn") * slotUs +
+      max(unix_micros(col(ts)) - col("_rn") * slotUs)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    withRn.withColumn("emit_ts", timestamp_micros(emitUs)).drop("_rn")
+  }
+
   /** `tail_sampler` (TailSamplerAggregateAction.java:35-60): session-window
     * a group by inactivity gap; emit the whole session if any event matched
     * `condition`, else admit the session with probability `percent` —

@@ -196,6 +196,23 @@ class GatedMetaSpec extends AnyFunSuite {
     assert(out == Row(42L, 0.5))
   }
 
+  test("rate_limiter BLOCK mode: token-bucket reflow via running-max window") {
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    def ts(off: Double) = java.sql.Timestamp.from(t0.plusMillis((off * 1000).toLong))
+    val df = Seq(
+      (1L, "a", ts(0.0)), (2L, "a", ts(0.1)), (3L, "a", ts(0.2)),
+      (4L, "a", ts(5.0)), (5L, "b", ts(0.0))).toDF("id", "k", "ts")
+    val out = Aggregates.rateLimiterBlock(df, Seq("k"), "ts", 2.0, Seq("id"))
+      .select($"id", unix_micros($"emit_ts")).as[(Long, Long)].collect().toMap
+    val base = t0.toEpochMilli * 1000
+    // emit_i = max(ts_i, emit_{i-1} + 500ms)
+    assert(out(1L) == base)
+    assert(out(2L) == base + 500000L)
+    assert(out(3L) == base + 1000000L)
+    assert(out(4L) == base + 5000000L) // bucket drained; no wait
+    assert(out(5L) == base)            // independent key
+  }
+
   test("flatten handles arrays of structs and exclude_keys") {
     val df = Seq((1L, (("a", 2), Seq((10, "x"), (20, "y")), ("keepme", 9))))
       .toDF("id", "s")
