@@ -286,6 +286,18 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))
     }, Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events")),
 
+    ("q_parse_ion", (s: SparkSession, dir: String) => {
+      // Ion text event (annotations, symbol values, typed int) → struct
+      val ion = docs(s, dir).withColumn("ion",
+        concat(lit("doc::{lang:"), col("lang"), lit(", src:\""),
+          col("source"), lit("\", n:count::"), col("n_chars"), lit("}")))
+      graft.pipeline.Pipeline(
+        Processors.ParseIon("ion", "lang STRING, src STRING, n BIGINT", "p"))(ion)
+        .select(col("doc_id"), col("p")("lang").as("ilang"),
+          col("p")("src").as("isrc"), col("p")("n").as("in_chars"))
+    }, Some("""SELECT doc_id, lang AS ilang, source AS isrc,
+              | CAST(n_chars AS BIGINT) AS in_chars FROM documents""".stripMargin)),
+
     ("q_parse_xml", (s: SparkSession, dir: String) => {
       val withXml = docs(s, dir).withColumn("xml",
         concat(lit("<r><lang>"), col("lang"), lit("</lang><src>"),

@@ -432,6 +432,21 @@ object Processors {
         from_json(col(source), org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)))
   }
 
+  /** `parse_ion` (parse-json-processor/.../ParseIonProcessor.java, which
+    * delegates to ion-java — absent offline): Ion TEXT events convert to
+    * JSON via the [[IonText]] subset kernel (annotations stripped,
+    * symbols/timestamps → strings, typed nulls/nan/inf → null, sexps →
+    * arrays, blobs → strings), then parse with the same `from_json` shape
+    * as parse_json. */
+  final case class ParseIon(source: String, schemaDdl: String,
+      destination: String = "parsed") extends Stage {
+    private val conv = udf((s: String) => IonText.toJson(s))
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destination,
+        from_json(conv(col(source)),
+          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)))
+  }
+
   /** `parse_xml` (parse-json-processor family): parse an XML string field
     * into a struct at `destination` (Spark 4 native from_xml — codegen'd,
     * no external parser). */

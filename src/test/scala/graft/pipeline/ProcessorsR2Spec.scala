@@ -165,6 +165,34 @@ class KeyValueAdvancedSpec extends AnyFunSuite {
   }
 }
 
+class IonTextSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Ion text subset converts to parseable JSON (canonical compact)") {
+    assert(IonText.toJson("""{a:1, b:"x", c:my_symbol}""") ==
+      """{"a":1,"b":"x","c":"my_symbol"}""")
+    assert(IonText.toJson("{ts:event::2026-01-01T00:00:00Z, n:ann::42}") ==
+      """{"ts":"2026-01-01T00:00:00Z","n":42}""")
+    assert(IonText.toJson("{x:null.int, y:nan, z:[1, 2.5e1, 0x1F]}") ==
+      """{"x":null,"y":null,"z":[1,2.5e1,31]}""")
+    assert(IonText.toJson("{s:(a + b)}") == """{"s":["a","+","b"]}""")
+    assert(IonText.toJson("{'weird key':'val'}") == """{"weird key":"val"}""")
+    assert(IonText.toJson("{d:1d-3}") == """{"d":1e-3}""")
+    assert(IonText.toJson("{data:{{aGVsbG8=}}}") == """{"data":"aGVsbG8="}""")
+    assert(IonText.toJson("{// comment\n a:+inf, b:-inf}") ==
+      """{"a":null,"b":null}""")
+  }
+
+  test("ParseIon end-to-end through from_json") {
+    val df = Seq("""evt::{lang:en, src:"s1", n:count::42}""").toDF("raw")
+    val out = Processors.ParseIon("raw", "lang STRING, src STRING, n BIGINT")(df)
+      .select("parsed.lang", "parsed.src", "parsed.n").collect().head
+    assert(out == org.apache.spark.sql.Row("en", "s1", 42L))
+  }
+}
+
 class GatedMetaSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
