@@ -30,7 +30,10 @@ object Bench {
     "q_tokenize", "q_term_stats", "q_bm25_topk", "q_bm25_topk_stopheavy",
     "q_dedup_exact", "q_minhash_neardups", "q_simhash_neardups",
     "q_ngram_jaccard", "q_ann_brute", "q_ann_lsh", "q_agg_count",
-    "q_quality_score", "q_token_counts", "q_lang_id")
+    "q_quality_score", "q_token_counts", "q_lang_id",
+    // round-2 operators
+    "q_grok_patterns", "q_date_parse", "q_rate_limiter_block",
+    "q_user_agent", "q_expr_functions")
 
   /** Pure-CPU burn throughput at `threads` threads — measures the HOST's
     * parallel-scaling ceiling, independent of Spark. */

@@ -599,6 +599,16 @@ object SparkEntry {
               |        stddev_pop(value) OVER (PARTITION BY event_type) AS s
               |       FROM events)""".stripMargin)),
 
+    ("q_anomaly_rcf", (s: SparkSession, dir: String) => {
+      // Random Cut Forest scoring (reference RCF mode) — algorithmic
+      // output, no SQL oracle; RcfSpec pins outlier separation +
+      // determinism. Bound to rows with extreme values for a stable count.
+      graft.ops.Rcf.anomalies(events(s, dir), Seq("value"),
+        threshold = 0.15, numTrees = 20, sampleSize = 128)
+        .filter(col("rcf_grade") === 1.0)
+        .select(col("event_id"), round(col("rcf_score"), 4).as("rcf_score"))
+    }, None),
+
     ("q_log_generator_grok", (s: SparkSession, dir: String) => {
       // source parity + grok-style extraction end to end: synthetic Apache
       // logs → regex captures → status histogram

@@ -193,6 +193,35 @@ class IonTextSpec extends AnyFunSuite {
   }
 }
 
+class RcfSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("random cut forest isolates outliers above the inlier score band") {
+    val rng = new graft.util.SplitMix64(3L)
+    val inliers = (0 until 300).map { i =>
+      (i.toLong, rng.nextDouble() * 2 - 1, rng.nextDouble() * 2 - 1)
+    }
+    val outliers = Seq((9001L, 50.0, 50.0), (9002L, -40.0, 35.0))
+    val df = (inliers ++ outliers).toDF("id", "x", "y")
+    val scored = graft.ops.Rcf.anomalies(df, Seq("x", "y"), threshold = 0.2,
+      numTrees = 20, sampleSize = 128, seed = 7L)
+      .select($"id", $"rcf_score", $"rcf_grade").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val inScores = inliers.map(i => scored(i._1)._1)
+    val outScores = outliers.map(o => scored(o._1)._1)
+    assert(outScores.min > inScores.max * 2,
+      s"outliers ${outScores.min} not separated from inliers ${inScores.max}")
+    assert(outliers.forall(o => scored(o._1)._2 == 1.0))
+    // determinism: same seed → same scores
+    val again = graft.ops.Rcf.anomalies(df, Seq("x", "y"), 0.2, 20, 128, 7L)
+      .select($"id", $"rcf_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.forall { case (k, (s, _)) => again(k) == s })
+  }
+}
+
 class GatedMetaSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
