@@ -205,11 +205,19 @@ final case class Grok(source: String, patterns: Seq[String],
 
   def apply(df: DataFrame): DataFrame = {
     val src = col(source)
-    // which pattern matched first (-1 = none): one rlike chain, evaluated once
-    val matchIdx = compiled.zipWithIndex.foldRight(lit(-1): Column) {
-      case ((cg, i), els) => when(src.rlike(cg.regex), i).otherwise(els)
+    // ONE matcher pass per pattern per row: the custom
+    // RegexpFirstMatchGroups expression yields every capture group at
+    // once (null array = no match) — the builtin path would re-run the
+    // regex k+1 times (rlike + regexp_extract per field)
+    val withGroups = compiled.zipWithIndex.foldLeft(df) { case (d, (cg, i)) =>
+      d.withColumn(s"_g$i",
+        graft.functions.RegexpFirstMatchGroups(src, cg.regex))
     }
-    val withIdx = df.withColumn("_grok_m", matchIdx)
+    // which pattern matched first (-1 = none)
+    val matchIdx = compiled.indices.foldRight(lit(-1): Column) {
+      case (i, els) => when(col(s"_g$i").isNotNull, i).otherwise(els)
+    }
+    val withIdx = withGroups.withColumn("_grok_m", matchIdx)
     val fieldOrder = compiled.flatMap(_.captures.map(_.name)).distinct
     val fieldCols = fieldOrder.map { f =>
       // per field: value from the first-matching pattern that captures it
@@ -217,8 +225,9 @@ final case class Grok(source: String, patterns: Seq[String],
         case ((cg, i), els) =>
           cg.captures.find(_.name == f) match {
             case Some(cap) =>
-              val raw = regexp_extract(src, cg.regex, cap.group)
-              val cleaned = if (keepEmptyCaptures) raw else nullif(raw, lit(""))
+              val raw = element_at(col(s"_g$i"), cap.group)
+              val cleaned = if (keepEmptyCaptures) coalesce(raw, lit(""))
+                else nullif(raw, lit(""))
               when(col("_grok_m") === i, cleaned).otherwise(els)
             case None => when(col("_grok_m") === i, lit(null)).otherwise(els)
           }
@@ -247,6 +256,6 @@ final case class Grok(source: String, patterns: Seq[String],
           when(col("_grok_m") === -1, array_union(existing, newTags))
             .otherwise(existing))
       }
-    tagged.drop("_grok_m")
+    tagged.drop("_grok_m" +: compiled.indices.map(i => s"_g$i"): _*)
   }
 }
