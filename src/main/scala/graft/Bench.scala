@@ -26,7 +26,8 @@ import graft.query.IndexReader
   */
 object Bench {
 
-  private val HeadlineQueries = Seq(
+  /** Shared with [[QueryBench]] — one list, no drift. */
+  val HeadlineQueries = Seq(
     "q_tokenize", "q_term_stats", "q_bm25_topk", "q_bm25_topk_stopheavy",
     "q_dedup_exact", "q_minhash_neardups", "q_simhash_neardups",
     "q_ngram_jaccard", "q_ann_brute", "q_ann_lsh", "q_agg_count",
@@ -212,7 +213,7 @@ object Bench {
          |index build (read → extract+byte-identity verify → tokenize →
          |stats → SPIMI postings, $n docs) run at two parallelism levels in
          |one machine, per BASELINE.md's stand-in definition. Wall times are
-         |min of up-to-4 interleaved runs (the shared host shows 3-8×
+         |min of up-to-6 interleaved runs (the shared host shows 3-8×
          |transient slowdowns; min approximates the uncontended time).
          |
          || parallelism | wall (s) | docs/s |
@@ -227,13 +228,12 @@ object Bench {
          |can't) = **${f"$pairEff%.3f"}**, ceiling-normalized
          |**${f"$pairNorm%.3f"}** (target >= 0.8 normalized).
          |
-         |Why 2→8 and not 8→32: this VM's 32 "cores" are SMT/overcommitted
-         |vCPUs — a pure-CPU burn loop (no Spark, no I/O) scales 8→32
-         |threads at only ~0.5-0.75 and Spark stages show no gain past ~8
-         |threads even on a quiet host, so an 8→32 pair measures the
-         |hypervisor, not the engine. 2→8 sits in the host's linear region;
-         |its measured burn-loop ceiling for this run is **${f"$ceil%.3f"}**,
-         |and engine efficiency normalized by that ceiling is
+         |Why 1→4 and not a wider pair: this VM's 32 "cores" are
+         |SMT/overcommitted vCPUs — a pure-CPU burn loop (no Spark, no I/O)
+         |scales past ~4 threads at only ~0.55-0.75, so wider pairs measure
+         |the hypervisor, not the engine. 1→4 is the host's measured LINEAR
+         |region; its burn-loop ceiling for this run is **${f"$ceil%.3f"}**,
+         |and per-level-minima efficiency normalized by that ceiling is
          |**${f"$norm%.3f"}**. On a real cluster (the north rule's N vs 4N
          |*executors*), 4× executors are 4× physical cores; the engine's
          |shuffle structure (3 keyed exchanges, no driver funnels, doc-sharded

@@ -9,11 +9,8 @@ import org.apache.spark.sql.SparkSession
 object QueryBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
-      "q_tokenize", "q_term_stats", "q_bm25_topk", "q_bm25_topk_stopheavy",
-      "q_dedup_exact", "q_minhash_neardups", "q_simhash_neardups",
-      "q_ngram_jaccard", "q_ann_brute", "q_ann_lsh", "q_agg_count",
-      "q_quality_score", "q_token_counts", "q_lang_id")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq else Bench.HeadlineQueries
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -459,7 +459,7 @@ object SparkEntry {
       val spans = events(s, dir).withColumn("parent_id",
         lag(col("event_id"), 1).over(w).cast("string"))
       Aggregates.traceGroupFill(spans, "user_id", "parent_id",
-        "event_type", Seq("ts"))
+        "event_type", Seq("ts"), orderCol = "event_id")
         .select(col("event_id"), col("trace_group"),
           unix_micros(col("tg_ts")).as("root_ts_us"))
     }, Some("""WITH roots AS (

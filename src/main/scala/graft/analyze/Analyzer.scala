@@ -69,8 +69,23 @@ object Analyzer {
   def termFreqsLocal(text: String): (java.util.HashMap[String, Long], Long) = {
     val counts = new java.util.HashMap[String, Long]()
     if (text == null) return (counts, 0L)
+    val toks = tokenizeLocal(text)
+    var i = 0
+    while (i < toks.size()) {
+      counts.merge(toks.get(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    (counts, toks.size().toLong)
+  }
+
+  /** THE one JVM-side tokenizer scanner — every local kernel
+    * (termFreqsLocal, Dedup.shingles) builds on this so the tokenizer
+    * spec can never drift between them (it's the invariant the four-way
+    * index/oracle/query agreement rests on). */
+  def tokenizeLocal(text: String): java.util.ArrayList[String] = {
+    val toks = new java.util.ArrayList[String]()
+    if (text == null) return toks
     val lowered = lowerLikeCatalyst(text)
-    var dl = 0L
     val n = lowered.length
     val sb = new java.lang.StringBuilder(16)
     var i = 0
@@ -78,12 +93,11 @@ object Analyzer {
       val c = if (i < n) lowered.charAt(i) else ' '
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
       else if (sb.length > 0) {
-        counts.merge(sb.toString, 1L, (a, b) => a + b)
-        dl += 1
+        toks.add(sb.toString)
         sb.setLength(0)
       }
       i += 1
     }
-    (counts, dl)
+    toks
   }
 }

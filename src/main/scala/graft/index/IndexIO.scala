@@ -28,9 +28,19 @@ object IndexIO {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(UTF_8)) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"commit rename failed: $tmp -> $p")
+    // overwrite-atomic commit where the FS supports it (HDFS/local via
+    // FileContext Rename.OVERWRITE — either the old or the new file
+    // exists at every instant); fall back to delete+rename only where
+    // FileContext is unavailable (object stores emulate rename anyway)
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.FileNotFoundException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"commit rename failed: $tmp -> $p")
+    }
   }
 
   def readString(pathStr: String): Option[String] = {

@@ -56,25 +56,15 @@ object Dedup {
     val f = udf { (s: String) =>
       if (s == null) null
       else {
-        val lowered = Analyzer.lowerLikeCatalyst(s)
-        val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-        val sb = new java.lang.StringBuilder(16)
-        var i = 0
-        val n = lowered.length
-        while (i <= n) {
-          val c = if (i < n) lowered.charAt(i) else ' '
-          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
-          else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
-          i += 1
-        }
-        if (toks.length < w) Array(toks.mkString(" "))
+        val toks = Analyzer.tokenizeLocal(s) // THE shared tokenizer kernel
+        if (toks.size() < w) Array(String.join(" ", toks))
         else {
           val seen = new java.util.LinkedHashSet[String]()
           var j = 0
-          while (j + w <= toks.length) {
-            val g = new java.lang.StringBuilder(toks(j))
+          while (j + w <= toks.size()) {
+            val g = new java.lang.StringBuilder(toks.get(j))
             var k = 1
-            while (k < w) { g.append(' ').append(toks(j + k)); k += 1 }
+            while (k < w) { g.append(' ').append(toks.get(j + k)); k += 1 }
             seen.add(g.toString)
             j += 1
           }

@@ -43,12 +43,16 @@ object Rcf {
       private[Rcf] val trees: Array[RNode],
       private[Rcf] val sampleSize: Int) extends Serializable
 
-  /** Deterministic sample + driver-side forest build. */
+  /** Deterministic sample + driver-side forest build. Rows with a null
+    * feature are excluded from the sample (and score to null — the same
+    * null propagation the z-score mode gets from Column arithmetic). */
   def fit(df: DataFrame, cols: Seq[String], numTrees: Int = 30,
       sampleSize: Int = 256, seed: Long = 42L): Model = {
     val vecCol = array(cols.map(c => col(c).cast("double")): _*)
     // hash-ordered deterministic sample: one TakeOrdered pass, no rand()
-    val sample = df.select(vecCol.as("v"), xxhash64(vecCol).as("h"))
+    val sample = df
+      .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(vecCol.as("v"), xxhash64(vecCol).as("h"))
       .orderBy(col("h")).limit(sampleSize)
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
@@ -111,7 +115,9 @@ object Rcf {
         here + disp(child, x, pThrough * (1.0 - pSep))
     }
 
-  /** Score column in (0, 1]: avg expected displacement / sample size. */
+  /** Score column in (0, 1]: avg expected displacement / sample size;
+    * null when any feature is null (the when-guard keeps the kernel from
+    * ever seeing a null element). */
   def scoreCol(model: Model, cols: Seq[String]): Column = {
     val m = model
     val f = udf { (xs: Seq[Double]) =>
@@ -121,7 +127,9 @@ object Rcf {
       while (t < m.trees.length) { s += disp(m.trees(t), x, 1.0); t += 1 }
       (s / m.trees.length) / m.sampleSize
     }
-    f(array(cols.map(c => col(c).cast("double")): _*))
+    val valid = cols.map(c => col(c).isNotNull).reduce(_ && _)
+    when(valid, f(array(cols.map(c => col(c).cast("double")): _*)))
+      .otherwise(lit(null).cast("double"))
   }
 
   /** anomaly_detector RCF-mode shape: fit on the input, add `rcf_score`

@@ -171,11 +171,17 @@ object Aggregates {
     * join stays a plain keyed equi-join either way, never a window over
     * all spans). Fields are emitted as `trace_group` + `tg_<field>`. */
   def traceGroupFill(df: DataFrame, traceId: String, parentId: String,
-      nameCol: String, fields: Seq[String]): DataFrame = {
+      nameCol: String, fields: Seq[String],
+      orderCol: String = "trace_group_order"): DataFrame = {
     val isRoot = col(parentId).isNull || col(parentId) === ""
+    val ord = if (df.columns.contains(orderCol)) col(orderCol) else col(nameCol)
+    // exactly ONE root row per trace (real OTel data has orphan spans →
+    // multiple parentless rows; a plain join would duplicate every span
+    // of such traces): deterministic min_by over the order column
     val roots = df.filter(isRoot)
-      .select((col(traceId) +: col(nameCol).as("trace_group") +:
-        fields.map(f => col(f).as(s"tg_$f"))): _*)
+      .groupBy(col(traceId))
+      .agg(min_by(col(nameCol), ord).as("trace_group"),
+        fields.map(f => min_by(col(f), ord).as(s"tg_$f")): _*)
     df.join(roots, Seq(traceId), "left")
   }
 }

@@ -289,10 +289,11 @@ object ExprCompiler {
         case "startsWith" => args(0).col.startsWith(args(1).col)
         case "endsWith" => args(0).col.endsWith(args(1).col)
         // join(source) | join(delimiter, source) — JoinExpressionFunction.java:29
-        // ("\\," escapes a literal comma in the delimiter)
+        // (after string-literal unescaping, a remaining `\,` means a
+        // literal comma in the delimiter)
         case "join" =>
           if (args.size == 1) concat_ws(",", args(0).col)
-          else concat_ws(rawStr(0).replace("\\\\,", ","), args(1).col)
+          else concat_ws(rawStr(0).replace("\\,", ","), args(1).col)
         case "substringBefore" => substringFn(args(0).col, rawStr(1), SubBefore)
         case "substringAfter" => substringFn(args(0).col, rawStr(1), SubAfter)
         case "substringBeforeLast" => substringFn(args(0).col, rawStr(1), SubBeforeLast)

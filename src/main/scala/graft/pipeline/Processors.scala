@@ -286,7 +286,10 @@ object Processors {
       case "epoch_second" => timestamp_seconds(col(source).cast("long"))
       case "epoch_milli" => timestamp_millis(col(source).cast("long"))
       case "epoch_micro" => timestamp_micros(col(source).cast("long"))
-      case "epoch_nano" => timestamp_micros((col(source).cast("long") / 1000L).cast("long"))
+      // integral DIV, not `/`: double division loses microseconds for
+      // nano values beyond 2^53
+      case "epoch_nano" => timestamp_micros(
+        call_function("div", col(source).cast("long"), lit(1000L)))
       case pat if isEnglish =>
         val t = to_timestamp(col(source), pat)
         if (hasZoneField(pat) || sourceTimezone == "UTC") t

@@ -26,18 +26,24 @@ import graft.pipeline.{Route, Router}
 object Sinks {
 
   /** `keyTemplate`: the reference's `${}`-templated object-key prefix
-    * (KeyGenerator.java + ObjectKeyOptions `path_prefix`) — compiled once
-    * via [[graft.pipeline.FormatString]] to a `_key` column and written as
-    * a directory partition, the object-store layout the templated prefix
-    * produces there. */
+    * (KeyGenerator.java + ObjectKeyOptions `path_prefix`) — the template
+    * is split on `/` and each SEGMENT compiles (via
+    * [[graft.pipeline.FormatString]]) to its own partition column, so a
+    * template like `logs/${lang}/part` yields the nested directory
+    * hierarchy `_key0=logs/_key1=en/_key2=part/…` (one `_key` column
+    * would percent-escape the slashes into a single flat directory). */
   def writeGrouped(df: DataFrame, path: String, format: String = "parquet",
       groupBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0,
       compression: Option[String] = None,
       keyTemplate: Option[String] = None): Unit = {
     val (data, parts) = keyTemplate match {
       case Some(t) =>
-        (df.withColumn("_key", graft.pipeline.FormatString.compile(t)),
-          "_key" +: groupBy)
+        val segs = t.split('/').filter(_.nonEmpty).toSeq
+        val cols = segs.indices.map(i => s"_key$i")
+        val d = segs.zip(cols).foldLeft(df) { case (acc, (seg, name)) =>
+          acc.withColumn(name, graft.pipeline.FormatString.compile(seg))
+        }
+        (d, cols ++ groupBy)
       case None => (df, groupBy)
     }
     var w = data.write.mode(SaveMode.Overwrite).format(format)

@@ -59,16 +59,32 @@ object AvroCodec {
 
   /** Write rows (as JSON strings in `jsonCol`) into avro object-container
     * files, one per non-empty partition — the output-codec role of the
-    * reference's AvroOutputCodec. Paths go through the Hadoop FS API. */
+    * reference's AvroOutputCodec. The session's Hadoop configuration
+    * (credentials, fs schemes) ships to executors as a plain key/value
+    * map; files commit via write-tmp + rename keyed on the task attempt,
+    * so a retried/speculative task can't interleave with the winner
+    * (last successful rename wins). */
   def writeContainer(df: DataFrame, path: String, schemaJson: String,
       jsonCol: String = "json"): Unit = {
+    val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
+    val confMap: Array[(String, String)] = {
+      val it = hadoopConf.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toArray
+    }
     df.select(col(jsonCol)).foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
         val schema = new Schema.Parser().parse(schemaJson)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val out = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d.avro")
-        val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val stream = fs.create(out, true)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val target = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d.avro")
+        val tmp = new org.apache.hadoop.fs.Path(
+          f"$path/.part-$pid%05d-attempt-${tc.taskAttemptId()}.avro.tmp")
+        val fs = target.getFileSystem(conf)
+        val stream = fs.create(tmp, true)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         writer.create(schema, stream)
@@ -78,6 +94,9 @@ object AvroCodec {
           writer.append(datumReader.read(null, dec))
         }
         writer.close()
+        if (fs.exists(target)) fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"avro commit failed: $tmp -> $target")
       }
     }
   }

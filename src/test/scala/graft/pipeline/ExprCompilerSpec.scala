@@ -92,6 +92,9 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(j("join(/arr)") == "x,y,z")            // 1-arg default ","
     assert(j("join('|', /arr)") == "x|y|z")       // 2-arg delimiter
     assert(j("join(' - ', /arr)") == "x - y - z")
+    // the reference's escaped-comma delimiter forms
+    assert(j("""join('\,', /arr)""") == "x,y,z")
+    assert(j("""join('\\,', /arr)""") == "x,y,z")
   }
 
   test("formatDateTime honors pattern and destination timezone") {

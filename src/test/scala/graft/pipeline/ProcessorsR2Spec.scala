@@ -64,6 +64,32 @@ class DateParseSpec extends AnyFunSuite {
     assert(out(2L) == null) // gated off; no prior column → null passthrough
   }
 
+  test("epoch_nano parses with integral division (no double rounding)") {
+    // 1.75e18 ns > 2^53: double division would round the microsecond
+    val nanos = "1755443696123456789"
+    val df = Seq((1L, nanos)).toDF("id", "raw")
+    val out = Processors.DateParse("raw", patterns = Seq("epoch_nano"),
+      destination = "d", outputFormat = "epoch_micro")(df)
+      .select("d").as[String].collect().head
+    assert(out == "1755443696123456")
+  }
+
+  test("trace_group fill picks ONE root for multi-root traces") {
+    val df = Seq(
+      (1L, "t1", null.asInstanceOf[String], "root-a"),
+      (2L, "t1", null.asInstanceOf[String], "root-b"), // orphan second root
+      (3L, "t1", "1", "child"),
+      (4L, "t2", null.asInstanceOf[String], "solo"))
+      .toDF("span_id", "trace_id", "parent_id", "name")
+    val out = Aggregates.traceGroupFill(df, "trace_id", "parent_id",
+      "name", Seq("span_id"), orderCol = "span_id")
+    assert(out.count() == 4) // no row duplication
+    val groups = out.select("span_id", "trace_group")
+      .as[(Long, String)].collect().toMap
+    assert(groups(3L) == "root-a") // min span_id root wins
+    assert(groups(4L) == "solo")
+  }
+
   test("unparseable rows yield null, later patterns still tried") {
     val df = Seq((1L, "not a date")).toDF("id", "raw")
     val out = Processors.DateParse("raw",
