@@ -36,6 +36,53 @@ object Bench {
     "q_grok_patterns", "q_date_parse", "q_rate_limiter_block",
     "q_user_agent", "q_expr_functions")
 
+  // ------------------------------------------------------------------
+  // Contention probes: the shared host shows multi-minute 3-20× storms.
+  // A ~0.3 s single-thread burn measures how much CPU a thread actually
+  // gets RIGHT NOW; against the best-ever probe (persisted across bench
+  // invocations, so a stormy run still knows what quiet looks like) it
+  // yields a per-run quality score used to (a) wait out storms before
+  // starting a timed run and (b) prefer clean runs/pairs when deriving
+  // the scaling numbers.
+  // ------------------------------------------------------------------
+
+  private val ProbeWork = 150_000_000L
+  private val ProbeRefFile = Paths.get("/tmp/graft-bench-probe-ref.txt")
+
+  /** Single-thread burn throughput (Mops) — a point sample of current
+    * CPU availability. */
+  private def probeMops(): Double = {
+    var x = 0L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < ProbeWork) { x += i * i; i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 42) System.err.print("") // keep the loop from folding away
+    ProbeWork / sec / 1e6
+  }
+
+  /** Best probe ever seen on this host (rolling max across invocations —
+    * contention can only lower a probe, so max ≈ quiet-host value). */
+  private def loadProbeRef(): Double =
+    try Files.readString(ProbeRefFile).trim.toDouble catch { case _: Exception => 0.0 }
+
+  private def saveProbeRef(v: Double): Unit =
+    try Files.writeString(ProbeRefFile, v.toString) catch { case _: Exception => }
+
+  /** Block until the host looks calm (probe ≥ 70% of best-ever) or the
+    * wait allowance runs out; returns the last probe value. */
+  private def waitForCalm(maxWaitSec: Double, ref: => Double): Double = {
+    val t0 = System.nanoTime()
+    var p = probeMops()
+    while (ref > 0 && p < 0.7 * ref &&
+        (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      System.err.println(f"[graft-bench] host contended (probe $p%.0f vs ref ${ref}%.0f Mops) — waiting")
+      Thread.sleep(15000)
+      p = probeMops()
+    }
+    p
+  }
+
   /** Pure-CPU burn throughput at `threads` threads — measures the HOST's
     * parallel-scaling ceiling, independent of Spark. */
   private def cpuMops(threads: Int): Double = {
@@ -131,34 +178,71 @@ object Bench {
     // has at least one measurement, so the driver always gets its JSON line
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toLong
     val benchStart = System.nanoTime()
-    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def remainingSec: Double = budgetSec - (System.nanoTime() - benchStart) / 1e9
+    // best-ever single-thread probe: the anchor that lets a stormy bench
+    // invocation recognize its own contamination
+    var probeRef = math.max(loadProbeRef(), (0 until 3).map(_ => probeMops()).max)
+    saveProbeRef(probeRef)
+    final case class TimedRun(cores: Int, run: Int, sec: Double, probe: Double)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[TimedRun]
     var last4Run = -1
-    // up to 6 interleaved repeats per level (budget-gated); min-of-N per
-    // level is the uncontended estimate on this bursty host, and each
-    // adjacent (1,4) pair also yields a SAME-NOISE-WINDOW efficiency
-    // sample (BASELINE.md methodology)
-    (0 until 6).flatMap(r => Seq((1, r), (4, r))).foreach { case (c, r) =>
-      val elapsed = (System.nanoTime() - benchStart) / 1e9
-      val haveBoth = runs.exists(_._1 == 1) && runs.exists(_._1 == 4)
-      if (!haveBoth || elapsed < budgetSec) {
-        runs += (c -> buildAt(c, r))
-        if (c == 4) last4Run = r
-      } else System.err.println(s"[graft-bench] budget exceeded, skipping local[$c] run $r")
+    // interleaved (1,4) repeats, probe-gated: wait out storms before each
+    // timed run, tag every run with the WORSE of its before/after probes,
+    // and keep adding pairs while budget remains until at least one pair
+    // is clean. min-of-N per level over clean runs is the uncontended
+    // estimate; each adjacent (1,4) pair also yields a SAME-NOISE-WINDOW
+    // efficiency sample (BASELINE.md methodology).
+    val CleanQ = 0.85
+    def quality(r: TimedRun): Double = math.min(1.0, r.probe / probeRef)
+    def cleanPairExists: Boolean = runs.grouped(2).exists {
+      case scala.collection.mutable.ArrayBuffer(a, b) =>
+        a.cores == 1 && b.cores == 4 && quality(a) >= CleanQ && quality(b) >= CleanQ
+      case _ => false
     }
-    val tN = runs.collect { case (1, t) => t }.min   // N = 1 core
-    val t4N = runs.collect { case (4, t) => t }.min  // 4N = 4 cores
+    (0 until 12).flatMap(r => Seq((1, r), (4, r))).foreach { case (c, r) =>
+      val haveBoth = runs.exists(_.cores == 1) && runs.exists(_.cores == 4)
+      val needMore = !haveBoth || !cleanPairExists || r < 3
+      if (!haveBoth || (remainingSec > 0 && needMore)) {
+        val pBefore = waitForCalm(math.min(90.0, math.max(0.0, remainingSec / 6)), probeRef)
+        val sec = buildAt(c, r)
+        val pAfter = probeMops()
+        probeRef = math.max(probeRef, math.max(pBefore, pAfter))
+        saveProbeRef(probeRef)
+        runs += TimedRun(c, r, sec, math.min(pBefore, pAfter))
+        if (c == 4) last4Run = r
+      } else if (needMore)
+        System.err.println(s"[graft-bench] budget exceeded, skipping local[$c] run $r")
+    }
+    runs.foreach { tr => System.err.println(
+      f"[graft-bench] local[${tr.cores}] run ${tr.run}: ${tr.sec}%.2fs (probe quality ${quality(tr)}%.2f)") }
+    // per-level minima over clean runs (fall back to all runs if a level
+    // never saw a quiet window — the pair metric is the primary one then)
+    def minAt(c: Int): Double = {
+      val at = runs.filter(_.cores == c)
+      val clean = at.filter(quality(_) >= CleanQ)
+      (if (clean.nonEmpty) clean else at).map(_.sec).min
+    }
+    val tN = minAt(1)   // N = 1 core
+    val t4N = minAt(4)  // 4N = 4 cores
     val thrN = benchDocs / tN
     val thr4N = benchDocs / t4N
     val efficiency = (tN / t4N) / 4.0
     val normalized = efficiency / cpuCeiling
     // adjacent-pair estimate: each back-to-back (local[1], local[4]) pair
     // shares one host-noise window, so its ratio cancels contention the
-    // cross-window min ratio can't; max over pairs ≈ the quietest window
-    val pairEffs = runs.grouped(2).collect {
-      case scala.collection.mutable.ArrayBuffer((1, a), (4, b)) => (a / b) / 4.0
+    // cross-window min ratio can't; prefer pairs whose four probes were
+    // all quiet, max over pairs ≈ the quietest window
+    val allPairs = runs.grouped(2).collect {
+      case scala.collection.mutable.ArrayBuffer(a, b) if a.cores == 1 && b.cores == 4 =>
+        ((a.sec / b.sec) / 4.0, math.min(quality(a), quality(b)))
     }.toSeq
-    val pairEffMax = if (pairEffs.nonEmpty) pairEffs.max else efficiency
+    val cleanPairs = allPairs.filter(_._2 >= CleanQ)
+    val pairEffMax =
+      if (cleanPairs.nonEmpty) cleanPairs.map(_._1).max
+      else if (allPairs.nonEmpty) allPairs.map(_._1).max
+      else efficiency
     val pairNormalized = pairEffMax / cpuCeiling
+    val scalingClean = cleanPairs.nonEmpty
 
     // --- query p95 latency over the fixture query set (warm, k=10) ---
     spark = newSession(32)
@@ -197,15 +281,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
 
     writeBenchMd(benchDocs, tN, t4N, thrN, thr4N, efficiency, cpuCeiling,
-      normalized, pairEffMax, pairNormalized, p50, p95)
+      normalized, pairEffMax, pairNormalized, scalingClean, p50, p95)
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
   }
 
   private def writeBenchMd(n: Long, tN: Double, t4N: Double, thrN: Double,
       thr4N: Double, eff: Double, ceil: Double, norm: Double,
-      pairEff: Double, pairNorm: Double, p50: Double, p95: Double): Unit = {
+      pairEff: Double, pairNorm: Double, clean: Boolean,
+      p50: Double, p95: Double): Unit = {
     val md =
       s"""# BENCH — measured (sandbox, this round)
          |
@@ -213,8 +298,13 @@ object Bench {
          |index build (read → extract+byte-identity verify → tokenize →
          |stats → SPIMI postings, $n docs) run at two parallelism levels in
          |one machine, per BASELINE.md's stand-in definition. Wall times are
-         |min of up-to-6 interleaved runs (the shared host shows 3-8×
-         |transient slowdowns; min approximates the uncontended time).
+         |min over interleaved repeats, each tagged by a before/after
+         |single-thread CPU probe against the host's best-ever probe (the
+         |shared host shows 3-20× multi-minute contention storms; runs whose
+         |probes dip below 85% of quiet are excluded from the minima, and
+         |the bench waits out storms before starting a timed run).
+         |Clean-pair status of this run: **${if (clean) "clean" else
+           "CONTENDED — no quiet adjacent pair inside the time budget; treat the efficiency below as a lower bound"}**.
          |
          || parallelism | wall (s) | docs/s |
          ||---|---|---|

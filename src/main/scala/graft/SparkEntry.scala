@@ -307,6 +307,100 @@ object SparkEntry {
         .select(col("doc_id"), col("p")("lang").as("xlang"), col("p")("src").as("xsrc"))
     }, Some("SELECT doc_id, lang AS xlang, source AS xsrc FROM documents")),
 
+    ("q_otel_spans", (s: SparkSession, dir: String) => {
+      // OTLP/JSON fixture from events: event_id → spanId, user_id →
+      // traceId, every 4th event a root span, duration from `value` (µs)
+      val e = events(s, dir)
+      val startNs = (unix_micros(col("ts")) * 1000L).cast("string")
+      val durNs = floor(abs(coalesce(col("value"), lit(0.0))) * 1000000.0) * 1000L
+      val endNs = (unix_micros(col("ts")) * 1000L + durNs).cast("string")
+      val spanId = lpad(lower(hex(col("event_id"))), 16, "0")
+      val parentId = when(col("event_id") % 4 === 0, lit(""))
+        .otherwise(lpad(lower(hex(
+          call_function("div", col("event_id"), lit(4L)))), 16, "0"))
+      val json = concat(
+        lit("""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-"""),
+        col("event_type"),
+        lit(""""}}]},"scopeSpans":[{"scope":{"name":"graft"},"spans":[{"traceId":""""),
+        lpad(lower(hex(col("user_id"))), 32, "0"),
+        lit("""","spanId":""""), spanId,
+        lit("""","parentSpanId":""""), parentId,
+        lit("""","name":""""), col("event_type"),
+        lit("""","kind":"SPAN_KIND_SERVER","startTimeUnixNano":""""), startNs,
+        lit("""","endTimeUnixNano":""""), endNs,
+        lit("""","attributes":[{"key":"uid","value":{"intValue":""""),
+        col("user_id").cast("string"),
+        lit(""""}}],"status":{"code":"STATUS_CODE_OK"}}]}]}]}"""))
+      graft.sources.OtelJson.spans(e.withColumn("otlp", json).select("otlp"), "otlp")
+        .select(col("spanId"), col("traceId"), col("parentSpanId"),
+          col("name"), col("kind"), col("serviceName"),
+          col("startTimeUnixNano"), col("endTimeUnixNano"),
+          col("durationInNanos"), col("traceGroup"),
+          element_at(col("attributes"), "uid").as("uid_attr"))
+    }, Some("""SELECT printf('%016x', event_id) AS spanId,
+              | printf('%032x', user_id) AS traceId,
+              | CASE WHEN event_id % 4 = 0 THEN ''
+              |      ELSE printf('%016x', event_id // 4) END AS parentSpanId,
+              | event_type AS name,
+              | 'SPAN_KIND_SERVER' AS kind,
+              | 'svc-' || event_type AS serviceName,
+              | epoch_us(ts) * 1000 AS startTimeUnixNano,
+              | epoch_us(ts) * 1000
+              |   + CAST(floor(abs(coalesce(value, 0.0)) * 1000000.0) AS BIGINT) * 1000
+              |   AS endTimeUnixNano,
+              | CAST(floor(abs(coalesce(value, 0.0)) * 1000000.0) AS BIGINT) * 1000
+              |   AS durationInNanos,
+              | CASE WHEN event_id % 4 = 0 THEN event_type ELSE NULL END AS traceGroup,
+              | CAST(user_id AS VARCHAR) AS uid_attr
+              | FROM events""".stripMargin)),
+
+    ("q_prometheus_text", (s: SparkSession, dir: String) => {
+      // one exposition page per event (comment + sample + trailing blank)
+      val page = concat(
+        lit("# TYPE app_value gauge\napp_value{eid=\""),
+        col("event_id").cast("string"),
+        lit("\",etype=\""), col("event_type"), lit("\"} "),
+        col("value").cast("string"), lit(" "),
+        call_function("div", unix_micros(col("ts")), lit(1000L)).cast("string"),
+        lit("\n"))
+      graft.sources.Feeds.prometheusText(
+          events(s, dir).withColumn("page", page).select("page"), "page")
+        .select(col("metric_name"),
+          element_at(col("labels"), "eid").as("eid"),
+          element_at(col("labels"), "etype").as("etype"),
+          col("value"), col("ts_ms"))
+    }, Some("""SELECT 'app_value' AS metric_name,
+              | CAST(event_id AS VARCHAR) AS eid,
+              | event_type AS etype, value,
+              | epoch_us(ts) // 1000 AS ts_ms
+              | FROM events""".stripMargin)),
+
+    ("q_rss_items", (s: SparkSession, dir: String) => {
+      val xml = concat(
+        lit("<rss version=\"2.0\"><channel><title>"), col("source"),
+        lit("</title><item><title>doc "), col("doc_id"),
+        lit(" a</title><link>https://ex/"), col("doc_id"),
+        lit("/a</link><guid>g"), col("doc_id"),
+        lit("a</guid><pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>" +
+          "<item><title>doc "), col("doc_id"),
+        lit(" b</title><link>https://ex/"), col("doc_id"),
+        lit("/b</link><guid>g"), col("doc_id"),
+        lit("b</guid><pubDate>Tue, 02 Jan 2024 00:00:00 GMT</pubDate></item>" +
+          "</channel></rss>"))
+      graft.sources.Feeds.rssItems(
+          docs(s, dir).withColumn("xml", xml).select("doc_id", "xml"), "xml")
+        .select(col("doc_id"), col("channel_title"), col("item_pos"),
+          col("item_title"), col("item_link"), col("item_guid"))
+    }, Some("""SELECT doc_id, source AS channel_title, 0 AS item_pos,
+              | 'doc ' || doc_id || ' a' AS item_title,
+              | 'https://ex/' || doc_id || '/a' AS item_link,
+              | 'g' || doc_id || 'a' AS item_guid FROM documents
+              | UNION ALL
+              | SELECT doc_id, source, 1,
+              | 'doc ' || doc_id || ' b',
+              | 'https://ex/' || doc_id || '/b',
+              | 'g' || doc_id || 'b' FROM documents""".stripMargin)),
+
     ("q_detect_format", (s: SparkSession, dir: String) => {
       graft.pipeline.Pipeline(
         Processors.DetectFormat("props", "fmt"),
@@ -654,7 +748,7 @@ object SparkEntry {
     ("q_quality_score", (s: SparkSession, dir: String) => {
       TextAnalysis.qualityScore(docs(s, dir), "text")
         .select("doc_id", "n_tokens", "stopword_ratio", "alpha_ratio", "quality_score")
-    }, None), // arithmetic parity with DuckDB is verified for components in scalatest
+    }, Some(qualityScoreSql())),
 
     ("q_token_counts", (s: SparkSession, dir: String) => {
       TextAnalysis.tokenCounts(docs(s, dir), "text").select("doc_id", "ws_tokens", "bpe_tokens")
@@ -824,6 +918,40 @@ object SparkEntry {
        |     CASE WHEN hits_de = -1 THEN 'x' ELSE 'de' END
        |   ELSE CASE WHEN hits_en >= hits_fr THEN 'en' ELSE 'fr' END
        | END AS lang_pred FROM h""".stripMargin
+  }
+
+  /** Mirrors TextAnalysis.qualityScore's expression tree 1:1 (same IEEE
+    * op order → bit-identical doubles before the shared round(,6)). */
+  private def qualityScoreSql(): String = {
+    val stopSet = graft.corpus.SyntheticCorpus.Stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+       | q AS (SELECT doc_id,
+       |   len(toks) AS ntoks_i,
+       |   CAST(len(toks) AS DOUBLE) AS ntoks,
+       |   CAST(len(text) AS DOUBLE) AS nchars,
+       |   CAST(len(list_filter(toks, x -> x IN ($stopSet))) AS DOUBLE) AS stophits,
+       |   CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alphachars,
+       |   CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digitchars,
+       |   CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE) AS toklensum
+       |  FROM t),
+       | r AS (SELECT doc_id, ntoks_i, ntoks,
+       |   stophits / greatest(ntoks, 1.0) AS stop_ratio,
+       |   alphachars / greatest(nchars, 1.0) AS alpha_ratio_raw,
+       |   digitchars / greatest(nchars, 1.0) AS digit_ratio_raw,
+       |   toklensum / greatest(ntoks, 1.0) AS mean_tok_len
+       |  FROM q)
+       | SELECT doc_id,
+       |   CAST(ntoks_i AS BIGINT) AS n_tokens,
+       |   round(stop_ratio, 6) AS stopword_ratio,
+       |   round(alpha_ratio_raw, 6) AS alpha_ratio,
+       |   round(least(ntoks / 100.0, 1.0) * 0.25
+       |       + least(stop_ratio / 0.3, 1.0) * 0.25
+       |       + alpha_ratio_raw * 0.25
+       |       + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+       |               THEN 1.0 ELSE 0.5 END) * 0.15
+       |       + (1.0 - digit_ratio_raw) * 0.10, 6) AS quality_score
+       | FROM r""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
