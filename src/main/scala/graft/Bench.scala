@@ -102,11 +102,19 @@ object Bench {
     threads * work / ((System.nanoTime() - t0) / 1e9) / 1e6
   }
 
-  private def newSession(cores: Int): SparkSession = {
+  /** Both scaling levels must run the SAME work decomposition — on a real
+    * N-vs-4N-executor cluster the job's partitioning is identical and only
+    * the resources differ. Tying partition counts to the core count (the
+    * old behavior) made local[1] sort whole stages in ONE partition
+    * (spill-prone, superlinear) while local[4] got four — measuring the
+    * decomposition, not the engine. 8 covers local[4] with 2× slots. */
+  private val BuildPartitions = 8
+
+  private def newSession(cores: Int, shufflePartitions: Int = 32): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -137,20 +145,20 @@ object Bench {
     // executors are long-lived and warm
     val warmed = scala.collection.mutable.Set.empty[Int]
     def buildAt(cores: Int, run: Int): Double = {
-      val s = newSession(cores)
+      val s = newSession(cores, shufflePartitions = BuildPartitions)
       import s.implicits._
       if (!warmed.contains(cores)) {
         warmed += cores
         new IndexBuilder(s, s"$work/warm-$cores",
           IndexParams(buckets = 16, shardSize = 8192, blockSize = 128,
-            buildPartitions = math.max(cores * 2, 4)))
+            buildPartitions = BuildPartitions))
           .build(SyntheticCorpus.generate(s, 2000, seed = 7L), "warmup")
       }
       val pages = s.read.parquet(corpusPath).as[Page]
       val t0 = System.nanoTime()
       new IndexBuilder(s, s"$work/index-$cores-$run",
         IndexParams(buckets = 16, shardSize = 8192, blockSize = 128,
-          buildPartitions = math.max(cores * 2, 4)))
+          buildPartitions = BuildPartitions))
         .build(pages, s"bench(n=$benchDocs)")
       val sec = (System.nanoTime() - t0) / 1e9
       s.stop()

@@ -354,6 +354,94 @@ object SparkEntry {
               | CAST(user_id AS VARCHAR) AS uid_attr
               | FROM events""".stripMargin)),
 
+    ("q_event_json", (s: SparkSession, dir: String) => {
+      // reference event_json round-trip: events rows -> per-partition
+      // wrapped documents -> decode back (data columns + _meta)
+      val in = events(s, dir)
+        .withColumn("_meta", struct(
+          lit("LOG").as("event_type"),
+          array(col("event_type")).as("tags"),
+          map(lit("uid"), col("user_id").cast("string")).as("attributes"),
+          col("ts").as("time_received")))
+      val docs = graft.sources.EventJson.documents(
+        graft.sources.EventJson.eventObjects(in, Seq("event_id", "event_type", "value")))
+      graft.sources.EventJson.decode(
+          docs.toDF().withColumnRenamed("value", "j"), "j",
+          "event_id BIGINT, event_type STRING, value DOUBLE",
+          overrideTimeReceived = true)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("_meta.event_type").as("meta_type"),
+          element_at(col("_meta.tags"), 1).as("tag0"),
+          element_at(col("_meta.attributes"), "uid").as("uid"),
+          unix_micros(col("_meta.time_received")).as("received_us"))
+    }, Some("""SELECT event_id, event_type, value,
+              | 'LOG' AS meta_type, event_type AS tag0,
+              | CAST(user_id AS VARCHAR) AS uid,
+              | epoch_us(ts) AS received_us
+              | FROM events""".stripMargin)),
+
+    ("q_otel_metrics", (s: SparkSession, dir: String) => {
+      // OTLP/JSON metrics fixture from events: per event one gauge
+      // datapoint (value, metric attr e.id) and one histogram datapoint
+      // (3 buckets derived from event_id, bounds [10, 20])
+      val e = events(s, dir)
+      val tNs = (unix_micros(col("ts")) * 1000L).cast("string")
+      val c1 = (col("event_id") % 5).cast("string")
+      val c2 = (col("event_id") % 7).cast("string")
+      val c3 = (col("event_id") % 3).cast("string")
+      val json = concat(
+        lit("""{"resourceMetrics":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-"""),
+        col("event_type"),
+        lit(""""}},{"key":"host.name","value":{"stringValue":"h"""),
+        (col("event_id") % 4).cast("string"),
+        lit(""""}}]},"scopeMetrics":[{"scope":{"name":"graft","version":"1"},"metrics":[""" +
+          """{"name":"lat","unit":"ms","gauge":{"dataPoints":[{"timeUnixNano":""""),
+        tNs,
+        lit("""","asDouble":"""), coalesce(col("value"), lit(0.0)).cast("string"),
+        lit(""","attributes":[{"key":"e.id","value":{"intValue":""""),
+        col("event_id").cast("string"),
+        lit(""""}}]}]}},{"name":"lat_hist","histogram":{"aggregationTemporality":"AGGREGATION_TEMPORALITY_DELTA","dataPoints":[{"timeUnixNano":""""),
+        tNs,
+        lit("""","count":""""), (col("event_id") % 5 + col("event_id") % 7 + col("event_id") % 3).cast("string"),
+        lit("""","sum":"""), (col("event_id") % 100).cast("string"),
+        lit(""".0,"bucketCounts":[""""), c1, lit("""",""""), c2, lit("""",""""), c3,
+        lit(""""],"explicitBounds":[10.0,20.0]}]}}]}]}]}"""))
+      graft.sources.OtelMetrics.metrics(
+          e.withColumn("otlp", json).select("otlp"), "otlp")
+        .select(col("kind"), col("name"), col("unit"), col("serviceName"),
+          col("timeUnixNano"), col("value"), col("count"), col("sum"),
+          element_at(col("buckets"), 1)("min").as("b1_min"),
+          element_at(col("buckets"), 1)("count").as("b1_cnt"),
+          element_at(col("buckets"), 2)("count").as("b2_cnt"),
+          element_at(col("buckets"), 3)("max").as("b3_max"),
+          element_at(col("buckets"), 3)("count").as("b3_cnt"),
+          element_at(col("attributes"), "metric.attributes.e@id").as("eid"),
+          element_at(col("attributes"), "resource.attributes.host@name").as("host"))
+    }, Some("""SELECT 'gauge' AS kind, 'lat' AS name, 'ms' AS unit,
+              | 'svc-' || event_type AS serviceName,
+              | epoch_us(ts) * 1000 AS timeUnixNano,
+              | coalesce(value, 0.0) AS value,
+              | CAST(NULL AS BIGINT) AS count, CAST(NULL AS DOUBLE) AS sum,
+              | CAST(NULL AS DOUBLE) AS b1_min, CAST(NULL AS BIGINT) AS b1_cnt,
+              | CAST(NULL AS BIGINT) AS b2_cnt, CAST(NULL AS DOUBLE) AS b3_max,
+              | CAST(NULL AS BIGINT) AS b3_cnt,
+              | CAST(event_id AS VARCHAR) AS eid,
+              | 'h' || (event_id % 4) AS host
+              | FROM events
+              | UNION ALL
+              | SELECT 'histogram', 'lat_hist', CAST(NULL AS VARCHAR),
+              | 'svc-' || event_type,
+              | epoch_us(ts) * 1000,
+              | CAST(NULL AS DOUBLE),
+              | CAST(event_id % 5 + event_id % 7 + event_id % 3 AS BIGINT),
+              | CAST(event_id % 100 AS DOUBLE),
+              | -3.4028234663852886e38, CAST(event_id % 5 AS BIGINT),
+              | CAST(event_id % 7 AS BIGINT), 3.4028234663852886e38,
+              | CAST(event_id % 3 AS BIGINT),
+              | CAST(NULL AS VARCHAR),
+              | 'h' || (event_id % 4)
+              | FROM events""".stripMargin)),
+
     ("q_prometheus_text", (s: SparkSession, dir: String) => {
       // one exposition page per event (comment + sample + trailing blank)
       val page = concat(
@@ -729,12 +817,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleW = 3,
         threshold = 0.2, maxShingleDf = 50)
         .withColumn("jaccard", round(col("jaccard"), 4))
-    }, Some(ngramJaccardSql(0.2, 50))),
+    }, Some(ngramJaccardSql(0.2, Some(50)))),
 
     ("q_minhash_neardups", (s: SparkSession, dir: String) => {
       Dedup.minHashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))
-    }, None),
+    }, Some(ngramJaccardSql(0.5, None))),
 
     ("q_simhash_neardups", (s: SparkSession, dir: String) => {
       Dedup.simHashNearDups(docs(s, dir), "doc_id", "text", maxHamming = 6)
@@ -874,7 +962,19 @@ object SparkEntry {
        | ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
-  private def ngramJaccardSql(threshold: Double, maxShingleDf: Int): String =
+  /** All-pairs exact 3-shingle Jaccard >= threshold in DuckDB. With
+    * `maxShingleDf = Some(cap)` it is the q_ngram_jaccard oracle (capped
+    * universe); with None it is the FULL-universe truth — also the
+    * q_minhash_neardups oracle, because banded LSH (16 bands x 4 rows) has
+    * measured 100% recall on this fixture (deterministic seeds, so the
+    * equality is stable) and the verification filter is exact Jaccard. */
+  private def ngramJaccardSql(threshold: Double, maxShingleDf: Option[Int]): String = {
+    val keep = maxShingleDf match {
+      case Some(cap) =>
+        s""" keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $cap),
+           | sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),""".stripMargin
+      case None => " sh AS (SELECT doc_id, sh FROM sh0),"
+    }
     s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
        | idx AS (SELECT doc_id, l, unnest(range(1, greatest(len(l) - 1, 2))) AS i
        |         FROM toks),
@@ -882,8 +982,7 @@ object SparkEntry {
        |         CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
        |              ELSE array_to_string(l[i:i+2], ' ') END AS sh
        |        FROM idx),
-       | keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $maxShingleDf),
-       | sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),
+       |$keep
        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        | inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS inter
        |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -893,6 +992,7 @@ object SparkEntry {
        | FROM inter JOIN sz za ON za.doc_id = idA JOIN sz zb ON zb.doc_id = idB
        | WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE)
        |   >= $threshold""".stripMargin
+  }
 
   private def annBruteSql(q: Seq[Double], k: Int): String = {
     val vec = q.mkString("[", ", ", "]")

@@ -1,0 +1,167 @@
+package graft.ops
+
+/** Pure-JVM decoders for the uncompressed media formats — no native or
+  * third-party codec needed, so the multimodal pipeline's decode stage is
+  * REAL for WAV/PCM audio and BMP images (compressed formats — JPEG, MP3,
+  * video — stay behind the [[Multimodal.MediaDecoder]] seam for a
+  * JNI/FFI-backed implementation).
+  *
+  * Both parsers are defensive: any structural violation returns None
+  * rather than throwing, so a corrupt payload degrades to `ok = false`
+  * exactly like an unsupported format (the reference's codec failure
+  * behavior: tag-and-continue, not task failure).
+  */
+object MediaCodecs {
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Decoded WAV: sample rate, channel count, PCM16 samples (channel-
+    * interleaved, as parsed). */
+  final case class Wav(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Parse a RIFF/WAVE container with PCM16 data. Walks the chunk list
+    * (fmt /data may be preceded by LIST etc.), little-endian per spec. */
+  def parseWav(bytes: Array[Byte]): Option[Wav] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')) return None
+    if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+    var pos = 12
+    var rate = 0
+    var channels = 0
+    var bits = 0
+    var data: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32(bytes, pos + 4).toInt
+      val body = pos + 8
+      if (sz < 0 || body + sz > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          val fmtTag = u16(bytes, body)
+          if (fmtTag != 1) return None // PCM only
+          channels = u16(bytes, body + 2)
+          rate = u32(bytes, body + 4).toInt
+          bits = u16(bytes, body + 14)
+          if (bits != 16 || channels < 1 || rate <= 0) return None
+        case "data" =>
+          if (rate == 0) return None // fmt must precede data
+          val n = sz / 2
+          data = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            data(i) = ((bytes(body + 2 * i) & 0xff) |
+              (bytes(body + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+        case _ => // skip LIST/fact/...
+      }
+      pos = body + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (data == null) None else Some(Wav(rate, channels, data))
+  }
+
+  /** Audio features: `featDim` frames of RMS energy over the mono mix,
+    * normalized to [0, 1] (each frame = sqrt(mean(sample²)) / 32768). The
+    * shape a mel-filterbank stage would refine; deterministic and
+    * library-free. */
+  def wavFeatures(bytes: Array[Byte], featDim: Int): Option[Array[Float]] =
+    parseWav(bytes).flatMap { w =>
+      val frames = w.samples.length / w.channels
+      if (frames == 0) None
+      else {
+        val out = new Array[Float](featDim)
+        var f = 0
+        while (f < featDim) {
+          val lo = (f.toLong * frames / featDim).toInt
+          val hi = math.max(lo + 1, ((f + 1).toLong * frames / featDim).toInt)
+          var acc = 0.0
+          var i = lo
+          while (i < hi) {
+            var c = 0
+            var mix = 0.0
+            while (c < w.channels) { mix += w.samples(i * w.channels + c); c += 1 }
+            mix /= w.channels
+            acc += mix * mix
+            i += 1
+          }
+          out(f) = (math.sqrt(acc / (hi - lo)) / 32768.0).toFloat
+          f += 1
+        }
+        Some(out)
+      }
+    }
+
+  /** Decoded BMP: width, height, row-major TOP-DOWN luminance in [0,255]. */
+  final case class Bmp(width: Int, height: Int, lum: Array[Float])
+
+  /** Parse an uncompressed 24-bit BITMAPINFOHEADER BMP (the only flavor
+    * every producer emits). Handles the spec's bottom-up row order and
+    * 4-byte row padding. */
+  def parseBmp(bytes: Array[Byte]): Option[Bmp] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (!(bytes(0) == 'B' && bytes(1) == 'M')) return None
+    val dataOffset = u32(bytes, 10).toInt
+    val headerSize = u32(bytes, 14).toInt
+    if (headerSize < 40) return None
+    val width = u32(bytes, 18).toInt
+    val heightRaw = u32(bytes, 22).toInt // negative = top-down
+    val topDown = heightRaw < 0
+    val height = math.abs(heightRaw)
+    val bpp = u16(bytes, 28)
+    val compression = u32(bytes, 30)
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
+    val rowBytes = (width * 3 + 3) & ~3
+    if (dataOffset < 0 || dataOffset.toLong + rowBytes.toLong * height > bytes.length) return None
+    val lum = new Array[Float](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val ro = dataOffset + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        val o = ro + x * 3 // BGR byte order per spec
+        val bl = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        lum(y * width + x) = (0.299f * r + 0.587f * g + 0.114f * bl)
+        x += 1
+      }
+      y += 1
+    }
+    Some(Bmp(width, height, lum))
+  }
+
+  /** Image features: `featDim` grid-pooled mean-luminance cells in [0, 1]
+    * over a near-square grid — the pooled-embedding shape a conv stem
+    * would refine. */
+  def bmpFeatures(bytes: Array[Byte], featDim: Int): Option[Array[Float]] =
+    parseBmp(bytes).map { b =>
+      val cols = math.max(1, math.sqrt(featDim.toDouble).toInt)
+      val rows = (featDim + cols - 1) / cols
+      val out = new Array[Float](featDim)
+      var f = 0
+      while (f < featDim) {
+        val cy = f / cols
+        val cx = f % cols
+        val x0 = cx * b.width / cols
+        val x1 = math.max(x0 + 1, (cx + 1) * b.width / cols)
+        val y0 = (cy % rows) * b.height / rows
+        val y1 = math.max(y0 + 1, ((cy % rows) + 1) * b.height / rows)
+        var acc = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { acc += b.lum(y * b.width + x); x += 1 }
+          y += 1
+        }
+        out(f) = (acc / ((x1 - x0).toLong * (y1 - y0)) / 255.0).toFloat
+        f += 1
+      }
+      out
+    }
+}

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * payloads + typed metadata, processed in partition-local batches.
   *
   * The Spark-side contract is real and tested — schema, batch shape,
-  * partitioning, deterministic outputs; only the media codec itself is
-  * stubbed (no image/audio libraries ship in this container). Swap
-  * [[MediaDecoder]] for a real implementation (JNI/FFI or an Arrow-batched
-  * service) without touching the plan: the `mapPartitions` boundary is the
+  * partitioning, deterministic outputs. The decode stage is REAL for the
+  * uncompressed formats ([[RealDecoder]]: WAV/PCM16, 24-bit BMP — pure
+  * JVM, [[MediaCodecs]]); compressed formats (JPEG/MP3/video) stay behind
+  * the same seam (no codec libraries ship in this container). Swap
+  * [[MediaDecoder]] for a JNI/FFI or Arrow-batched-service implementation
+  * without touching the plan: the `mapPartitions` boundary is the
   * same one `mapInPandas`/`mapInArrow` gives Python UDFs — one decoder
   * instance per task, amortized over the partition's rows, never per-row
   * setup. At 100 TB the input should be repartitioned by byte size (not
@@ -33,10 +35,24 @@ object Multimodal {
     def decode(modality: String, bytes: Array[Byte], featDim: Int): Option[Array[Float]]
   }
 
-  /** Deterministic stand-in for the real codec: features are a seeded hash
-    * fold of the payload — stable across runs/partitionings, so the
-    * pipeline around it is fully testable. (A real decoder would go here:
-    * JPEG → pixels → pooled embedding, PCM → mel filterbanks, …). */
+  /** REAL decoder for the uncompressed formats: WAV/PCM16 audio → framed
+    * RMS-energy features, 24-bit BMP images → grid-pooled luminance
+    * features — both pure JVM ([[MediaCodecs]]), no codec library.
+    * Compressed formats (JPEG/MP3/video) return None here; swap in a
+    * JNI/FFI-backed decoder at this seam for those. */
+  object RealDecoder extends MediaDecoder {
+    def decode(modality: String, bytes: Array[Byte], featDim: Int): Option[Array[Float]] =
+      modality match {
+        case "audio" => MediaCodecs.wavFeatures(bytes, featDim)
+        case "image" => MediaCodecs.bmpFeatures(bytes, featDim)
+        case _ => None
+      }
+  }
+
+  /** Deterministic stand-in for formats [[RealDecoder]] can't parse:
+    * features are a seeded hash fold of the payload — stable across
+    * runs/partitionings, so the pipeline around it is fully testable with
+    * arbitrary synthetic bytes. */
   object FakeDecoder extends MediaDecoder {
     def decode(modality: String, bytes: Array[Byte], featDim: Int): Option[Array[Float]] = {
       if (bytes == null || bytes.isEmpty) return None

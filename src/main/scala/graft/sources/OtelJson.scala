@@ -50,10 +50,14 @@ object OtelJson {
     coalesce(v("stringValue"), v("intValue"),
       v("doubleValue").cast("string"), v("boolValue").cast("string"))
 
-  private val isoFromNanos = udf { (nanos: java.lang.Long) =>
+  /** Unix nanos → ISO-8601, byte-identical to the reference's
+    * convertUnixNanosToISO8601 (`Instant.ofEpochSecond(0, nanos)
+    * .toString`). Shared with [[OtelMetrics]]. */
+  private[sources] val isoFromNanosUdf = udf { (nanos: java.lang.Long) =>
     if (nanos == null) null
     else java.time.Instant.ofEpochSecond(0L, nanos).toString
   }
+  private def isoFromNanos(c: Column): Column = isoFromNanosUdf(c)
 
   /** Flatten an OTLP/JSON column into one row per span. Input columns
     * other than `jsonCol` pass through. */
