@@ -34,7 +34,8 @@ object Bench {
     "q_quality_score", "q_token_counts", "q_lang_id",
     // round-2 operators
     "q_grok_patterns", "q_date_parse", "q_rate_limiter_block",
-    "q_user_agent", "q_expr_functions")
+    "q_user_agent", "q_expr_functions", "q_otel_metrics", "q_event_json",
+    "q_cosine_neardups")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analyze.Analyzer
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{Aggregates, Processors, Router, Route}
 import graft.query.BruteForce
 
@@ -828,6 +828,15 @@ object SparkEntry {
       Dedup.simHashNearDups(docs(s, dir), "doc_id", "text", maxHamming = 6)
     }, None),
 
+    ("q_neardup_clusters", (s: SparkSession, dir: String) => {
+      // pair generation -> transitive closure -> per-doc cluster id: the
+      // full dedup pipeline (survivors = component = doc_id)
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", shingleW = 3,
+        threshold = 0.2, maxShingleDf = 50)
+      Graphs.nearDupClusters(d, "doc_id", pairs, "idA", "idB")
+    }, Some(nearDupClustersSql())),
+
     // ---------- text analysis ----------
     ("q_lang_id", (s: SparkSession, dir: String) => {
       TextAnalysis.langId(docs(s, dir), "text").select("doc_id", "lang_pred")
@@ -848,6 +857,10 @@ object SparkEntry {
     ("q_fingerprint", (s: SparkSession, dir: String) => {
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
     }, None),
+
+    ("q_repetition_signals", (s: SparkSession, dir: String) => {
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+    }, Some(repetitionSignalsSql())),
 
     // ---------- similarity / ANN ----------
     ("q_ann_brute", (s: SparkSession, dir: String) => {
@@ -875,9 +888,14 @@ object SparkEntry {
 
     ("q_cosine_neardups", (s: SparkSession, dir: String) => {
       // random 64-d embeddings have cosine ~ N(0, 1/64); 0.3 ≈ +2.4σ picks
-      // the near-dup tail without an empty result on synthetic data
+      // the near-dup tail without an empty result on synthetic data.
+      // APPROXIMATE-RECALL contract (exact precision): no oracle because
+      // hyperplane LSH at a weak threshold keeps only ~84% of qualifying
+      // pairs (bits 2, probe 1 — formula + measured recall in the
+      // cosineNearDups scaladoc); the probe=bits ≡ brute-force
+      // differential in OpsSpec is the correctness gate
       Similarity.cosineNearDups(embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.3, bits = 2)
+        threshold = 0.3, bits = 2, probeHamming = 1)
         .withColumn("cosine", round(col("cosine"), 4))
     }, None),
 
@@ -992,6 +1010,85 @@ object SparkEntry {
        | FROM inter JOIN sz za ON za.doc_id = idA JOIN sz zb ON zb.doc_id = idB
        | WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE)
        |   >= $threshold""".stripMargin
+  }
+
+  /** Min-label connected components over the capped-Jaccard pair list:
+    * recursive CTE propagates labels smaller than the receiving node
+    * (the component min is < every other member, so the pruned recursion
+    * still delivers it everywhere); singletons keep their own id. */
+  private def nearDupClustersSql(): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${ngramJaccardSql(0.2, Some(50))}
+       |), edges AS (
+       |  SELECT idA AS a, idB AS b FROM pairs
+       |  UNION ALL SELECT idB, idA FROM pairs
+       |), cc AS (
+       |  SELECT doc_id AS id, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.b, c.lab FROM cc c JOIN edges e ON e.a = c.id
+       |  WHERE c.lab < e.b
+       |)
+       |SELECT id AS doc_id, min(lab) AS component FROM cc GROUP BY 1""".stripMargin
+
+  /** Gopher-style repetition signals: per-n-gram group counts via unnest,
+    * top pick ordered (cnt DESC, chars DESC, gram ASC) to mirror the
+    * engine's sorted-run fold tie-break. */
+  private def repetitionSignalsSql(): String = {
+    def gramCtes(n: Int) =
+      s"""g$n AS (SELECT doc_id, array_to_string(l[i:i+${n - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l)-${n - 2})) AS i
+         |        FROM base WHERE len(l) >= $n)),
+         |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2)""".stripMargin
+    def topCte(n: Int) =
+      s"""t$n AS (SELECT doc_id, cnt*length(g) AS chars FROM c$n
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, cnt*length(g) DESC, g ASC) = 1)""".stripMargin
+    def dupCte(n: Int) =
+      s"""d$n AS (SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt*length(g)
+         |    ELSE 0 END) AS chars FROM c$n GROUP BY 1)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, text, $tokSql AS l FROM documents),
+       |base AS (SELECT doc_id, text, l,
+       |  CAST(greatest(length(array_to_string(l, ' ')), 1) AS DOUBLE) AS totchars,
+       |  CAST(greatest(len(l), 1) AS DOUBLE) AS nwords FROM toks),
+       |${gramCtes(2)}, ${topCte(2)},
+       |${gramCtes(3)}, ${topCte(3)},
+       |${gramCtes(4)}, ${topCte(4)},
+       |${gramCtes(5)}, ${dupCte(5)},
+       |${gramCtes(10)}, ${dupCte(10)},
+       |ln0 AS (SELECT doc_id, list_filter(list_transform(
+       |    string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+       |  FROM toks),
+       |lb AS (SELECT doc_id, ls,
+       |  CAST(greatest(len(ls), 1) AS DOUBLE) AS nlines,
+       |  CAST(greatest(coalesce(list_sum(list_transform(ls, x -> length(x))), 0), 1)
+       |    AS DOUBLE) AS linechars,
+       |  len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS ell,
+       |  len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* ')
+       |    OR starts_with(x, '• '))) AS bul
+       |  FROM ln0),
+       |lc AS (SELECT doc_id, line, count(*) AS cnt FROM
+       |  (SELECT doc_id, unnest(ls) AS line FROM ln0) GROUP BY 1, 2),
+       |ld AS (SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dcnt,
+       |  sum(CASE WHEN cnt >= 2 THEN cnt*length(line) ELSE 0 END) AS dchars
+       |  FROM lc GROUP BY 1)
+       |SELECT b.doc_id,
+       | round(least(coalesce(t2.chars, 0) / b.totchars, 1.0), 6) AS top_2gram_char_frac,
+       | round(least(coalesce(t3.chars, 0) / b.totchars, 1.0), 6) AS top_3gram_char_frac,
+       | round(least(coalesce(t4.chars, 0) / b.totchars, 1.0), 6) AS top_4gram_char_frac,
+       | round(least(coalesce(d5.chars, 0) / b.totchars, 1.0), 6) AS dup_5gram_char_frac,
+       | round(least(coalesce(d10.chars, 0) / b.totchars, 1.0), 6) AS dup_10gram_char_frac,
+       | round(coalesce(ld.dcnt, 0) / lb.nlines, 6) AS dup_line_frac,
+       | round(coalesce(ld.dchars, 0) / lb.linechars, 6) AS dup_line_char_frac,
+       | round(lb.ell / lb.nlines, 6) AS ellipsis_line_frac,
+       | round(lb.bul / lb.nlines, 6) AS bullet_line_frac,
+       | round((CAST(length(b.text) - length(replace(b.text, '#', '')) AS BIGINT)
+       |   + CAST((length(b.text) - length(replace(b.text, '...', ''))) // 3 AS BIGINT)
+       |   + CAST(length(b.text) - length(replace(b.text, '…', '')) AS BIGINT))
+       |   / b.nwords, 6) AS symbol_word_ratio
+       |FROM base b JOIN lb USING (doc_id)
+       |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+       |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+       |LEFT JOIN d10 USING (doc_id) LEFT JOIN ld USING (doc_id)""".stripMargin
   }
 
   private def annBruteSql(q: Seq[Double], k: Int): String = {

@@ -29,23 +29,32 @@ final case class IndexParams(
     buckets: Int = 16,
     shardSize: Long = 4096,
     blockSize: Int = 128,
-    buildPartitions: Int = 0) {
+    buildPartitions: Int = 0,
+    /** First docId this build assigns — non-zero for incremental
+      * generations ([[IncrementalIndex.append]]), so every generation owns
+      * a disjoint docId (and therefore shard) range. */
+    idOffset: Long = 0L) {
   def resolvedPartitions(spark: SparkSession): Int =
     if (buildPartitions > 0) buildPartitions else spark.sparkContext.defaultParallelism
   def asMap: Map[String, String] = Map(
     "buckets" -> buckets.toString, "shardSize" -> shardSize.toString,
-    "blockSize" -> blockSize.toString)
+    "blockSize" -> blockSize.toString, "idOffset" -> idOffset.toString)
 }
 
 /** One compressed posting block for (term, shard): `n` postings whose
   * docIds/tfs/doclens are VarByte-compressed (docIds delta-gap vs
-  * `firstDocId`). `maxScore` = max BM25 score inside the block (the
-  * Block-Max WAND skip bound); `df` is the term's *global* document
-  * frequency, denormalized for query-side idf without an extra join.
+  * `firstDocId`). The Block-Max WAND skip bound is NOT stored: the block
+  * keeps its score-MONOTONE extrema (`maxTf`, `minDl`) and the reader
+  * computes `bound = Bm25.score(idf, maxTf, minDl, avgdl) >= max member
+  * score` with the CURRENT corpus stats — so blocks stay valid when later
+  * generations change N/avgdl/df (a build-time max score would go stale
+  * and silently break WAND's pruning invariant). `df` is the term's
+  * document frequency WITHIN THIS BUILD; the reader sums it across
+  * generations for the merged idf.
   */
 final case class SegmentRow(
     term: String, df: Long, shard: Long, blockId: Int,
-    firstDocId: Long, lastDocId: Long, n: Int, maxScore: Double,
+    firstDocId: Long, lastDocId: Long, n: Int, maxTf: Long, minDl: Long,
     gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte], bucket: Int)
 
 final case class DocRow(docId: Long, url: String, text: String, lang: String)
@@ -147,6 +156,13 @@ final class IndexBuilder(
   private def skip(stage: String): Boolean =
     Manifest.isCommitted(indexDir, stage, params.asMap)
 
+  /** Commit an externally-written docs artifact (the compaction path
+    * reuses earlier generations' already-extracted docs tables and skips
+    * stageDocs — extraction and id assignment never repeat). */
+  def commitDocs(nDocs: Long, inputDesc: String): Unit =
+    commit("docs", docsPath, Seq(inputDesc),
+      Map("mismatches" -> "0", "n" -> nDocs.toString))
+
   /** Build the full index. `failAfterStage` is a test hook simulating a
     * kill between stages (resume test, BASELINE.md correctness gates). */
   def build(pages: Dataset[Page], inputDesc: String,
@@ -204,8 +220,9 @@ final class IndexBuilder(
     require(mismatches == 0,
       s"HTML extraction not byte-identical to reference for $mismatches urls")
     val offsets = new Array[Long](parts)
-    var acc = 0L
+    var acc = params.idOffset // generation base — 0 for a standalone build
     counts.foreach { case (pid, c, _) => offsets(pid) = acc; acc += c }
+    val nDocs = acc - params.idOffset
     val bc = spark.sparkContext.broadcast(offsets)
 
     val docs = sorted.select($"url", $"extracted", $"lang")
@@ -219,7 +236,7 @@ final class IndexBuilder(
     docs.write.mode(SaveMode.Overwrite).parquet(docsPath)
     sorted.unpersist()
     commit("docs", docsPath, Seq(inputDesc),
-      Map("mismatches" -> "0", "n" -> acc.toString))
+      Map("mismatches" -> "0", "n" -> nDocs.toString))
   }
 
   /** Stage 2: per-(doc, term) frequencies + doc length, denormalized into
@@ -307,7 +324,7 @@ final class IndexBuilder(
       .select($"term", $"docId", $"tf", $"dl", $"df", $"bucket", $"shard")
       .as[(String, Long, Long, Long, Long, Int, Long)]
       .mapPartitions { it =>
-        new BlockPacker(it, n, avgdl, shardSize, blockSize, nBuckets)
+        new BlockPacker(it, shardSize, blockSize, nBuckets)
       }
 
     packed.write.mode(SaveMode.Overwrite)
@@ -320,11 +337,13 @@ final class IndexBuilder(
 /** Streaming block packer: consumes a (term, docId)-sorted run and emits
   * one [[SegmentRow]] per filled block, cutting at term change, shard
   * boundary (shard = docId DIV shardSize), or blockSize. Constant memory
-  * per partition (one block buffer) — the SPIMI inner loop.
+  * per partition (one block buffer) — the SPIMI inner loop. Tracks the
+  * score-monotone extrema (maxTf, minDl) instead of a baked max score —
+  * see [[SegmentRow]].
   */
 final class BlockPacker(
     rows: Iterator[(String, Long, Long, Long, Long, Int, Long)],
-    n: Long, avgdl: Double, shardSize: Long, blockSize: Int, nBuckets: Int)
+    shardSize: Long, blockSize: Int, nBuckets: Int)
   extends Iterator[SegmentRow] {
 
   private val in = rows.buffered
@@ -336,10 +355,10 @@ final class BlockPacker(
 
   override def next(): SegmentRow = {
     val (term, d0, tf0, dl0, df, bucket, shard) = in.next()
-    val idfV = Bm25.idf(n, df)
     var k = 0
     ids(0) = d0; tfs(0) = tf0; dls(0) = dl0
-    var maxScore = Bm25.score(idfV, tf0.toDouble, dl0.toDouble, avgdl)
+    var maxTf = tf0
+    var minDl = dl0
     k = 1
     var blockId = ((d0 % shardSize) / blockSize).toInt // stable id base; reassigned below
     while (k < blockSize && in.hasNext && {
@@ -348,15 +367,15 @@ final class BlockPacker(
       }) {
       val (_, d, t, l, _, _, _) = in.next()
       ids(k) = d; tfs(k) = t; dls(k) = l
-      val s = Bm25.score(idfV, t.toDouble, l.toDouble, avgdl)
-      if (s > maxScore) maxScore = s
+      if (t > maxTf) maxTf = t
+      if (l < minDl) minDl = l
       k += 1
     }
     // blockId = ordinal of the first docId within the (term, shard) cell's
     // packing; derived from position so ids are deterministic under resume.
     blockId = blockOrdinal(term, shard, ids(0))
     SegmentRow(term, df, shard, blockId,
-      ids(0), ids(k - 1), k, maxScore,
+      ids(0), ids(k - 1), k, maxTf, minDl,
       VarByte.encodeGaps(java.util.Arrays.copyOf(ids, k), ids(0)),
       VarByte.encode(java.util.Arrays.copyOf(tfs, k)),
       VarByte.encode(java.util.Arrays.copyOf(dls, k)),

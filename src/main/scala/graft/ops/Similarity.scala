@@ -21,19 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) over array<float|double> columns in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) over array<float|double> columns in double precision —
+    * native codegen'd expression ([[graft.functions.VecDot]]); arithmetic
+    * identical to the HOF `aggregate(zip_with(...))` form it replaced. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecMath.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine(a, b); 0 for zero-norm vectors. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, 0.0).otherwise(d / nn)
-  }
+  /** cosine(a, b); 0 for zero-norm vectors. One fused codegen'd pass
+    * ([[graft.functions.VecCosine]]) — the pair-verify hot path. */
+  def cosine(a: Column, b: Column): Column = graft.functions.VecMath.cosine(a, b)
 
   /** Exact cosine top-k against one query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
@@ -122,16 +119,42 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (the embedding tier of dedup):
-    * bucket by LSH, pair only within buckets, verify cosine ≥ threshold. */
+    * bucket by random-hyperplane LSH, pair only within buckets, verify
+    * exact cosine ≥ threshold.
+    *
+    * Contract — APPROXIMATE RECALL, exact precision: the cosine filter is
+    * computed on the true vectors, so every returned pair is real; but a
+    * qualifying pair is only FOUND if its buckets collide. Each hyperplane
+    * separates a pair with p = arccos(cos)/π, so
+    * `P(found) = Σ_{d ≤ probeHamming} C(bits,d) p^d (1-p)^(bits-d)`
+    * (= `(1-p)^bits` at probeHamming 0) — recall → 1 as cosine → 1, and is
+    * LOW near weak thresholds: measured 38% at threshold 0.3 / bits 2 /
+    * probe 0 on the sf0.01 random-embedding fixture, ~84% with probe 1.
+    * Raise recall with `probeHamming` (each +1 multiplies one join side by
+    * C(bits,·) and relaxes the bucket match by one bit) or fewer bits
+    * (bigger buckets); probeHamming = bits is exact-but-brute-force. For
+    * REAL near-dup corpora (cosine ≥ 0.9, p ≤ 0.14) the defaults find
+    * ≥ (1-p)^8 ≈ 0.3… use probe 2-3 there. Genuinely-exact thresholded
+    * pair joins have no sub-quadratic algorithm for dense vectors; this
+    * trade is the scale path, [[bruteTopK]] the small-scale truth. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 8, seed: Long = 42L): DataFrame = {
+      threshold: Double, bits: Int = 8, probeHamming: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    require(bits <= 20, s"2^$bits probe masks — keep bits <= 20")
     val first = df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(first, bits, seed)
     val bucketed = df.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), planes).as("_bucket"))
-    val a = bucketed.as("a")
+    // one side probes every bucket within hamming <= probeHamming: a pair
+    // with bucket distance d joins for exactly ONE mask (m = bA xor bB),
+    // so no distinct is needed
+    val masks = (0 until (1 << bits))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val a = bucketed.select(col(idCol), col(vecCol),
+      explode(array(masks.map(m =>
+        col("_bucket").bitwiseXOR(lit(m.toLong))): _*)).as("_probe")).as("a")
     val b = bucketed.as("b")
-    a.join(b, col("a._bucket") === col("b._bucket") &&
+    a.join(b, col("a._probe") === col("b._bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("idA"), col(s"b.$idCol").as("idB"),
         cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))

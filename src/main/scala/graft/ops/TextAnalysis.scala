@@ -89,6 +89,123 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
   }
 
+  // ------------------------------------------------- repetition signals
+
+  /** Word n-grams as space-joined strings; empty array when the document
+    * is shorter than n (guarded — `sequence(1, 0)` would DESCEND). */
+  private def ngramsCol(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Chars covered by the MOST FREQUENT element of a sorted array
+    * (count × element length; selection by count desc, chars desc,
+    * element asc — deterministic). One run-length pass over the sorted
+    * array via `aggregate`: per-row, no shuffle, constant state. */
+  private def topRunChars(sorted: Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("bestRun"), lit(0L).as("bestChars"))
+    aggregate(sorted, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        val chars = run * length(x).cast("long")
+        val better = run > acc.getField("bestRun") ||
+          (run === acc.getField("bestRun") && chars > acc.getField("bestChars"))
+        struct(x.as("prev"), run.as("run"),
+          when(better, run).otherwise(acc.getField("bestRun")).as("bestRun"),
+          when(better, chars).otherwise(acc.getField("bestChars")).as("bestChars"))
+      },
+      acc => acc.getField("bestChars"))
+  }
+
+  /** Chars covered by elements occurring ≥ 2 times in a sorted array
+    * (Σ count × length over duplicated elements). Incremental: a run's
+    * 2nd occurrence retro-adds the 1st (`2×len`), later ones add 1×len —
+    * no lookahead, constant state. */
+  private def dupRunChars(sorted: Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("chars"))
+    aggregate(sorted, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        val add = when(run === 2L, length(x).cast("long") * 2L)
+          .when(run > 2L, length(x).cast("long"))
+          .otherwise(lit(0L))
+        struct(x.as("prev"), run.as("run"),
+          (acc.getField("chars") + add).as("chars"))
+      },
+      acc => acc.getField("chars"))
+  }
+
+  /** Count of instances occurring ≥ 2 times in a sorted array. */
+  private def dupRunCount(sorted: Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("cnt"))
+    aggregate(sorted, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        val add = when(run === 2L, lit(2L)).when(run > 2L, lit(1L)).otherwise(lit(0L))
+        struct(x.as("prev"), run.as("run"), (acc.getField("cnt") + add).as("cnt"))
+      },
+      acc => acc.getField("cnt"))
+  }
+
+  private def occurrences(t: Column, lit0: String): Column =
+    ((length(t) - length(replace(t, lit(lit0), lit("")))) / lit0.length).cast("long")
+
+  /** Gopher-style repetition / boilerplate signals (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", table A1 — public knowledge; thresholds are left to the
+    * caller, this emits the raw fractions):
+    *
+    *  - `top_{2,3,4}gram_char_frac` — chars covered by the most frequent
+    *    word n-gram / chars of the space-joined token stream
+    *  - `dup_{5,10}gram_char_frac` — chars covered by all n-grams
+    *    occurring ≥ 2 times / same denominator (overlaps double-count, so
+    *    capped at 1.0 — the convention of open implementations)
+    *  - `dup_line_frac`, `dup_line_char_frac` — duplicate non-blank line
+    *    instances (count / chars) over all non-blank lines
+    *  - `ellipsis_line_frac`, `bullet_line_frac` — boilerplate shape
+    *  - `symbol_word_ratio` — (`#` + ellipsis occurrences) / words
+    *
+    * Everything is a per-row array fold over sorted n-gram/line arrays —
+    * narrow (zero shuffles, a 100 TB pass is one projection), constant
+    * per-row state. HOF lambdas sit outside whole-stage codegen but on
+    * the same no-shuffle footing as the minhash kernel. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = Analyzer.tokensCol(t)
+    val totChars = greatest(length(concat_ws(" ", toks)), lit(1)).cast("double")
+
+    def topFrac(n: Int): Column =
+      least(topRunChars(sort_array(ngramsCol(toks, n))).cast("double") / totChars, lit(1.0))
+    def dupFrac(n: Int): Column =
+      least(dupRunChars(sort_array(ngramsCol(toks, n))).cast("double") / totChars, lit(1.0))
+
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val sortedLines = sort_array(lines)
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val lineChars = greatest(aggregate(lines, lit(0L), (a, x) => a + length(x)), lit(1L)).cast("double")
+    val nWords = greatest(size(toks), lit(1)).cast("double")
+
+    df.select(col(idCol),
+      round(topFrac(2), 6).as("top_2gram_char_frac"),
+      round(topFrac(3), 6).as("top_3gram_char_frac"),
+      round(topFrac(4), 6).as("top_4gram_char_frac"),
+      round(dupFrac(5), 6).as("dup_5gram_char_frac"),
+      round(dupFrac(10), 6).as("dup_10gram_char_frac"),
+      round(dupRunCount(sortedLines).cast("double") / nLines, 6).as("dup_line_frac"),
+      round(dupRunChars(sortedLines).cast("double") / lineChars, 6).as("dup_line_char_frac"),
+      round(size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("double") / nLines, 6).as("ellipsis_line_frac"),
+      round(size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("• "))).cast("double") / nLines, 6).as("bullet_line_frac"),
+      round((occurrences(t, "#") + occurrences(t, "...") + occurrences(t, "…"))
+        .cast("double") / nWords, 6).as("symbol_word_ratio"))
+  }
+
   /** 64-bit document fingerprint: FNV-1a-style fold of the token hash
     * stream — order-sensitive (a rolling hash over the token sequence),
     * expressed with `aggregate` over the token array (codegen'd). */

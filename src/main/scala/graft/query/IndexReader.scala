@@ -3,16 +3,20 @@ package graft.query
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.index.Globals
+import graft.index.{Globals, IncrementalIndex}
 
 /** Segment row as read back from the posting store (bucket is the
-  * directory-partition column). */
+  * directory-partition column; `gen` tags which generation wrote it —
+  * 0 for a standalone index). `df` is the generation-local document
+  * frequency; the reader sums distinct generations for the merged idf. */
 final case class SegmentRead(
     term: String, df: Long, shard: Long, blockId: Int,
-    firstDocId: Long, lastDocId: Long, n: Int, maxScore: Double,
-    gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte], bucket: Int)
+    firstDocId: Long, lastDocId: Long, n: Int, maxTf: Long, minDl: Long,
+    gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte], bucket: Int,
+    gen: Int)
 
-/** Query-side executor over a built index.
+/** Query-side executor over a built index — standalone or generational
+  * ([[IncrementalIndex]]: `gen-k` subdirectories, disjoint docId ranges).
   *
   * Distributed top-k (the 1000-executor path): the index is document-
   * sharded (shard = docId range), so WAND runs *per shard* with full
@@ -23,6 +27,12 @@ final case class SegmentRead(
   * query terms' hash buckets (directory partition pruning) and push the
   * term predicate into Parquet.
   *
+  * Block-Max bounds are computed HERE, not at build time: each block
+  * stores (maxTf, minDl) and the bound is
+  * `Bm25.score(idf, maxTf, minDl, avgdl)` with the CURRENT merged stats —
+  * BM25 is increasing in tf and decreasing in dl, so this dominates every
+  * member score, and it stays correct as generations shift N/avgdl/df.
+  *
   * This replaces the reference's delegation of querying to OpenSearch
   * (/root/reference/data-prepper-plugins/opensearch/... sink +
   * source/opensearch/OpenSearchSource.java) with an in-engine executor.
@@ -30,8 +40,12 @@ final case class SegmentRead(
 final class IndexReader(spark: SparkSession, indexDir: String) {
   import spark.implicits._
 
-  val globals: Globals = Globals.read(indexDir)
-  private val postingsPath = s"$indexDir/postings"
+  /** (gen, dir) pairs — (0, indexDir) for a standalone index. */
+  private val gens: Seq[(Int, String)] = IncrementalIndex.genDirs(spark, indexDir)
+
+  /** Merged corpus stats: exact integer sums across generations. */
+  val globals: Globals = gens.map { case (_, d) => Globals.read(d) }
+    .reduce((a, b) => Globals(a.n + b.n, a.sumDl + b.sumDl))
 
   /** pmod(xxhash64(term), buckets) — same hash Spark computes at build
     * time (XxHash64 with seed 42 over UTF8 bytes). */
@@ -45,24 +59,42 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
   /** Bucket modulus from the committed postings manifest — the value the
     * BUILD used (r1 counted bucket= directories on the local filesystem,
     * which breaks on object stores and undercounts when a bucket holds no
-    * terms → wrong modulus → silently empty postings; ADVICE r1). */
+    * terms → wrong modulus → silently empty postings; ADVICE r1). All
+    * generations must agree (append pins the founding params). */
   private val numBuckets: Int = {
-    val b = graft.index.Manifest.read(indexDir, "postings")
-      .flatMap(_.params.get("buckets")).map(_.toInt)
-      .getOrElse(throw new IllegalStateException(
-        s"no committed postings manifest (with buckets param) under $indexDir"))
-    require(b > 0, s"postings manifest has invalid buckets=$b")
-    b
+    val bs = gens.map { case (_, d) =>
+      graft.index.Manifest.read(d, "postings")
+        .flatMap(_.params.get("buckets")).map(_.toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed postings manifest (with buckets param) under $d"))
+    }.distinct
+    require(bs.size == 1 && bs.head > 0,
+      s"generations disagree on bucket count: $bs")
+    bs.head
   }
 
-  /** Segment rows for the query terms, bucket-pruned. */
+  /** Segment rows for the query terms, bucket-pruned, across all
+    * generations. */
   def segmentsFor(terms: Seq[String]): Dataset[SegmentRead] = {
     val buckets = terms.map(bucketOf(_, numBuckets)).distinct
-    spark.read.parquet(postingsPath)
-      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
-        col("term").isin(terms: _*))
-      .as[SegmentRead]
+    gens.map { case (g, d) =>
+      spark.read.parquet(s"$d/postings")
+        .where(col("bucket").isin(buckets.map(Integer.valueOf): _*) &&
+          col("term").isin(terms: _*))
+        .withColumn("gen", lit(g))
+    }.reduce(_.unionByName(_)).as[SegmentRead]
   }
+
+  /** Per-term GLOBAL df for the query terms: a shard sees only the
+    * generations that overlap it, so df cannot be resolved inside the
+    * shard fan-out — it is summed here over (term, gen) metadata (a few
+    * rows; bucket-pruned, column-pruned scan) and broadcast into the
+    * per-shard closures. Single-generation indexes pay one cheap extra
+    * metadata job per query; correctness over generations demands it. */
+  private def mergedDfMap(seg: Dataset[SegmentRead]): Map[String, Long] =
+    seg.select(col("term"), col("gen"), col("df")).distinct()
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._3).sum }
 
   /** Distributed Block-Max WAND top-k. Result is a tiny DataFrame
     * (docId, score) ordered by (score desc, docId asc), k rows. */
@@ -71,9 +103,10 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
     val seg = segmentsFor(terms)
     // hoist to locals: eta-expansion must capture primitives, not `this`
     val (n, avgdl, kk) = (globals.n, globals.avgdl, k)
+    val dfByTerm = spark.sparkContext.broadcast(mergedDfMap(seg))
     val perShard = seg.groupByKey(_.shard)
       .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
-        IndexReader.shardTopK(n, avgdl, kk)(shard, rows))
+        IndexReader.shardTopK(n, avgdl, kk, dfByTerm.value)(shard, rows))
     perShard.toDF("docId", "score")
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
@@ -87,24 +120,28 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
     val terms = query.distinct.sorted
     val seg = segmentsFor(terms)
     val (n, avgdl, kk) = (globals.n, globals.avgdl, k)
+    val dfByTerm = spark.sparkContext.broadcast(mergedDfMap(seg))
     val perShard = seg.groupByKey(_.shard)
       .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
-        IndexReader.shardTopK(n, avgdl, kk)(shard, rows))
+        IndexReader.shardTopK(n, avgdl, kk, dfByTerm.value)(shard, rows))
     perShard.select(new TopKAggregator(k).toColumn).head()
   }
 
-  /** Driver-local serving cache: term -> (df, globally docId-sorted
-    * blocks). Because shard = docId range, concatenating a term's blocks
-    * across shards in (shard, firstDocId) order IS the external multi-way
-    * merge into the term's global posting list (no re-sort — SURVEY.md
-    * §7.5). Used for the p95 latency hot path (no job scheduling per
-    * query). */
+  /** Driver-local serving cache: term -> (merged df, globally docId-sorted
+    * BOUNDED blocks). Because shard = docId range and generations own
+    * disjoint docId ranges, concatenating a term's blocks across
+    * (shard, firstDocId) order IS the external multi-way merge into the
+    * term's global posting list (no re-sort — SURVEY.md §7.5). Bounds are
+    * precomputed here with the merged stats, once per cache load. Used for
+    * the p95 latency hot path (no job scheduling per query). */
   def loadCache(terms: Seq[String]): Map[String, (Long, Array[SegBlock])] = {
     segmentsFor(terms.distinct).collect()
       .groupBy(_.term)
       .map { case (t, rows) =>
-        t -> (rows.head.df, rows.sortBy(r => (r.shard, r.firstDocId))
-          .map(r => SegBlock(r.firstDocId, r.lastDocId, r.n, r.maxScore, r.gaps, r.tfs, r.dls)))
+        val df = IndexReader.mergedDf(rows)
+        val idf = Bm25.idf(globals.n, df)
+        t -> (df, rows.sortBy(r => (r.shard, r.firstDocId))
+          .map(r => IndexReader.boundedBlock(r, idf, globals.avgdl)))
       }
   }
 
@@ -124,19 +161,37 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
 }
 
 object IndexReader {
+  /** Merged document frequency: each generation baked its own df into its
+    * rows, generations are disjoint doc sets, so the true df is the sum of
+    * one df per generation present. */
+  def mergedDf(rows: Array[SegmentRead]): Long =
+    rows.groupBy(_.gen).map(_._2.head.df).sum
+
+  /** Query-time Block-Max bound: BM25 is monotone ↑ in tf and ↓ in dl, so
+    * scoring the block's (maxTf, minDl) corner with the current stats
+    * dominates every member score. */
+  def boundedBlock(r: SegmentRead, idf: Double, avgdl: Double): SegBlock =
+    SegBlock(r.firstDocId, r.lastDocId, r.n,
+      Bm25.score(idf, r.maxTf.toDouble, r.minDl.toDouble, avgdl),
+      r.gaps, r.tfs, r.dls)
+
   /** Executor-side per-shard WAND — a top-level function so the Spark
-    * closure captures only (n, avgdl, k), never the reader instance. */
-  def shardTopK(n: Long, avgdl: Double, k: Int)(
+    * closure captures only (n, avgdl, k, dfByTerm), never the reader
+    * instance. `dfByTerm` carries the GLOBAL per-term df (a shard only
+    * sees its own generations' rows). */
+  def shardTopK(n: Long, avgdl: Double, k: Int, dfByTerm: Map[String, Long])(
       shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] =
-    Wand.topK(buildCursors(rows, n, avgdl), k).iterator
+    Wand.topK(buildCursors(rows, n, avgdl, dfByTerm), k).iterator
 
   private def buildCursors(rows: Iterator[SegmentRead], n: Long,
-      avgdl: Double): Array[TermCursor] = {
+      avgdl: Double, dfByTerm: Map[String, Long]): Array[TermCursor] = {
     val byTerm = rows.toArray.groupBy(_.term)
     byTerm.map { case (t, rs) =>
+      val df = dfByTerm.getOrElse(t, mergedDf(rs))
+      val idf = Bm25.idf(n, df)
       val blocks = rs.sortBy(_.firstDocId)
-        .map(r => SegBlock(r.firstDocId, r.lastDocId, r.n, r.maxScore, r.gaps, r.tfs, r.dls))
-      new TermCursor(t, Bm25.idf(n, rs.head.df), blocks, avgdl)
+        .map(r => boundedBlock(r, idf, avgdl))
+      new TermCursor(t, idf, blocks, avgdl)
     }.toArray
   }
 }

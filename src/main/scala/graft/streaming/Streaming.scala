@@ -43,6 +43,35 @@ object Streaming {
     spark.table("tf_delta").write.mode("overwrite").parquet(outDir)
   }
 
+  /** Continuous index maintenance: each micro-batch of pages becomes one
+    * committed index generation ([[graft.index.IncrementalIndex.append]]),
+    * queryable the moment its globals.json lands — the engine's analog of
+    * the reference's opensearch-sink bulk indexing loop (docs stream in,
+    * the index stays live). `Trigger.AvailableNow` here = bounded
+    * catch-up; a continuous deployment uses ProcessingTime and the same
+    * foreachBatch. Exactly-once across restarts: the checkpoint replays a
+    * failed batch and append re-enters the half-built generation instead
+    * of skipping or duplicating it (IncrementalSpec). */
+  def indexAppendStream(spark: SparkSession, pagesDir: String,
+      indexDir: String, checkpointDir: String,
+      params: graft.index.IndexParams,
+      maxFilesPerTrigger: Int = 4): Unit = {
+    import spark.implicits._
+    val schema = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
+    val pages = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(pagesDir)
+    val q = pages.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.index.IncrementalIndex.append(spark, indexDir,
+          batch.as[graft.corpus.Page], params, s"microbatch-$id"): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** `aggregate` count action, streaming form: event-time tumbling window
     * + watermark (strictly stronger than the reference's wall-clock
     * group_duration, AggregateProcessorConfig.java:59). */

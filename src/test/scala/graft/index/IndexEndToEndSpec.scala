@@ -138,8 +138,8 @@ class IndexEndToEndSpec extends AnyFunSuite {
 /** Read-back row (bucket is the partition column, restored as Int). */
 final case class SegmentRowRead(
     term: String, df: Long, shard: Long, blockId: Int,
-    firstDocId: Long, lastDocId: Long, n: Int, maxScore: Double,
+    firstDocId: Long, lastDocId: Long, n: Int, maxTf: Long, minDl: Long,
     gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte], bucket: Int) {
   def toRow: SegmentRow = SegmentRow(term, df, shard, blockId, firstDocId,
-    lastDocId, n, maxScore, gaps, tfs, dls, bucket)
+    lastDocId, n, maxTf, minDl, gaps, tfs, dls, bucket)
 }

@@ -29,7 +29,7 @@ class ParallelismEquivalenceSpec extends AnyFunSuite {
     def rows(dir: String) = spark.read.parquet(s"$dir/postings").as[SegmentRowRead]
       .collect().sortBy(r => (r.term, r.shard, r.blockId))
       .map(r => (r.term, r.df, r.shard, r.blockId, r.firstDocId, r.lastDocId, r.n,
-        r.maxScore, r.gaps.toSeq, r.tfs.toSeq, r.dls.toSeq, r.bucket))
+        r.maxTf, r.minDl, r.gaps.toSeq, r.tfs.toSeq, r.dls.toSeq, r.bucket))
     val a = rows(d1)
     val b = rows(d7)
     assert(a.length == b.length, s"${a.length} vs ${b.length} segment rows")

@@ -39,7 +39,7 @@ class ResumeSpec extends AnyFunSuite {
     def rows(dir: String) = spark.read.parquet(s"$dir/postings").as[SegmentRowRead]
       .collect().sortBy(r => (r.term, r.shard, r.blockId))
       .map(r => (r.term, r.df, r.shard, r.blockId, r.firstDocId, r.lastDocId, r.n,
-        r.maxScore, r.gaps.toSeq, r.tfs.toSeq, r.dls.toSeq))
+        r.maxTf, r.minDl, r.gaps.toSeq, r.tfs.toSeq, r.dls.toSeq))
     assert(rows(interrupted).sameElements(rows(clean)))
   }
 

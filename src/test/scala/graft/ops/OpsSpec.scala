@@ -172,6 +172,32 @@ class SimilaritySpec extends AnyFunSuite {
       assert(dups.contains((i.toLong, i + 1000L)), s"missed planted dup $i")
     }
   }
+
+  test("cosine near-dups: probe=bits is exactly the brute-force pair set") {
+    val a = vecs.as("a")
+    val b = vecs.as("b")
+    val brute = a.join(b, $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("idA"), $"b.vec_id".as("idB"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("cosine"))
+      .where($"cosine" >= 0.2)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // exhaustive probing ≡ brute force: proves mask probing + the
+    // one-mask-per-pair join produce neither misses nor duplicates
+    val bits = 3
+    val probed = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.2, bits = bits, probeHamming = bits)
+    val pairs = probed.select("idA", "idB").as[(Long, Long)].collect()
+    assert(pairs.length == pairs.toSet.size, "duplicate pairs from probing")
+    assert(pairs.toSet == brute)
+    // monotone recall in probeHamming
+    val p0 = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.2, bits = bits, probeHamming = 0)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val p1 = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.2, bits = bits, probeHamming = 1)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(p0.subsetOf(p1) && p1.subsetOf(brute))
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {

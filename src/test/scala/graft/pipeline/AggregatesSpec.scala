@@ -101,6 +101,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming micro-batches append index generations; queries match full rebuild") {
+    val work = graft.TestSpark.tmpDir("graft-stream-idx")
+    val params = graft.index.IndexParams(
+      buckets = 4, shardSize = 64, blockSize = 16, buildPartitions = 2)
+    val pages = graft.corpus.SyntheticCorpus.generate(spark, 90, seed = 5L, partitions = 3)
+    pages.write.parquet(s"$work/pages")
+    graft.streaming.Streaming.indexAppendStream(spark, s"$work/pages",
+      s"$work/inc", s"$work/ckpt", params, maxFilesPerTrigger = 1)
+    val gens = graft.index.IncrementalIndex.genDirs(spark, s"$work/inc")
+    assert(gens.size > 1, s"expected multiple generations, got $gens")
+    new graft.index.IndexBuilder(spark, s"$work/full", params)
+      .build(pages, "full")
+    val inc = new graft.query.IndexReader(spark, s"$work/inc")
+    val full = new graft.query.IndexReader(spark, s"$work/full")
+    assert(inc.globals == full.globals)
+    val queries = graft.corpus.SyntheticCorpus.querySet().take(8)
+    val ic = inc.loadCache(queries.flatten.distinct)
+    val fc = full.loadCache(queries.flatten.distinct)
+    queries.foreach { q =>
+      val (a, b) = (inc.topKLocal(ic, q, 10), full.topKLocal(fc, q, 10))
+      assert(a.map(_.score).sameElements(b.map(_.score)), s"scores differ for $q")
+    }
+  }
+
   test("sessionize via flatMapGroupsWithState (batch-mode state fn)") {
     val ts0 = 1700000000000L
     val d = Seq(
