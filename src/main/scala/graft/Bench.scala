@@ -35,7 +35,7 @@ object Bench {
     // round-2 operators
     "q_grok_patterns", "q_date_parse", "q_rate_limiter_block",
     "q_user_agent", "q_expr_functions", "q_otel_metrics", "q_event_json",
-    "q_cosine_neardups")
+    "q_cosine_neardups", "q_neardup_clusters", "q_repetition_signals")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.

@@ -84,7 +84,7 @@ object Graphs {
 
   /** large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u}).
     * Output edges are already (big, small)-oriented since m ≤ u < v. */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
     val nbrs = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
     val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
@@ -97,7 +97,7 @@ object Graphs {
 
   /** small-star on (big, small)-oriented edges: u and all its smaller
     * neighbors link to m = min neighbor. Orientation is preserved. */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
     val mins = edges.groupBy("u").agg(min("v").as("m"))
     edges.join(mins, "u")
       .select(col("v").as("u"), col("m").as("v"))
