@@ -35,7 +35,8 @@ object Bench {
     // round-2 operators
     "q_grok_patterns", "q_date_parse", "q_rate_limiter_block",
     "q_user_agent", "q_expr_functions", "q_otel_metrics", "q_event_json",
-    "q_cosine_neardups", "q_neardup_clusters", "q_repetition_signals")
+    "q_cosine_neardups", "q_neardup_clusters", "q_repetition_signals",
+    "q_duplicate_spans")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.
@@ -224,13 +225,15 @@ object Bench {
     }
     runs.foreach { tr => System.err.println(
       f"[graft-bench] local[${tr.cores}] run ${tr.run}: ${tr.sec}%.2fs (probe quality ${quality(tr)}%.2f)") }
-    // per-level minima over clean runs (fall back to all runs if a level
-    // never saw a quiet window — the pair metric is the primary one then)
-    def minAt(c: Int): Double = {
-      val at = runs.filter(_.cores == c)
-      val clean = at.filter(quality(_) >= CleanQ)
-      (if (clean.nonEmpty) clean else at).map(_.sec).min
-    }
+    // per-level minima over ALL runs: contention only ever SLOWS a run,
+    // so the fastest observation is the best uncontended estimate at each
+    // level regardless of its probe tag (filtering by probe quality can
+    // EXCLUDE the fastest run and inflate the ratio — probes bracket the
+    // run, storms are bursty, and a run can be quiet between bad probes).
+    // Probe quality still gates the PAIR metric, where trusting a slow
+    // contended N-side would overstate efficiency.
+    def minAt(c: Int): Double =
+      runs.filter(_.cores == c).map(_.sec).min
     val tN = minAt(1)   // N = 1 core
     val t4N = minAt(4)  // 4N = 4 cores
     val thrN = benchDocs / tN
@@ -246,9 +249,15 @@ object Bench {
         ((a.sec / b.sec) / 4.0, math.min(quality(a), quality(b)))
     }.toSeq
     val cleanPairs = allPairs.filter(_._2 >= CleanQ)
+    // among clean pairs (both windows quiet) the ratio is trustworthy and
+    // max picks the quietest window; with NO clean pair, max over all
+    // pairs would reward a storm-slowed N side (a contended local[1]
+    // makes the ratio LOOK superlinear), so fall back to the pair with
+    // the best min-quality and report ITS ratio — quality-first
+    // selection, efficiency as the outcome, never the other way round
     val pairEffMax =
       if (cleanPairs.nonEmpty) cleanPairs.map(_._1).max
-      else if (allPairs.nonEmpty) allPairs.map(_._1).max
+      else if (allPairs.nonEmpty) allPairs.maxBy(_._2)._1
       else efficiency
     val pairNormalized = pairEffMax / cpuCeiling
     val scalingClean = cleanPairs.nonEmpty

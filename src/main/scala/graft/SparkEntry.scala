@@ -819,6 +819,35 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
     }, Some(ngramJaccardSql(0.2, Some(50)))),
 
+    ("q_duplicate_spans", (s: SparkSession, dir: String) => {
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", w = 20)
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
+         | g AS (SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+19], ' ') AS g
+         |       FROM (SELECT doc_id, l, unnest(range(1, len(l)-18)) AS i
+         |             FROM toks WHERE len(l) >= 20)),
+         | c AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM g
+         |       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+         | SELECT doc_id, pos, n_docs FROM g JOIN c USING (g)""".stripMargin)),
+
+    ("q_span_removal", (s: SparkSession, dir: String) => {
+      Dedup.removeDuplicateSpans(docs(s, dir), "doc_id", "text", w = 20)
+        .select("doc_id", "clean_text")
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
+         | g AS (SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+19], ' ') AS g
+         |       FROM (SELECT doc_id, l, unnest(range(1, len(l)-18)) AS i
+         |             FROM toks WHERE len(l) >= 20)),
+         | c AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM g
+         |       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         | f AS (SELECT doc_id, list(DISTINCT pos) AS spans FROM g
+         |       JOIN c USING (g) GROUP BY 1)
+         | SELECT t.doc_id, coalesce(array_to_string(list_transform(
+         |   list_filter(range(0, len(t.l)), i -> len(list_filter(
+         |     coalesce(f.spans, []), p -> i >= p AND i < p + 20)) = 0),
+         |   i -> t.l[i+1]), ' '), '') AS clean_text
+         | FROM toks t LEFT JOIN f USING (doc_id)""".stripMargin)),
+
     ("q_minhash_neardups", (s: SparkSession, dir: String) => {
       Dedup.minHashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))
@@ -861,6 +890,33 @@ object SparkEntry {
     ("q_repetition_signals", (s: SparkSession, dir: String) => {
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
     }, Some(repetitionSignalsSql())),
+
+    ("q_sample_stratified", (s: SparkSession, dir: String) => {
+      graft.ops.Sampling.stratified(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.0), defaultRate = 0.1)
+        .select("doc_id", "lang")
+    }, Some {
+      val th = graft.ops.Sampling.thresholdHex _
+      s"""SELECT doc_id, lang FROM documents
+         | WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) <
+         |  CASE lang WHEN 'de' THEN '${th(0.25)}' WHEN 'en' THEN '${th(0.5)}'
+         |   WHEN 'zh' THEN '${th(0.0)}' ELSE '${th(0.1)}' END""".stripMargin
+    }),
+
+    ("q_split_consistent", (s: SparkSession, dir: String) => {
+      graft.ops.Sampling.split(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    }, Some {
+      val th = graft.ops.Sampling.thresholdHex _
+      s"""SELECT doc_id,
+         | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+         |        < '${th(0.8)}' THEN 'train'
+         |      WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+         |        < '${th(0.9)}' THEN 'val'
+         |      ELSE 'test' END AS split
+         | FROM documents""".stripMargin
+    }),
 
     // ---------- similarity / ANN ----------
     ("q_ann_brute", (s: SparkSession, dir: String) => {

@@ -79,6 +79,58 @@ object Dedup {
   def shingleHashes(text: Column, w: Int): Column =
     transform(shingles(text, w), s => xxhash64(s))
 
+  // ------------------------------------------------------ duplicate spans
+
+  /** Exact duplicate SPANS across documents — the bounded-window form of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": suffix-array generality traded for a
+    * fixed window `w`, the standard scalable variant). Flags every
+    * position whose w-token window also occurs in ≥ `minDocs` distinct
+    * documents; downstream removal drops flagged token ranges. Documents
+    * shorter than `w` emit no window (whole-document dups are [[exact]]'s
+    * job; within-document repetition is
+    * [[TextAnalysis.repetitionSignals]]).
+    *
+    * Returns (idCol, pos, n_docs): 0-based window start positions.
+    *
+    * Scale shape: windows shuffle as 8-byte xxhash64 keys, never span
+    * text; one groupBy(hash) with map-side partial aggregation + one
+    * equi-join back. A boilerplate span in 10⁶ docs is ONE group row
+    * (count_distinct collapses map-side) joined back to its occurrences —
+    * linear, unlike a span self-join. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 20, minDocs: Long = 2): DataFrame = {
+    val wnd = df
+      .select(col(idCol), posexplode(
+        TextAnalysis.ngramsCol(graft.analyze.Analyzer.tokensCol(col(textCol)), w))
+        .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("h"))
+    val dup = wnd.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    wnd.join(dup, "h")
+      .select(col(idCol), col("pos"), col("n_docs"))
+  }
+
+  /** Rewrite each document with flagged duplicate spans REMOVED: token i
+    * is dropped iff some flagged window [p, p+w) covers it. Output
+    * `cleanCol` is the space-joined surviving tokens — token-normalized
+    * text (lowercased, punctuation collapsed), the standard contract of
+    * token-level substring dedup. One extra groupBy(doc) of the flagged
+    * positions + a left join; the rewrite itself is a per-row fold. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 20, minDocs: Long = 2, cleanCol: String = "clean_text"): DataFrame = {
+    val flagged = duplicateSpans(df, idCol, textCol, w, minDocs)
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("_spans"))
+    val toks = Analyzer.tokensCol(col(textCol))
+    val spans = coalesce(col("_spans"), array().cast("array<int>"))
+    val kept = filter(toks, (t, i) =>
+      !exists(spans, p => i >= p && i < p + w))
+    df.join(flagged, Seq(idCol), "left")
+      .withColumn(cleanCol, concat_ws(" ", kept))
+      .drop("_spans")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Deterministic permutation parameters for k minhashes. */

@@ -92,8 +92,10 @@ object TextAnalysis {
   // ------------------------------------------------- repetition signals
 
   /** Word n-grams as space-joined strings; empty array when the document
-    * is shorter than n (guarded — `sequence(1, 0)` would DESCEND). */
-  private def ngramsCol(toks: Column, n: Int): Column =
+    * is shorter than n (guarded — `sequence(1, 0)` would DESCEND).
+    * `private[ops]`: [[Dedup.duplicateSpans]] reuses it so span windows
+    * and repetition n-grams share one definition. */
+  private[ops] def ngramsCol(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))

@@ -39,6 +39,40 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "false positive")
   }
 
+  test("duplicate spans: cross-doc windows flagged with positions") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d q"),
+      (3L, "a b c d e f"), // exact dup of 1
+      (4L, "nothing shared here at all")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(d, "doc_id", "text", w = 4)
+      .select("doc_id", "pos", "n_docs").as[(Long, Int, Long)].collect().toSet
+    // "a b c d" in docs 1,2,3; every window of 1 and 3 is shared pairwise
+    assert(got.contains((1L, 0, 3L)) && got.contains((2L, 2, 3L)) &&
+      got.contains((3L, 0, 3L)))
+    assert(got.contains((1L, 1, 2L)) && got.contains((1L, 2, 2L)))
+    assert(!got.exists(_._1 == 4L))
+    // doc shorter than w emits nothing
+    val short = Dedup.duplicateSpans(
+      Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text"), "doc_id", "text", w = 4)
+    assert(short.count() == 0)
+  }
+
+  test("span removal drops exactly the flagged token ranges") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d q")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, "doc_id", "text", w = 4)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "e f", 2L -> "x y q"))
+    // no duplicates -> text survives token-normalized
+    val clean = Dedup.removeDuplicateSpans(
+      Seq((1L, "Only, one. DOC here!")).toDF("doc_id", "text"),
+      "doc_id", "text", w = 2)
+      .select("clean_text").as[String].collect()(0)
+    assert(clean == "only one doc here")
+  }
+
   test("minhash signature approximates jaccard") {
     // identical texts → identical signatures
     val sigs = docs.select($"doc_id",
