@@ -955,6 +955,21 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }, None),
 
+    ("q_cosine_pairs_exact", (s: SparkSession, dir: String) => {
+      // probeHamming = bits ⇒ every bucket pair probes ⇒ EXHAUSTIVE pair
+      // coverage through the same code path — the DuckDB-oracled anchor
+      // for the approximate q_cosine_neardups above
+      Similarity.cosineNearDups(embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.3, bits = 2, probeHamming = 2)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }, Some(
+      """SELECT a.vec_id AS idA, b.vec_id AS idB,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin)),
+
     // ---------- multimodal plumbing ----------
     ("q_multimodal_features", (s: SparkSession, dir: String) => {
       import s.implicits._

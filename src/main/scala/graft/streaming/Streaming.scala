@@ -82,6 +82,21 @@ object Streaming {
       .groupBy((keys.map(col) :+ window(col(ts), windowDur)): _*)
       .agg(count(lit(1)).as("value"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon — `dropDuplicatesWithinWatermark`, so the seen-
+    * set state is BOUNDED by event time (evicted once the watermark
+    * passes), unlike a grow-forever `dropDuplicates`. The streaming form
+    * of the aggregate `remove_duplicates` action
+    * (/root/reference/data-prepper-plugins/aggregate-processor/src/main/
+    * java/.../actions/RemoveDuplicatesAggregateAction.java:26,33-35, whose
+    * group window plays the same state-bounding role). At 100 TB/day the
+    * state is one hash per key within the horizon, shuffled once on the
+    * dedup keys. */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      delayThreshold: String): DataFrame =
+    events.withWatermark(tsCol, delayThreshold)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Session state for the tail-sampler/service-map family: custom
     * per-key state via flatMapGroupsWithState — the Spark-native
     * replacement for the reference's rotating in-memory window maps

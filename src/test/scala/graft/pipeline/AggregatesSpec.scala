@@ -125,6 +125,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup collapses duplicate keys across micro-batches") {
+    val work = graft.TestSpark.tmpDir("graft-sdedup")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(("k1", ts("2024-01-01 00:00:01")), ("k2", ts("2024-01-01 00:00:02")))
+      .toDF("k", "ts").coalesce(1).write.mode("append").parquet(s"$work/in")
+    Seq(("k1", ts("2024-01-01 00:00:03")), ("k3", ts("2024-01-01 00:00:04")))
+      .toDF("k", "ts").coalesce(1).write.mode("append").parquet(s"$work/in")
+    val stream = spark.readStream.schema("k STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = graft.streaming.Streaming.dedupStream(stream, "ts", Seq("k"), "10 minutes")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sdedup_out").select("k").as[String].collect().sorted
+    assert(got.toSeq == Seq("k1", "k2", "k3"), s"got ${got.toSeq}")
+  }
+
   test("sessionize via flatMapGroupsWithState (batch-mode state fn)") {
     val ts0 = 1700000000000L
     val d = Seq(
