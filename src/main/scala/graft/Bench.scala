@@ -36,7 +36,7 @@ object Bench {
     "q_grok_patterns", "q_date_parse", "q_rate_limiter_block",
     "q_user_agent", "q_expr_functions", "q_otel_metrics", "q_event_json",
     "q_cosine_neardups", "q_neardup_clusters", "q_repetition_signals",
-    "q_duplicate_spans")
+    "q_duplicate_spans", "q_pipeline_yaml")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.
@@ -129,8 +129,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // sized so fixed per-job overhead (~0.3s × ~14 Spark jobs) is small
     // against the 4N-level build time — scaling efficiency measures the
-    // engine, not job-scheduling constants
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
+    // engine, not job-scheduling constants. 120k (~40 s at 4N) keeps that
+    // constant under ~10% of the 4N wall; 60k left it near 20% and diluted
+    // measured efficiency to ~0.77 despite a scale-clean shuffle structure.
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toLong
     val work = Files.createTempDirectory("graft-bench").toString
 
     // --- corpus generation (untimed; one-off fixture) ---
@@ -186,7 +188,8 @@ object Bench {
     // soft time budget: under severe host starvation (observed 20×
     // slowdowns lasting minutes) later repeats are skipped once each level
     // has at least one measurement, so the driver always gets its JSON line
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toLong
+    // sized for ~3 interleaved (1,4) pairs at 120k docs (~190 s/pair)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toLong
     val benchStart = System.nanoTime()
     def remainingSec: Double = budgetSec - (System.nanoTime() - benchStart) / 1e9
     // best-ever single-thread probe: the anchor that lets a stormy bench
@@ -242,23 +245,27 @@ object Bench {
     val normalized = efficiency / cpuCeiling
     // adjacent-pair estimate: each back-to-back (local[1], local[4]) pair
     // shares one host-noise window, so its ratio cancels contention the
-    // cross-window min ratio can't; prefer pairs whose four probes were
-    // all quiet, max over pairs ≈ the quietest window
+    // cross-window min ratio can't. Probe quality alone is NOT enough to
+    // call a pair clean: probes only bracket a run, and a storm that hits
+    // strictly between them is invisible (one such run faked a "clean"
+    // pair efficiency of 2.1 — physically impossible, the N side was
+    // storm-slowed 8×). So a pair is clean only if its probes were quiet
+    // AND both sides landed near their level's best-ever time this
+    // invocation — a run close to the per-level minimum is demonstrably
+    // uncontended no matter what the probes missed.
+    val NearMin = 1.2
     val allPairs = runs.grouped(2).collect {
       case scala.collection.mutable.ArrayBuffer(a, b) if a.cores == 1 && b.cores == 4 =>
-        ((a.sec / b.sec) / 4.0, math.min(quality(a), quality(b)))
+        (((a.sec / b.sec) / 4.0, math.min(quality(a), quality(b))),
+          a.sec <= NearMin * tN && b.sec <= NearMin * t4N)
     }.toSeq
-    val cleanPairs = allPairs.filter(_._2 >= CleanQ)
-    // among clean pairs (both windows quiet) the ratio is trustworthy and
-    // max picks the quietest window; with NO clean pair, max over all
-    // pairs would reward a storm-slowed N side (a contended local[1]
-    // makes the ratio LOOK superlinear), so fall back to the pair with
-    // the best min-quality and report ITS ratio — quality-first
-    // selection, efficiency as the outcome, never the other way round
-    val pairEffMax =
-      if (cleanPairs.nonEmpty) cleanPairs.map(_._1).max
-      else if (allPairs.nonEmpty) allPairs.maxBy(_._2)._1
-      else efficiency
+    val cleanPairs = allPairs.collect { case ((e, q), nearMin) if q >= CleanQ && nearMin => e }
+    // among clean pairs max picks the quietest window; with NO clean pair,
+    // max over all pairs would reward a storm-slowed N side (a contended
+    // local[1] makes the ratio LOOK superlinear), so fall back to the
+    // per-level-minima efficiency — quality-first selection, efficiency
+    // as the outcome, never the other way round
+    val pairEffMax = if (cleanPairs.nonEmpty) cleanPairs.max else efficiency
     val pairNormalized = pairEffMax / cpuCeiling
     val scalingClean = cleanPairs.nonEmpty
 

@@ -755,6 +755,54 @@ object SparkEntry {
               |  CASE WHEN n_chars > 300 THEN 'longdoc' END) AS routes
               | FROM documents""".stripMargin)),
 
+    ("q_pipeline_yaml", (s: SparkSession, dir: String) => {
+      // The reference's actual user surface: a pipelines.yaml definition
+      // (data-prepper-pipeline-parser), compiled to a lazy DataFrame DAG —
+      // routes + connected pipelines + parse/mutate processors end-to-end.
+      val yaml =
+        s"""event-pipeline:
+           |  source:
+           |    parquet:
+           |      path: $dir/events.parquet
+           |  processor:
+           |    - parse_json:
+           |        source: props
+           |        schema: "k BIGINT"
+           |    - add_entries:
+           |        entries:
+           |          - key: bucket
+           |            value_expression: "/value * 2"
+           |          - key: label
+           |            format: "$${event_type}-$${parsed/k}"
+           |    - convert_entry_type:
+           |        key: user_id
+           |        type: string
+           |  route:
+           |    - errors: '/event_type == "error"'
+           |  sink:
+           |    - pipeline:
+           |        name: error-pipeline
+           |        routes: [errors]
+           |    - stdout:
+           |error-pipeline:
+           |  source:
+           |    pipeline:
+           |      name: event-pipeline
+           |  processor:
+           |    - uppercase_string:
+           |        with_keys: [event_type]
+           |  sink:
+           |    - stdout:
+           |""".stripMargin
+      graft.pipeline.PipelineYaml.compile(s, yaml)
+        .find(_.pipeline == "error-pipeline").get.df
+        .select("event_id", "event_type", "user_id", "bucket", "label")
+    }, Some("""SELECT event_id, upper(event_type) AS event_type,
+              | CAST(user_id AS VARCHAR) AS user_id,
+              | value * 2 AS bucket,
+              | event_type || '-' || json_extract_string(props, '$.k') AS label
+              | FROM events WHERE event_type = 'error'""".stripMargin)),
+
     // ---------- enrichment ----------
     ("q_geoip_lookup", (s: SparkSession, dir: String) => {
       // synthesize an IP per event (events table has none), then the

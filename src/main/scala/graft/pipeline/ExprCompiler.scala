@@ -184,11 +184,14 @@ object ExprCompiler {
         val c = parseOr()
         skipWs(); require(eat(")"), s"expected ) at $pos in: $src")
         c
-      } else if (peek == '/' || peek == '"') {
+      } else if (peek == '/' || (peek == '"' && pos + 1 < src.length && src.charAt(pos + 1) == '/')) {
+        // grammar disambiguation (.g4:234,274 — token order wins): a
+        // double-quoted token starting with '/' is an EscapedJsonPointer;
+        // any other double-quoted token is a String literal
         fieldRef()
       } else if (peek.isDigit) {
         numberLiteral()
-      } else if (peek == '\'') {
+      } else if (peek == '\'' || peek == '"') {
         lit(parseStringLiteralText())
       } else if (eatKeyword("true")) lit(true)
       else if (eatKeyword("false")) lit(false)
@@ -226,7 +229,7 @@ object ExprCompiler {
 
     private def parseLiteralValue(): Any = {
       skipWs()
-      if (peek == '\'') parseStringLiteralText()
+      if (peek == '\'' || peek == '"') parseStringLiteralText()
       else if (peek.isDigit || peek == '-') {
         val start = pos
         if (peek == '-') pos += 1
@@ -238,11 +241,13 @@ object ExprCompiler {
       else throw new IllegalArgumentException(s"bad literal at $pos in: $src")
     }
 
+    /** String literal — the reference grammar's DOUBLEQUOTE form
+      * (.g4:274); single quotes also accepted as a convenience. */
     private def parseStringLiteralText(): String = {
       skipWs()
-      require(eat("'"), s"expected string at $pos in: $src")
+      val q = if (eat("'")) '\'' else { require(eat("\""), s"expected string at $pos in: $src"); '"' }
       val sb = new StringBuilder
-      while (peek != '\'') {
+      while (peek != q) {
         if (peek == '\\' && pos + 1 < src.length) { pos += 1; sb += src.charAt(pos) }
         else sb += src.charAt(pos)
         pos += 1
@@ -258,7 +263,9 @@ object ExprCompiler {
 
     private def parseArg(): Arg = {
       skipWs()
-      if (peek == '\'') {
+      // a double quote opens a raw string arg unless it quotes a pointer
+      if (peek == '\'' ||
+          (peek == '"' && !(pos + 1 < src.length && src.charAt(pos + 1) == '/'))) {
         val save = pos
         val text = parseStringLiteralText()
         skipWs()

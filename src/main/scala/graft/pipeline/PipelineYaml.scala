@@ -1,0 +1,507 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** Data-Prepper pipeline-definition compiler: the YAML a reference user
+  * already runs (`pipelines.yaml`) compiles to a Spark DataFrame DAG.
+  *
+  * Reference: `data-prepper-pipeline-parser/.../PipelinesDataflowModelParser.java`
+  * (YAML → pipeline model), `data-prepper-core/.../PipelineParser` semantics:
+  * named pipelines with `source` / `processor` / `route` / `sink`, chained by
+  * `pipeline`-typed sinks/sources (`examples/config/example-pipelines.yaml`),
+  * sinks filtered by route names (`valid_multiple_sinks_with_routes.yml`;
+  * a sink with no `routes` receives every event).
+  *
+  * Spark-first re-expression: each pipeline is a lazy DataFrame (source →
+  * folded [[Stage]] processors); routes compile once to [[ExprCompiler]]
+  * Columns; a `pipeline` sink is just an edge in a topologically-evaluated
+  * DAG, and multiple upstream contributions union (`unionByName`). Nothing
+  * materializes until a terminal sink's action runs, so Catalyst optimizes
+  * ACROSS pipeline boundaries — the reference moves every event through
+  * an in-memory blocking buffer per pipeline; here a `grok` in a child
+  * pipeline can push its filter into the parent's parquet scan.
+  *
+  * Batch scoping (documented, consistent with COVERAGE.md): push-style
+  * network sources and connector-jar sinks are not constructible offline;
+  * `in_memory` and unknown-source pipelines can be fed via the `inputs`
+  * map. Parsers that the reference types dynamically (`parse_json` family)
+  * take a `schema` DDL option — a columnar engine needs static types.
+  */
+object PipelineYaml {
+
+  // ------------------------------------------------------------- model
+
+  final case class PluginDef(name: String, options: Map[String, Any])
+
+  final case class SinkDef(plugin: PluginDef, routes: Seq[String])
+
+  final case class PipelineDef(
+      name: String,
+      source: PluginDef,
+      processors: Seq[PluginDef],
+      routes: Seq[(String, String)],
+      sinks: Seq[SinkDef])
+
+  /** One terminal (non-`pipeline`) sink's routed DataFrame. */
+  final case class SinkOutput(pipeline: String, plugin: PluginDef,
+      routes: Seq[String], df: DataFrame)
+
+  // ------------------------------------------------------------- parse
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+    case other => other
+  }
+
+  /** YAML text → ordered pipeline definitions. Accepts the reference's
+    * full top-level shape; engine-runtime keys (`workers`, `delay`,
+    * `buffer`) parse and are ignored — they tune the reference's thread
+    * pool / blocking queue, which Spark's scheduler replaces. */
+  def parse(yamlText: String): Seq[PipelineDef] = {
+    val mapper = new ObjectMapper(new YAMLFactory())
+    val root = toScala(mapper.readValue(yamlText, classOf[java.util.LinkedHashMap[String, Any]]))
+      .asInstanceOf[Map[String, Any]]
+    // LinkedHashMap keeps YAML order, but `toMap` above loses it; re-read
+    // key order from the raw java map for deterministic DAG listing.
+    val order = mapper.readValue(yamlText, classOf[java.util.LinkedHashMap[String, Any]])
+      .keySet().asScala.toSeq
+    order.map { name =>
+      val m = root(name).asInstanceOf[Map[String, Any]]
+      val source = m.get("source") match {
+        case Some(s: Map[String, Any] @unchecked) if s.nonEmpty =>
+          val (pn, po) = s.head
+          PluginDef(pn, asOptions(po))
+        case _ => throw new IllegalArgumentException(s"pipeline $name: missing source")
+      }
+      val processors = m.get("processor").orElse(m.get("prepper")) match {
+        case Some(l: Seq[Any] @unchecked) => l.map(onePlugin(s"pipeline $name processor"))
+        case _ => Seq.empty
+      }
+      val routes = m.get("route").orElse(m.get("routes")) match {
+        case Some(l: Seq[Any] @unchecked) => l.flatMap {
+          case rm: Map[String, Any] @unchecked =>
+            rm.map { case (rn, cond) => rn -> cond.toString }
+          case other => throw new IllegalArgumentException(
+            s"pipeline $name: route entry must be name: condition, got $other")
+        }
+        case _ => Seq.empty
+      }
+      val sinks = m.get("sink") match {
+        case Some(l: Seq[Any] @unchecked) => l.map { s =>
+          val p = onePlugin(s"pipeline $name sink")(s)
+          val rs = p.options.get("routes").orElse(p.options.get("route")) match {
+            case Some(xs: Seq[Any] @unchecked) => xs.map(_.toString)
+            case _ => Seq.empty
+          }
+          SinkDef(PluginDef(p.name, p.options - "routes" - "route"), rs)
+        }
+        case _ => Seq.empty
+      }
+      PipelineDef(name, source, processors, routes, sinks)
+    }
+  }
+
+  private def onePlugin(ctx: String)(v: Any): PluginDef = v match {
+    case m: Map[String, Any] @unchecked if m.size == 1 =>
+      val (pn, po) = m.head
+      PluginDef(pn, asOptions(po))
+    case s: String => PluginDef(s, Map.empty)
+    case other => throw new IllegalArgumentException(s"$ctx: expected one-key plugin map, got $other")
+  }
+
+  private def asOptions(v: Any): Map[String, Any] = v match {
+    case m: Map[String, Any] @unchecked => m
+    case null => Map.empty
+    case _ => Map.empty
+  }
+
+  // ------------------------------------------------- option accessors
+
+  private def optStr(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).filter(_ != null).map(_.toString)
+  private def reqStr(m: Map[String, Any], k: String, plugin: String): String =
+    optStr(m, k).getOrElse(
+      throw new IllegalArgumentException(s"$plugin: missing required option '$k'"))
+  private def optInt(m: Map[String, Any], k: String): Option[Int] =
+    m.get(k).collect { case n: Number => n.intValue() }
+  private def optBool(m: Map[String, Any], k: String, default: Boolean): Boolean =
+    m.get(k).collect { case b: Boolean => b }.getOrElse(default)
+  private def strList(m: Map[String, Any], k: String): Seq[String] = m.get(k) match {
+    case Some(l: Seq[Any] @unchecked) => l.map(_.toString)
+    case Some(s: String) => Seq(s)
+    case _ => Seq.empty
+  }
+  private def mapList(m: Map[String, Any], k: String): Seq[Map[String, Any]] = m.get(k) match {
+    case Some(l: Seq[Any] @unchecked) => l.collect { case e: Map[String, Any] @unchecked => e }
+    case _ => Seq.empty
+  }
+  private def optMap(m: Map[String, Any], k: String): Map[String, Any] = m.get(k) match {
+    case Some(x: Map[String, Any] @unchecked) => x
+    case _ => Map.empty
+  }
+  private def whenOpt(m: Map[String, Any], k: String): Option[Column] =
+    optStr(m, k).map(ExprCompiler.compile)
+
+  // ------------------------------------------------- processor registry
+
+  import Processors._
+
+  /** One reference plugin name + options → one [[Stage]]. The option
+    * names are the reference's (snake_case config fields from each
+    * plugin's `*Config.java`). */
+  def compileProcessor(p: PluginDef): Stage = {
+    val o = p.options
+    p.name match {
+      case "grok" =>
+        val m = optMap(o, "match")
+        require(m.nonEmpty, "grok: 'match' is required")
+        val (field, pats0) = m.head
+        val pats = pats0 match {
+          case l: Seq[Any] @unchecked => l.map(_.toString)
+          case s => Seq(s.toString)
+        }
+        val defs = optMap(o, "pattern_definitions").map { case (k, v) => k -> v.toString }
+        Grok(field, pats, defs,
+          keepEmptyCaptures = optBool(o, "keep_empty_captures", false),
+          tagsOnMatchFailure = strList(o, "tags_on_match_failure"),
+          targetKey = optStr(o, "target_key"))
+
+      case "date" =>
+        val entry = mapList(o, "match").headOption.getOrElse(
+          throw new IllegalArgumentException("date: 'match' is required"))
+        DateParse(
+          source = reqStr(entry, "key", "date.match"),
+          patterns = strList(entry, "patterns"),
+          destination = optStr(o, "destination").getOrElse("@timestamp"),
+          sourceTimezone = optStr(o, "source_timezone").getOrElse("UTC"),
+          destinationTimezone = optStr(o, "destination_timezone").getOrElse("UTC"),
+          locale = optStr(o, "locale").getOrElse("ENGLISH"),
+          outputFormat = optStr(o, "output_format").getOrElse("yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
+          dateWhen = whenOpt(o, "date_when"))
+
+      case "csv" =>
+        CsvParse(optStr(o, "source").getOrElse("message"),
+          strList(o, "column_names"),
+          optStr(o, "delimiter").getOrElse(","))
+
+      case "key_value" =>
+        val source = optStr(o, "source").getOrElse("message")
+        val dest = optStr(o, "destination").getOrElse("parsed_message")
+        val fieldSplit = optStr(o, "field_split_characters")
+          .orElse(optStr(o, "field_delimiter_regex")).getOrElse("&")
+        val valueSplit = optStr(o, "value_split_characters")
+          .orElse(optStr(o, "key_value_delimiter_regex")).getOrElse("=")
+        val advanced = o.contains("value_grouping") || o.contains("include_keys") ||
+          o.contains("exclude_keys") || o.contains("default_values") ||
+          o.contains("transform_key") || o.contains("whitespace") ||
+          o.contains("remove_brackets") || o.contains("key_prefix") ||
+          o.contains("skip_duplicate_values") || o.contains("drop_keys_with_no_value")
+        if (optBool(o, "recursive", false))
+          KeyValueRecursive(source, dest, fieldSplit, valueSplit)
+        else if (advanced)
+          KeyValueAdvanced(source, dest, fieldSplit, valueSplit,
+            valueGrouping = optBool(o, "value_grouping", false),
+            includeKeys = strList(o, "include_keys"),
+            excludeKeys = strList(o, "exclude_keys"),
+            defaultValues = optMap(o, "default_values").map { case (k, v) => k -> v.toString },
+            transformKey = optStr(o, "transform_key").getOrElse("none"),
+            whitespace = optStr(o, "whitespace").getOrElse("lenient"),
+            removeBrackets = optBool(o, "remove_brackets", false),
+            deleteKeyRegex = optStr(o, "delete_key_regex").getOrElse(""),
+            deleteValueRegex = optStr(o, "delete_value_regex").getOrElse(""),
+            keyPrefix = optStr(o, "key_prefix").getOrElse(""),
+            skipDuplicateValues = optBool(o, "skip_duplicate_values", false),
+            dropKeysWithNoValue = optBool(o, "drop_keys_with_no_value", false))
+        else KeyValue(source, dest, fieldSplit, valueSplit)
+
+      case "parse_json" =>
+        ParseJson(optStr(o, "source").getOrElse("message"),
+          reqStr(o, "schema", "parse_json (static-schema engine)"),
+          optStr(o, "destination").getOrElse("parsed"))
+      case "parse_ion" =>
+        ParseIon(optStr(o, "source").getOrElse("message"),
+          reqStr(o, "schema", "parse_ion (static-schema engine)"),
+          optStr(o, "destination").getOrElse("parsed"))
+      case "parse_xml" =>
+        ParseXml(optStr(o, "source").getOrElse("message"),
+          reqStr(o, "schema", "parse_xml (static-schema engine)"),
+          optStr(o, "destination").getOrElse("parsed"))
+      case "write_json" =>
+        WriteJson(reqStr(o, "source", "write_json"),
+          optStr(o, "target").getOrElse(reqStr(o, "source", "write_json")))
+
+      case "add_entries" =>
+        stages(mapList(o, "entries").map { e =>
+          val key = reqStr(e, "key", "add_entries.entries")
+          val overwrite = optBool(e, "overwrite_if_key_exists", false)
+          val w = whenOpt(e, "add_when")
+          (optStr(e, "format"), optStr(e, "value_expression")) match {
+            case (Some(f), _) => AddEntry.format(key, f, overwrite, w)
+            case (_, Some(ex)) => AddEntry.expression(key, ex, overwrite, w)
+            case _ => AddEntry(key, lit(e.getOrElse("value", null)), overwrite, w)
+          }
+        })
+      case "copy_values" =>
+        stages(mapList(o, "entries").map { e =>
+          CopyValue(reqStr(e, "from_key", "copy_values.entries"),
+            reqStr(e, "to_key", "copy_values.entries"),
+            optBool(e, "overwrite_if_to_key_exists", false),
+            whenOpt(e, "copy_when"))
+        })
+      case "rename_keys" =>
+        RenameKeys(mapList(o, "entries").map(e =>
+          reqStr(e, "from_key", "rename_keys") -> reqStr(e, "to_key", "rename_keys")): _*)
+      case "delete_entries" => DeleteEntries(strList(o, "with_keys"): _*)
+      case "select_entries" => SelectEntries(strList(o, "include_keys"): _*)
+      case "convert_entry_type" =>
+        val keys = strList(o, "keys") ++ optStr(o, "key")
+        val to = optStr(o, "type").getOrElse("integer") match {
+          case "integer" => "int" case t => t
+        }
+        stages(keys.map(k => ConvertType(k, to, optInt(o, "scale"), whenOpt(o, "convert_when"))))
+      case "drop_events" =>
+        DropEvents(ExprCompiler.compile(reqStr(o, "drop_when", "drop_events")))
+      case "split_event" =>
+        SplitEvent(reqStr(o, "field", "split_event"),
+          optStr(o, "delimiter_regex").getOrElse(
+            java.util.regex.Pattern.quote(optStr(o, "delimiter").getOrElse(" "))))
+      case "truncate" =>
+        stages(mapList(o, "entries").flatMap { e =>
+          strList(e, "source_keys").map(k =>
+            Truncate(k, optInt(e, "start_at").getOrElse(0), optInt(e, "length"),
+              whenOpt(e, "truncate_when")))
+        })
+      case "obfuscate" =>
+        val source = reqStr(o, "source", "obfuscate")
+        val action = optMap(o, "action")
+        val pattern = strList(o, "patterns").headOption.getOrElse(".+")
+        action.get("hash") match {
+          case Some(h: Map[String, Any] @unchecked) =>
+            ObfuscateHash(source, optStr(h, "salt").getOrElse(""))
+          case _ =>
+            val mask = optMap(action, "mask")
+            ObfuscateMask(source, pattern,
+              optStr(mask, "mask_character").getOrElse("*"),
+              optInt(mask, "mask_character_length").getOrElse(3))
+        }
+      case "substitute_string" =>
+        stages(mapList(o, "entries").map(e =>
+          SubstituteString(reqStr(e, "source", "substitute_string"),
+            reqStr(e, "from", "substitute_string"), optStr(e, "to").getOrElse(""))))
+      case "split_string" =>
+        stages(mapList(o, "entries").map { e =>
+          SplitString(reqStr(e, "source", "split_string"),
+            optStr(e, "delimiter_regex").getOrElse(
+              java.util.regex.Pattern.quote(optStr(e, "delimiter").getOrElse(","))))
+        })
+      case "trim_string" => TrimString(strList(o, "with_keys"): _*)
+      case "uppercase_string" => UppercaseString(strList(o, "with_keys"): _*)
+      case "lowercase_string" => LowercaseString(strList(o, "with_keys"): _*)
+      case "string_converter" =>
+        val key = optStr(o, "source").getOrElse("message")
+        if (optBool(o, "upper_case", true)) UppercaseString(key) else LowercaseString(key)
+      case "translate" =>
+        stages(mapList(o, "mappings").flatMap { mp =>
+          val source = reqStr(mp, "source", "translate.mappings")
+          mapList(mp, "targets").map { t =>
+            Translate(source, reqStr(t, "target", "translate.targets"),
+              optMap(t, "map").map { case (k, v) => k -> v.toString }.toSeq.sortBy(_._1),
+              optStr(t, "default"))
+          }
+        })
+      case "user_agent" =>
+        UserAgent(reqStr(o, "source", "user_agent"),
+          optStr(o, "target").getOrElse("user_agent"))
+      case "dissect" =>
+        val m = optMap(o, "map")
+        require(m.nonEmpty, "dissect: 'map' is required")
+        stages(m.toSeq.map { case (field, pat) =>
+          Dissect(field, pat.toString,
+            optStr(o, "append_separator").getOrElse(""),
+            optMap(o, "target_types").map { case (k, v) => k -> v.toString })
+        })
+      case "flatten" =>
+        Flatten(reqStr(o, "source", "flatten"),
+          excludeKeys = strList(o, "exclude_keys"))
+      case "list_to_map" =>
+        ListToMap(reqStr(o, "source", "list_to_map"),
+          reqStr(o, "key", "list_to_map"),
+          optStr(o, "value_key").getOrElse("value"),
+          optStr(o, "target").getOrElse(reqStr(o, "source", "list_to_map")))
+      case "map_to_list" =>
+        MapToList(reqStr(o, "source", "map_to_list"),
+          optStr(o, "target").getOrElse(reqStr(o, "source", "map_to_list")))
+      case "decompress" =>
+        stages(strList(o, "keys").map(k => Decompress(k, k)))
+      case "detect_format" =>
+        DetectFormat(optStr(o, "source").getOrElse("message"),
+          optStr(o, "destination").getOrElse("format"))
+
+      case other => throw new IllegalArgumentException(
+        s"unsupported processor plugin '$other' in pipeline YAML (supported: grok, date, csv, " +
+          "key_value, parse_json/ion/xml, write_json, add_entries, copy_values, rename_keys, " +
+          "delete_entries, select_entries, convert_entry_type, drop_events, split_event, " +
+          "truncate, obfuscate, substitute_string, split_string, trim/uppercase/lowercase_string, " +
+          "string_converter, translate, user_agent, dissect, flatten, list_to_map, map_to_list, " +
+          "decompress, detect_format)")
+    }
+  }
+
+  private def stages(ss: Seq[Stage]): Stage = (df: DataFrame) => ss.foldLeft(df)((d, s) => s(d))
+
+  // ------------------------------------------------------------ sources
+
+  /** Batch source plugins. `pipeline` sources are resolved by [[compile]];
+    * anything unknown falls back to the `inputs` map (the reference's
+    * `in_memory` test source generalized — push-style servers have no
+    * batch analog, so their pipelines are fed directly). */
+  private def compileSource(spark: SparkSession, pipelineName: String, p: PluginDef,
+      inputs: Map[String, DataFrame]): DataFrame = {
+    import spark.implicits._
+    val o = p.options
+    p.name match {
+      case "file" | "s3" =>
+        val path = optStr(o, "path")
+          .getOrElse(reqStr(o, "path_prefix", s"${p.name} source"))
+        val codec = optMap(o, "codec")
+        val format = if (codec.nonEmpty) codec.head._1
+          else optStr(o, "format").getOrElse("newline")
+        val copts = if (codec.nonEmpty) asOptions(codec.head._2) else Map.empty[String, Any]
+        format match {
+          case "newline" =>
+            Sources.newlineDelimited(spark, path, optInt(copts, "skip_lines").getOrElse(0))
+          case "json" | "ndjson" =>
+            Sources.ndjson(spark, path, reqStr(copts, "schema", "ndjson codec (static-schema engine)"))
+          case "csv" =>
+            Sources.csv(spark, path, optBool(copts, "header", true),
+              optStr(copts, "delimiter").getOrElse(","))
+          case "parquet" => Sources.parquet(spark, path)
+          case "multiline" =>
+            Sources.multiline(spark, path, reqStr(copts, "start_pattern", "multiline codec"))
+          case other => throw new IllegalArgumentException(s"unsupported file codec '$other'")
+        }
+      case "parquet" => Sources.parquet(spark, reqStr(o, "path", "parquet source"))
+      case "random" | "log_generator" =>
+        val n = optInt(o, "lines").orElse(optInt(o, "count")).getOrElse(100)
+        Sources.logGenerator(spark, n.toLong,
+          optInt(o, "seed").map(_.toLong).getOrElse(42L)).toDF("message")
+      case "in_memory" =>
+        val key = optStr(o, "testing_key").getOrElse(pipelineName)
+        inputs.getOrElse(key, inputs.getOrElse(pipelineName,
+          throw new IllegalArgumentException(
+            s"in_memory source: no input registered for '$key'")))
+      case other =>
+        inputs.getOrElse(pipelineName, throw new IllegalArgumentException(
+          s"source plugin '$other' has no batch analog; pass a DataFrame via " +
+            s"inputs(\"$pipelineName\") to feed this pipeline"))
+    }
+  }
+
+  // ------------------------------------------------------------ compile
+
+  /** Compile the whole YAML to terminal sink DataFrames (lazy — nothing
+    * runs until the caller acts on one). Pipelines are evaluated in
+    * dependency order; `pipeline` sinks become union edges. */
+  def compile(spark: SparkSession, yamlText: String,
+      inputs: Map[String, DataFrame] = Map.empty): Seq[SinkOutput] = {
+    val defs = parse(yamlText)
+    val byName = defs.map(d => d.name -> d).toMap
+
+    // upstream edges: child pipeline -> (parent, routes on the edge)
+    val edges: Map[String, Seq[(String, Seq[String])]] = defs.flatMap { d =>
+      d.sinks.collect { case SinkDef(PluginDef("pipeline", o), routes) =>
+        (reqStr(o, "name", "pipeline sink"), (d.name, routes))
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    val routed = scala.collection.mutable.Map.empty[String, (DataFrame, Map[String, Column])]
+
+    def routeFilter(df: DataFrame, conds: Map[String, Column], routes: Seq[String]): DataFrame =
+      if (routes.isEmpty) df
+      else {
+        val cs = routes.map(r => conds.getOrElse(r,
+          throw new IllegalArgumentException(s"sink references undefined route '$r'")))
+        df.filter(cs.reduce(_ || _))
+      }
+
+    // explicit get/put (not getOrElseUpdate): eval recurses into itself
+    // for `pipeline` sources, and mutable.Map.getOrElseUpdate does not
+    // allow the default to modify the map
+    def eval(name: String, stack: List[String]): (DataFrame, Map[String, Column]) =
+      routed.get(name).getOrElse {
+        require(!stack.contains(name), s"pipeline cycle: ${(name :: stack).reverse.mkString(" -> ")}")
+        val d = byName.getOrElse(name,
+          throw new IllegalArgumentException(s"pipeline sink references undefined pipeline '$name'"))
+        val src: DataFrame =
+          if (d.source.name == "pipeline") {
+            val parent = reqStr(d.source.options, "name", "pipeline source")
+            val contribs = edges.getOrElse(name, Seq.empty).filter(_._1 == parent)
+            require(contribs.nonEmpty,
+              s"pipeline '$name' declares source pipeline '$parent' but '$parent' has no matching pipeline sink")
+            contribs.map { case (p, rs) =>
+              val (pdf, pconds) = eval(p, name :: stack)
+              routeFilter(pdf, pconds, rs)
+            }.reduce(_ unionByName _)
+          } else compileSource(spark, name, d.source, inputs)
+        val out = d.processors.foldLeft(src)((df, p) => compileProcessor(p)(df))
+        val conds = d.routes.map { case (rn, expr0) => rn -> ExprCompiler.compile(expr0) }.toMap
+        val v = (out, conds)
+        routed(name) = v
+        v
+      }
+
+    defs.flatMap { d =>
+      val (df, conds) = eval(d.name, Nil)
+      d.sinks.collect {
+        case SinkDef(p, routes) if p.name != "pipeline" =>
+          SinkOutput(d.name, p, routes, routeFilter(df, conds, routes))
+      }
+    }
+  }
+
+  /** Compile AND run terminal sinks that have a batch write analog:
+    * `file` writes at its `path` (format from `codec`/`format`, default
+    * parquet); `opensearch` writes parquet under `outDir/<index>` with
+    * `${}` index templating via [[Sinks.writeGrouped]]'s convention
+    * (graft's index build replaces the bulk indexer — COVERAGE.md §2.2);
+    * `stdout` stays lazy. Returns every terminal output for inspection. */
+  def run(spark: SparkSession, yamlText: String,
+      inputs: Map[String, DataFrame] = Map.empty,
+      outDir: Option[String] = None): Seq[SinkOutput] = {
+    val outs = compile(spark, yamlText, inputs)
+    outs.foreach { so =>
+      so.plugin.name match {
+        case "file" =>
+          val path = reqStr(so.plugin.options, "path", "file sink")
+          val fmt = optStr(so.plugin.options, "format").getOrElse("parquet")
+          fmt match {
+            case "parquet" => so.df.write.mode("overwrite").parquet(path)
+            case "json" | "ndjson" => so.df.write.mode("overwrite").json(path)
+            case "csv" => so.df.write.mode("overwrite").option("header", "true").csv(path)
+            case other => throw new IllegalArgumentException(s"unsupported file sink format '$other'")
+          }
+        case "opensearch" =>
+          outDir.foreach { base =>
+            val index = optStr(so.plugin.options, "index").getOrElse("graft")
+            // `${}` index templating (index-per-key) = partitioned write
+            if (index.contains("${")) {
+              val tpl = FormatString.compile(index)
+              so.df.withColumn("_index", tpl)
+                .write.mode("overwrite").partitionBy("_index").parquet(s"$base/indexed")
+            } else so.df.write.mode("overwrite").parquet(s"$base/$index")
+          }
+        case _ => () // stdout & friends: lazy, caller inspects `df`
+      }
+    }
+    outs
+  }
+}

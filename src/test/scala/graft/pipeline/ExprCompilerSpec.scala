@@ -139,4 +139,18 @@ class ExprCompilerSpec extends AnyFunSuite {
     // malformed input must throw, not silently mis-parse
     intercept[Exception] { ExprCompiler.compile("/id not 5") }
   }
+
+  test("double-quoted string literals vs escaped json pointers (.g4:234,274)") {
+    // the reference grammar's String token is DOUBLE-quoted; only a
+    // double-quoted token starting with '/' is an EscapedJsonPointer
+    assert(ids("""/name == "alpha"""") == Seq(1L))
+    assert(ids("""/name =~ "alpha.*"""") == Seq(1L, 3L))
+    assert(ids("""/lang in {"de", "fr"}""") == Seq(2L))
+    assert(ids("""contains(/name, "bet")""") == Seq(2L, 3L))
+    // escaped pointer: "/key with spaces"
+    val d = Seq((1L, "x"), (2L, "y")).toDF("id", "the key")
+    val hit = d.filter(ExprCompiler.compile(""""/the key" == "y""""))
+      .select("id").as[Long].collect().toSeq
+    assert(hit == Seq(2L))
+  }
 }
