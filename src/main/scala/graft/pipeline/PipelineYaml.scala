@@ -346,13 +346,137 @@ object PipelineYaml {
         DetectFormat(optStr(o, "source").getOrElse("message"),
           optStr(o, "destination").getOrElse("format"))
 
+      // ---- stateful processors: the reference hash-routes events to a
+      // peer and aggregates in wall-clock windows per group; here the
+      // group key IS the shuffle key and windows are event time, so two
+      // batch-only options name what the reference gets implicitly from
+      // arrival: `time_key` (event-time column; reference: wall clock)
+      // and `order_key` (deterministic event order; reference: arrival).
+      case "aggregate" =>
+        val keys = strList(o, "identification_keys")
+        require(keys.nonEmpty, "aggregate: 'identification_keys' is required")
+        val action = optMap(o, "action")
+        require(action.size == 1, "aggregate: exactly one 'action' plugin is required")
+        val (an, ao0) = action.head
+        val ao = asOptions(ao0)
+        val timeKey = optStr(o, "time_key").getOrElse("ts")
+        val orderKey = optStr(o, "order_key").getOrElse(timeKey)
+        val windowDur = durationSeconds(optStr(o, "group_duration").getOrElse("180s"))
+        def nonKeyFields(df: DataFrame): Seq[String] =
+          df.columns.filterNot(c => keys.contains(c) || c == orderKey).toSeq
+        an match {
+          case "count" => optStr(ao, "unique_keys").orElse(strList(ao, "unique_keys").headOption) match {
+            case Some(u) => (df: DataFrame) => Aggregates.countDistinctAction(df, keys, u)
+            case None => (df: DataFrame) =>
+              Aggregates.countAction(df, keys, timeKey, s"$windowDur seconds")
+          }
+          case "histogram" =>
+            val valueKey = reqStr(ao, "key", "aggregate.histogram")
+            val bounds = ao.get("buckets") match {
+              case Some(l: Seq[Any] @unchecked) =>
+                l.collect { case n: Number => n.doubleValue() }
+              case _ => throw new IllegalArgumentException("aggregate.histogram: 'buckets' is required")
+            }
+            (df: DataFrame) => Aggregates.histogramAction(df, keys, valueKey, bounds)
+          case "put_all" => (df: DataFrame) =>
+            Aggregates.putAllAction(df, keys, orderKey, nonKeyFields(df))
+          case "append" => (df: DataFrame) => {
+            val fields = strList(ao, "keys_to_append") match {
+              case Nil => nonKeyFields(df)
+              case ks => ks
+            }
+            Aggregates.appendAction(df, keys, orderKey, fields)
+          }
+          case "remove_duplicates" =>
+            (df: DataFrame) => Aggregates.removeDuplicates(df, keys, orderKey)
+          case "percent_sampler" =>
+            val pct = ao.get("percent").collect { case n: Number => n.doubleValue() }
+              .getOrElse(throw new IllegalArgumentException("percent_sampler: 'percent' is required"))
+            (df: DataFrame) => Aggregates.percentSampler(df, keys, orderKey, pct)
+          case "rate_limiter" =>
+            val rate = optInt(ao, "events_per_second").getOrElse(
+              throw new IllegalArgumentException("rate_limiter: 'events_per_second' is required"))
+            optStr(ao, "when_exceeds").getOrElse("block") match {
+              case "drop" => (df: DataFrame) => Aggregates.rateLimiterDrop(df, keys, timeKey, rate)
+              case _ => (df: DataFrame) =>
+                Aggregates.rateLimiterBlock(df, keys, timeKey, rate.toDouble)
+            }
+          case "tail_sampler" =>
+            val pct = ao.get("percent").collect { case n: Number => n.doubleValue() }.getOrElse(100.0)
+            val cond = optStr(ao, "condition").map(ExprCompiler.compile).getOrElse(lit(false))
+            val gap = s"${durationSeconds(optStr(ao, "wait_period").getOrElse("15s"))}s"
+            (df: DataFrame) => Aggregates.tailSampler(df, keys, timeKey, gap, cond, pct)
+          case other => throw new IllegalArgumentException(
+            s"unsupported aggregate action '$other' (supported: count, histogram, put_all, " +
+              "append, remove_duplicates, percent_sampler, rate_limiter, tail_sampler)")
+        }
+
+      case "anomaly_detector" =>
+        val keys = strList(o, "keys")
+        require(keys.nonEmpty, "anomaly_detector: 'keys' is required")
+        val idKeys = strList(o, "identification_keys")
+        val mode = optMap(o, "mode")
+        val modeName = if (mode.nonEmpty) mode.head._1 else "z_score"
+        val mo = if (mode.nonEmpty) asOptions(mode.head._2) else Map.empty[String, Any]
+        modeName match {
+          case "random_cut_forest" =>
+            // per-identification-key RCF models (cardinality_limit) have no
+            // batch analog worth the memory — documented; global forest here
+            val threshold = mo.get("threshold").collect { case n: Number => n.doubleValue() }
+              .getOrElse(0.6)
+            (df: DataFrame) => graft.ops.Rcf.anomalies(df, keys, threshold,
+              sampleSize = optInt(mo, "sample_size").getOrElse(256),
+              numTrees = optInt(mo, "number_of_trees").getOrElse(30))
+          case _ =>
+            require(idKeys.nonEmpty,
+              "anomaly_detector z_score mode: 'identification_keys' is required (per-group stats)")
+            val threshold = mo.get("threshold").collect { case n: Number => n.doubleValue() }
+              .getOrElse(3.0)
+            (df: DataFrame) => Enrich.zScoreAnomalies(df, idKeys, keys.head, threshold)
+        }
+
+      case "geoip" =>
+        // the reference resolves IPs against a MaxMind mmdb configured in
+        // the extensions section; no mmdb ships offline, so the range
+        // database is inline CIDR → value (`ranges`) — the operator (a
+        // broadcast range join) is identical either way
+        val ranges = optMap(o, "ranges").map { case (cidr, v) => cidr -> v.toString }.toSeq.sortBy(_._1)
+        require(ranges.nonEmpty, "geoip: 'ranges' (cidr: value) is required offline")
+        val default = optStr(o, "default").getOrElse("unknown")
+        val entries = mapList(o, "entries")
+        require(entries.nonEmpty, "geoip: 'entries' is required")
+        stages(entries.map { e =>
+          val source = reqStr(e, "source", "geoip.entries")
+          val target = optStr(e, "target").getOrElse("geo")
+          (df: DataFrame) => Enrich.geoLookup(df, source, target, ranges, default)
+        })
+
       case other => throw new IllegalArgumentException(
         s"unsupported processor plugin '$other' in pipeline YAML (supported: grok, date, csv, " +
           "key_value, parse_json/ion/xml, write_json, add_entries, copy_values, rename_keys, " +
           "delete_entries, select_entries, convert_entry_type, drop_events, split_event, " +
           "truncate, obfuscate, substitute_string, split_string, trim/uppercase/lowercase_string, " +
           "string_converter, translate, user_agent, dissect, flatten, list_to_map, map_to_list, " +
-          "decompress, detect_format)")
+          "decompress, detect_format, aggregate, anomaly_detector, geoip)")
+    }
+  }
+
+  /** "PT20.345S" / "PT15M" (ISO-8601) or "60s" / "1500ms" / "2m" (simple
+    * notation — AggregateProcessorConfig.java:52) → whole seconds. */
+  private def durationSeconds(s: String): Long = {
+    val t = s.trim
+    if (t.toUpperCase(java.util.Locale.ROOT).startsWith("PT"))
+      math.max(1L, java.time.Duration.parse(t).toSeconds)
+    else {
+      val num = t.takeWhile(c => c.isDigit || c == '.').toDouble
+      val unit = t.dropWhile(c => c.isDigit || c == '.').trim.toLowerCase(java.util.Locale.ROOT)
+      val secs = unit match {
+        case "ms" => num / 1000.0
+        case "m" | "min" => num * 60
+        case "h" => num * 3600
+        case _ => num
+      }
+      math.max(1L, secs.toLong)
     }
   }
 

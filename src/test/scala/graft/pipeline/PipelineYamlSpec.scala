@@ -184,6 +184,122 @@ class PipelineYamlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("undefined route"))
   }
 
+  test("aggregate actions through YAML: count window, remove_duplicates, rate_limiter") {
+    val input = Seq(
+      ("a", "2024-01-01 00:00:01", 1), ("a", "2024-01-01 00:00:02", 2),
+      ("a", "2024-01-01 00:04:00", 3), ("b", "2024-01-01 00:00:05", 4))
+      .toDF("svc", "ts0", "n").withColumn("ts", to_timestamp($"ts0")).drop("ts0")
+
+    def oneOut(yaml: String) =
+      PipelineYaml.compile(spark, yaml, Map("p" -> input)).head.df
+
+    val counts = oneOut(
+      """p:
+        |  source:
+        |    in_memory:
+        |  processor:
+        |    - aggregate:
+        |        identification_keys: [svc]
+        |        group_duration: 60s
+        |        time_key: ts
+        |        action:
+        |          count:
+        |  sink:
+        |    - stdout:
+        |""".stripMargin)
+    // ("a" first minute: 2), ("a" fifth minute: 1), ("b": 1)
+    assert(counts.select("svc", "value").orderBy("svc", "value")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+
+    val dedup = oneOut(
+      """p:
+        |  source:
+        |    in_memory:
+        |  processor:
+        |    - aggregate:
+        |        identification_keys: [svc]
+        |        order_key: ts
+        |        action:
+        |          remove_duplicates:
+        |  sink:
+        |    - stdout:
+        |""".stripMargin)
+    assert(dedup.select("svc", "n").orderBy("svc")
+      .as[(String, Int)].collect().toSeq == Seq(("a", 1), ("b", 4)))
+
+    val limited = oneOut(
+      """p:
+        |  source:
+        |    in_memory:
+        |  processor:
+        |    - aggregate:
+        |        identification_keys: [svc]
+        |        time_key: ts
+        |        action:
+        |          rate_limiter:
+        |            events_per_second: 1
+        |            when_exceeds: drop
+        |  sink:
+        |    - stdout:
+        |""".stripMargin)
+    // a@00:01 and a@00:02 are distinct seconds — all four pass; tighten by
+    // duplicating a timestamp
+    assert(limited.count() == 4)
+    val clash = input.union(input.filter($"n" === 1))
+    assert(PipelineYaml.compile(spark,
+      """p:
+        |  source:
+        |    in_memory:
+        |  processor:
+        |    - aggregate:
+        |        identification_keys: [svc]
+        |        time_key: ts
+        |        action:
+        |          rate_limiter:
+        |            events_per_second: 1
+        |            when_exceeds: drop
+        |  sink:
+        |    - stdout:
+        |""".stripMargin, Map("p" -> clash)).head.df.count() == 4)
+  }
+
+  test("geoip ranges + anomaly_detector z-score through YAML") {
+    // enough normal points that |z| of the outlier clears the threshold
+    // (population-std z is bounded by (n-1)/sqrt(n) — 3 points cap at 1.15)
+    val input = Seq(
+      ("10.1.2.3", 1.0), ("10.9.9.9", 1.2), ("10.3.3.3", 1.1),
+      ("10.4.4.4", 0.9), ("10.5.5.5", 1.0), ("8.8.8.8", 1.1),
+      ("10.1.2.4", 50.0))
+      .toDF("ip", "latency")
+    val yaml =
+      """p:
+        |  source:
+        |    in_memory:
+        |  processor:
+        |    - geoip:
+        |        entries:
+        |          - source: ip
+        |            target: geo
+        |        ranges:
+        |          "10.0.0.0/8": private-a
+        |          "8.8.8.0/24": google-dns
+        |    - anomaly_detector:
+        |        keys: [latency]
+        |        identification_keys: [geo]
+        |        mode:
+        |          z_score:
+        |            threshold: 1.5
+        |  sink:
+        |    - stdout:
+        |""".stripMargin
+    val out = PipelineYaml.compile(spark, yaml, Map("p" -> input)).head.df
+    val rows = out.select("ip", "geo", "grade").collect()
+    assert(rows.find(_.getString(0) == "8.8.8.8").get.getString(1) == "google-dns")
+    assert(rows.count(_.getString(1) == "private-a") == 6)
+    // only the 50.0 latency within the private-a group is anomalous
+    assert(rows.filter(_.getDouble(2) == 1.0).map(_.getString(0)).toSeq == Seq("10.1.2.4"))
+  }
+
   test("run() writes file sinks and opensearch index parquet") {
     val dir = TestSpark.tmpDir("pyaml")
     val yaml =
