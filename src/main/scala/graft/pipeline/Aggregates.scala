@@ -27,12 +27,18 @@ object Aggregates {
         max(col(ts)).as("end_time"))
 
   /** `count` with `unique_keys` (exact distinct in the reference via an
-    * in-memory set — here scalable exact count_distinct, plus the
+    * in-memory set over the key TUPLE, CountAggregateAction.java:96 — here
+    * scalable exact count_distinct over the same tuple, plus the
     * approx_count_distinct escape hatch for 10^12-row groups). */
   def countDistinctAction(df: DataFrame, keys: Seq[String], uniqueKey: String,
-      approx: Boolean = false): DataFrame = {
-    val agg0 = if (approx) approx_count_distinct(col(uniqueKey)).as("value")
-      else countDistinct(col(uniqueKey)).as("value")
+      approx: Boolean = false): DataFrame =
+    countDistinctAction(df, keys, Seq(uniqueKey), approx)
+
+  def countDistinctAction(df: DataFrame, keys: Seq[String],
+      uniqueKeys: Seq[String], approx: Boolean): DataFrame = {
+    val ucols = uniqueKeys.map(col)
+    val agg0 = if (approx) approx_count_distinct(struct(ucols: _*)).as("value")
+      else countDistinct(ucols.head, ucols.tail: _*).as("value")
     df.groupBy(keys.map(col): _*).agg(agg0)
   }
 

@@ -365,11 +365,12 @@ object PipelineYaml {
         def nonKeyFields(df: DataFrame): Seq[String] =
           df.columns.filterNot(c => keys.contains(c) || c == orderKey).toSeq
         an match {
-          case "count" => optStr(ao, "unique_keys").orElse(strList(ao, "unique_keys").headOption) match {
-            case Some(u) => (df: DataFrame) => Aggregates.countDistinctAction(df, keys, u)
-            case None => (df: DataFrame) =>
-              Aggregates.countAction(df, keys, timeKey, s"$windowDur seconds")
-          }
+          case "count" =>
+            val uniques = optStr(ao, "unique_keys").map(Seq(_)).getOrElse(strList(ao, "unique_keys"))
+            if (uniques.nonEmpty)
+              (df: DataFrame) => Aggregates.countDistinctAction(df, keys, uniques, approx = false)
+            else
+              (df: DataFrame) => Aggregates.countAction(df, keys, timeKey, s"$windowDur seconds")
           case "histogram" =>
             val valueKey = reqStr(ao, "key", "aggregate.histogram")
             val bounds = ao.get("buckets") match {

@@ -36,6 +36,18 @@ class AggregatesSpec extends AnyFunSuite {
     assert(m("view") == 3 && m("click") == 1 && m("error") == 1)
   }
 
+  test("count distinct action over a multi-key tuple") {
+    // view: (10,1),(20,4),(20,5),(30,6) -> distinct (user_id,event_id) = 4
+    val out = Aggregates.countDistinctAction(events, Seq("event_type"),
+      Seq("user_id", "event_id"), approx = false)
+    val m = out.as[(String, Long)].collect().toMap
+    assert(m("view") == 4 && m("click") == 1 && m("error") == 1)
+    // distinct user_id alone within view = 3 (dup rows for user 20 collapse)
+    val one = Aggregates.countDistinctAction(events, Seq("event_type"),
+      Seq("user_id"), approx = false)
+    assert(one.as[(String, Long)].collect().toMap.apply("view") == 3)
+  }
+
   test("histogram action buckets with open ends") {
     val out = Aggregates.histogramAction(events, Seq.empty, "value", Seq(2.0, 5.0))
     val m = out.select("bucket", "count").as[(Int, Long)].collect().toMap
