@@ -36,7 +36,8 @@ object Bench {
     "q_grok_patterns", "q_date_parse", "q_rate_limiter_block",
     "q_user_agent", "q_expr_functions", "q_otel_metrics", "q_event_json",
     "q_cosine_neardups", "q_neardup_clusters", "q_repetition_signals",
-    "q_duplicate_spans", "q_pipeline_yaml")
+    "q_duplicate_spans", "q_pipeline_yaml",
+    "q_decontaminate", "q_gopher_filter", "q_pii_redact")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.

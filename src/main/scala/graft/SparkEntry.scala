@@ -966,6 +966,41 @@ object SparkEntry {
          | FROM documents""".stripMargin
     }),
 
+    // ---------- corpus curation ----------
+    ("q_decontaminate", (s: SparkSession, dir: String) => {
+      // eval set = every 20th doc standing in for a benchmark suite;
+      // candidates = the rest, flagged on any shared 8-gram
+      val d = docs(s, dir)
+      graft.ops.Curation.decontaminate(
+        d.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 20 === 0), "text", n = 8)
+    }, Some(decontaminateSql(n = 8, evalMod = 20))),
+
+    ("q_gopher_filter", (s: SparkSession, dir: String) => {
+      graft.ops.Curation.gopherFilter(docs(s, dir), "doc_id", "text",
+        graft.ops.Curation.GopherRules(minWords = 30))
+    }, Some(gopherFilterSql(minWords = 30))),
+
+    ("q_pii_redact", (s: SparkSession, dir: String) => {
+      // corpus text carries no PII — append a deterministic synthetic
+      // tail (email/ip/ssn/phone) built identically in the oracle SQL
+      val aug = docs(s, dir).withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.20."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 ssn 123-45-6789 call 555-867-5309")))
+      graft.ops.Curation.piiRedact(aug, "doc_id", "text")
+    }, Some(piiRedactSql())),
+
+    ("q_ml_inference", (s: SparkSession, dir: String) => {
+      // logistic head over the embedding column; weights are a
+      // deterministic literal so the oracle can restate them exactly
+      graft.ops.Inference.linearScore(embeddings(s, dir), "vec_id",
+        "embedding", inferWeights(64), bias = 0.1)
+        .select(col("vec_id"), round(col("logit"), 6).as("logit"),
+          round(col("prob"), 4).as("prob"))
+    }, Some(mlInferenceSql(inferWeights(64), 0.1))),
+
     // ---------- similarity / ANN ----------
     ("q_ann_brute", (s: SparkSession, dir: String) => {
       val q = annQueryVec(64)
@@ -1208,6 +1243,92 @@ object SparkEntry {
        |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
        |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
        |LEFT JOIN d10 USING (doc_id) LEFT JOIN ld USING (doc_id)""".stripMargin
+  }
+
+  /** Same gram slicing convention as the duplicate-span oracles:
+    * `l[i:i+n-1]` with 1-based inclusive DuckDB slices. */
+  private def decontaminateSql(n: Int, evalMod: Int): String =
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | g AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+${n - 1}], ' ') AS g
+       |       FROM (SELECT doc_id, l, unnest(range(1, len(l)-${n - 2})) AS i
+       |             FROM toks WHERE len(l) >= $n)),
+       | eg AS (SELECT DISTINCT g FROM g WHERE doc_id % $evalMod = 0),
+       | ov AS (SELECT d.doc_id, count(*) AS overlap FROM g d JOIN eg USING (g)
+       |        WHERE d.doc_id % $evalMod <> 0 GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap_ngrams,
+       |       coalesce(ov.overlap, 0) >= 1 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $evalMod <> 0) d
+       |LEFT JOIN ov USING (doc_id)""".stripMargin
+
+  /** Rules applied to the SAME round(6) signal values the repetition
+    * oracle checks (its full query nests as a subquery); thresholds are
+    * Curation.GopherRules defaults with the gate's minWords override. */
+  private def gopherFilterSql(minWords: Int): String = {
+    val stopSet = graft.corpus.SyntheticCorpus.Stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH sig AS (SELECT * FROM (
+       |${repetitionSignalsSql()}
+       |) q),
+       | tk AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | x AS (SELECT doc_id,
+       |   CAST(len(l) AS BIGINT) AS n_tokens,
+       |   round(CAST(coalesce(list_sum(list_transform(l, t -> length(t))), 0) AS DOUBLE)
+       |     / greatest(len(l), 1), 6) AS mean_tok_len,
+       |   round(CAST(len(list_filter(l, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+       |     / greatest(len(l), 1), 6) AS alpha_word_frac,
+       |   len(list_distinct(list_filter(l, t -> t IN ($stopSet)))) AS nstops
+       |  FROM tk),
+       | r AS (SELECT x.doc_id, x.n_tokens, concat_ws(',',
+       |   CASE WHEN NOT (x.n_tokens BETWEEN $minWords AND 100000) THEN 'word_count' END,
+       |   CASE WHEN NOT (x.mean_tok_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_length' END,
+       |   CASE WHEN NOT (x.alpha_word_frac >= 0.8) THEN 'alpha_words' END,
+       |   CASE WHEN NOT (x.nstops >= 2) THEN 'stopwords' END,
+       |   CASE WHEN NOT (s.symbol_word_ratio <= 0.1) THEN 'symbol_ratio' END,
+       |   CASE WHEN NOT (s.bullet_line_frac <= 0.9) THEN 'bullet_lines' END,
+       |   CASE WHEN NOT (s.ellipsis_line_frac <= 0.3) THEN 'ellipsis_lines' END,
+       |   CASE WHEN NOT (s.top_2gram_char_frac <= 0.2 AND s.top_3gram_char_frac <= 0.18
+       |     AND s.top_4gram_char_frac <= 0.16) THEN 'top_ngram' END,
+       |   CASE WHEN NOT (s.dup_5gram_char_frac <= 0.15 AND s.dup_10gram_char_frac <= 0.1)
+       |     THEN 'dup_ngram' END,
+       |   CASE WHEN NOT (s.dup_line_frac <= 0.3 AND s.dup_line_char_frac <= 0.2)
+       |     THEN 'dup_lines' END) AS reasons
+       |  FROM x JOIN sig s USING (doc_id))
+       |SELECT doc_id, n_tokens, (reasons = '') AS keep, reasons FROM r""".stripMargin
+  }
+
+  /** The exact Curation.PiiPatterns regexes (RE2-safe by construction)
+    * over the same deterministically augmented text. */
+  private def piiRedactSql(): String = {
+    val ps = graft.ops.Curation.PiiPatterns
+    val redacted = ps.foldLeft("text") { case (acc, (_, re, repl)) =>
+      s"regexp_replace($acc, '$re', '$repl', 'g')"
+    }
+    val counts = ps.map { case (name, re, _) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name"
+    }.mkString(",\n |  ")
+    s"""WITH aug AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |  '@example.com or 10.20.' || CAST(doc_id % 256 AS VARCHAR) ||
+       |  '.7 ssn 123-45-6789 call 555-867-5309' AS text FROM documents)
+       |SELECT doc_id, $redacted AS redacted,
+       |  $counts
+       |FROM aug""".stripMargin
+  }
+
+  /** Deterministic non-trivial weight vector (mixed signs, zero-free). */
+  private def inferWeights(d: Int): Seq[Double] =
+    (0 until d).map(i => ((i * 37) % 19 - 9.5) / 10.0)
+
+  /** Dot accumulates in DOUBLE sequentially in both engines (VecDot and
+    * list_dot_product over DOUBLE[]) → bit-identical logit; prob rounds
+    * to 4 to absorb any last-ulp exp() libm difference. */
+  private def mlInferenceSql(w: Seq[Double], bias: Double): String = {
+    val vec = w.mkString("[", ", ", "]")
+    s"""SELECT vec_id,
+       | round(list_dot_product(CAST(embedding AS DOUBLE[]), $vec) + $bias, 6) AS logit,
+       | round(1.0 / (1.0 + exp(-(list_dot_product(CAST(embedding AS DOUBLE[]), $vec)
+       |   + $bias))), 4) AS prob
+       | FROM embeddings""".stripMargin
   }
 
   private def annBruteSql(q: Seq[Double], k: Int): String = {

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analyzer
+
+/** Corpus-curation operators for a training-data pipeline: benchmark
+  * decontamination, Gopher/C4-style quality filtering, and PII redaction.
+  *
+  * All three are standard large-corpus preparation steps (Brown et al.
+  * 2020 §C eval decontamination; Rae et al. 2021 table A1 quality rules;
+  * Raffel et al. 2020 §2.2 C4 heuristics — public papers). Everything is
+  * Column-algebra + one keyed aggregation where unavoidable; nothing
+  * collects to the driver.
+  */
+object Curation {
+
+  // ------------------------------------------------- decontamination
+
+  /** Flag documents sharing ≥ `minOverlap` distinct word `n`-grams with an
+    * eval/benchmark set (the GPT-3-style 13-gram collision rule; `n` is a
+    * parameter because tiny fixtures need shorter grams).
+    *
+    * Scale shape: the eval side (benchmark suites — at most ~10^6 grams)
+    * reduces to DISTINCT 8-byte xxhash64 gram hashes and broadcasts; the
+    * corpus side streams `(docId, gramHash)` pairs through a broadcast
+    * semi-join — no shuffle of text, no shuffle of the corpus at all until
+    * the per-doc `groupBy(docId).count`, whose input is only the MATCHING
+    * pairs (contamination is rare, so that shuffle is tiny). Joining on
+    * the 64-bit hash instead of the gram string cuts shuffle bytes ~10×;
+    * the collision risk at 10^6 eval grams is ~2^-44 per corpus gram.
+    *
+    * Output: one row per input doc — `overlap_ngrams` (distinct grams of
+    * this doc also present in the eval set) and `contaminated`.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalTextCol: String, n: Int = 13,
+      minOverlap: Int = 1): DataFrame = {
+    def gramHashes(t: Column): Column =
+      array_distinct(transform(
+        TextAnalysis.ngramsCol(Analyzer.tokensCol(t), n), g => xxhash64(g)))
+    val docGrams = docs.select(col(idCol),
+      explode(gramHashes(col(textCol))).as("gh"))
+    val evalGrams = eval.select(explode(gramHashes(col(evalTextCol))).as("gh"))
+      .distinct()
+    val hits = docGrams.join(broadcast(evalGrams), "gh")
+      .groupBy(idCol).agg(count(lit(1)).as("overlap_ngrams"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("overlap_ngrams"))
+      .withColumn("contaminated", col("overlap_ngrams") >= minOverlap)
+  }
+
+  // ------------------------------------------------- quality filtering
+
+  /** Thresholds for [[gopherFilter]]; defaults follow Rae et al. 2021
+    * table A1 (word count, mean word length, symbol ratio, bullet/ellipsis
+    * lines, alpha-word fraction, stopword presence) and the published
+    * repetition cutoffs. */
+  final case class GopherRules(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaWordFrac: Double = 0.80, minDistinctStopwords: Int = 2,
+      maxSymbolWordRatio: Double = 0.10, maxBulletLineFrac: Double = 0.90,
+      maxEllipsisLineFrac: Double = 0.30,
+      maxTop2GramFrac: Double = 0.20, maxTop3GramFrac: Double = 0.18,
+      maxTop4GramFrac: Double = 0.16, maxDup5GramFrac: Double = 0.15,
+      maxDup10GramFrac: Double = 0.10, maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20)
+
+  /** Gopher-style document quality filter: evaluates every rule, emits
+    * `keep` plus a deterministic comma-joined `reasons` list of the failed
+    * rules (empty = keep). One narrow projection over the corpus — the
+    * repetition signals are per-row array folds ([[TextAnalysis]]), so a
+    * 100 TB filtering pass has zero shuffles and prunes to (id, text).
+    *
+    * Thresholds compare against the SAME round(6) values the signal
+    * operators report, so filter decisions are reproducible from the
+    * signal dumps (and engine-independent: the DuckDB oracle applies the
+    * identical rounded comparisons). */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      rules: GopherRules = GopherRules()): DataFrame = {
+    val t = col(textCol)
+    val toks = Analyzer.tokensCol(t)
+    val nToks = size(toks).cast("long")
+    val safeToks = greatest(size(toks), lit(1)).cast("double")
+    val meanTokLen = round(
+      aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") / safeToks, 6)
+    val alphaWordFrac = round(
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / safeToks, 6)
+    val stop = graft.corpus.SyntheticCorpus.Stopwords.toSeq
+    val distinctStops = size(array_distinct(filter(toks, x => x.isin(stop: _*))))
+
+    val sig = TextAnalysis.repetitionSignalCols(t).toMap
+    val r = rules
+    // (rule name, PASS condition) in fixed order — `reasons` lists fails
+    val checks: Seq[(String, Column)] = Seq(
+      "word_count" -> nToks.between(r.minWords, r.maxWords),
+      "mean_word_length" -> meanTokLen.between(r.minMeanWordLen, r.maxMeanWordLen),
+      "alpha_words" -> (alphaWordFrac >= r.minAlphaWordFrac),
+      "stopwords" -> (distinctStops >= r.minDistinctStopwords),
+      "symbol_ratio" -> (sig("symbol_word_ratio") <= r.maxSymbolWordRatio),
+      "bullet_lines" -> (sig("bullet_line_frac") <= r.maxBulletLineFrac),
+      "ellipsis_lines" -> (sig("ellipsis_line_frac") <= r.maxEllipsisLineFrac),
+      "top_ngram" -> (sig("top_2gram_char_frac") <= r.maxTop2GramFrac &&
+        sig("top_3gram_char_frac") <= r.maxTop3GramFrac &&
+        sig("top_4gram_char_frac") <= r.maxTop4GramFrac),
+      "dup_ngram" -> (sig("dup_5gram_char_frac") <= r.maxDup5GramFrac &&
+        sig("dup_10gram_char_frac") <= r.maxDup10GramFrac),
+      "dup_lines" -> (sig("dup_line_frac") <= r.maxDupLineFrac &&
+        sig("dup_line_char_frac") <= r.maxDupLineCharFrac))
+    val reasons = concat_ws(",",
+      checks.map { case (name, pass) => when(!pass, lit(name)) }: _*)
+    df.select(col(idCol), nToks.as("n_tokens"),
+      (reasons === "").as("keep"), reasons.as("reasons"))
+  }
+
+  // ------------------------------------------------- PII redaction
+
+  /** (type, regex, replacement) in APPLICATION ORDER. The regexes are
+    * RE2-compatible (no lookaround/backreferences) so the same pattern
+    * runs identically under java.util.regex and RE2-family engines;
+    * digits are `[0-9]` explicitly to pin ASCII semantics. Email is
+    * replaced first (addresses contain digits that later patterns could
+    * shred); SSN (3-2-4) before phone (3-3-4); IP last. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("phone", "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "[PHONE]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"))
+
+  /** Redact PII (reference: the obfuscate processor's predefined-pattern
+    * mode, ObfuscationProcessor + patterns config): per-type match counts
+    * on the ORIGINAL text plus the redacted text after applying every
+    * pattern in [[PiiPatterns]] order. Pure codegen'd regexp projection —
+    * no UDF, no shuffle. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = PiiPatterns.foldLeft(t) { case (acc, (_, re, repl)) =>
+      regexp_replace(acc, re, repl)
+    }
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long").as(s"n_$name")
+    }
+    df.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
+  }
+}

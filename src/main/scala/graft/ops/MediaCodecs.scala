@@ -136,32 +136,63 @@ object MediaCodecs {
     Some(Bmp(width, height, lum))
   }
 
-  /** Image features: `featDim` grid-pooled mean-luminance cells in [0, 1]
-    * over a near-square grid — the pooled-embedding shape a conv stem
-    * would refine. */
-  def bmpFeatures(bytes: Array[Byte], featDim: Int): Option[Array[Float]] =
-    parseBmp(bytes).map { b =>
-      val cols = math.max(1, math.sqrt(featDim.toDouble).toInt)
-      val rows = (featDim + cols - 1) / cols
-      val out = new Array[Float](featDim)
-      var f = 0
-      while (f < featDim) {
-        val cy = f / cols
-        val cx = f % cols
-        val x0 = cx * b.width / cols
-        val x1 = math.max(x0 + 1, (cx + 1) * b.width / cols)
-        val y0 = (cy % rows) * b.height / rows
-        val y1 = math.max(y0 + 1, ((cy % rows) + 1) * b.height / rows)
-        var acc = 0.0
-        var y = y0
-        while (y < y1) {
-          var x = x0
-          while (x < x1) { acc += b.lum(y * b.width + x); x += 1 }
-          y += 1
-        }
-        out(f) = (acc / ((x1 - x0).toLong * (y1 - y0)) / 255.0).toFloat
-        f += 1
+  /** `featDim` grid-pooled mean-luminance cells in [0, 1] over a
+    * near-square grid — the pooled-embedding shape a conv stem would
+    * refine. Shared by every image decode path so features are
+    * format-independent for identical pixel content. */
+  def gridPoolFeatures(width: Int, height: Int, lum: Array[Float],
+      featDim: Int): Array[Float] = {
+    val cols = math.max(1, math.sqrt(featDim.toDouble).toInt)
+    val rows = (featDim + cols - 1) / cols
+    val out = new Array[Float](featDim)
+    var f = 0
+    while (f < featDim) {
+      val cy = f / cols
+      val cx = f % cols
+      val x0 = cx * width / cols
+      val x1 = math.max(x0 + 1, (cx + 1) * width / cols)
+      val y0 = (cy % rows) * height / rows
+      val y1 = math.max(y0 + 1, ((cy % rows) + 1) * height / rows)
+      var acc = 0.0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { acc += lum(y * width + x); x += 1 }
+        y += 1
       }
-      out
+      out(f) = (acc / ((x1 - x0).toLong * (y1 - y0)) / 255.0).toFloat
+      f += 1
     }
+    out
+  }
+
+  /** Image features from the pure-JVM 24-bit BMP parser. */
+  def bmpFeatures(bytes: Array[Byte], featDim: Int): Option[Array[Float]] =
+    parseBmp(bytes).map(b => gridPoolFeatures(b.width, b.height, b.lum, featDim))
+
+  /** Image features for COMPRESSED formats (PNG/JPEG/GIF/WBMP) through
+    * the JDK's own javax.imageio readers — part of the standard library,
+    * so still zero external dependencies. Luminance uses the same
+    * 0.299/0.587/0.114 weights as [[parseBmp]], so identical pixel
+    * content yields identical features regardless of container format.
+    * Returns None for unrecognized/corrupt payloads (the decoder SPI's
+    * quarantine contract). */
+  def imageioFeatures(bytes: Array[Byte], featDim: Int): Option[Array[Float]] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val lum = new Array[Float](w * h)
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < lum.length) {
+        val p = rgb(i)
+        lum(i) = 0.299f * ((p >> 16) & 0xff) + 0.587f * ((p >> 8) & 0xff) +
+          0.114f * (p & 0xff)
+        i += 1
+      }
+      Some(gridPoolFeatures(w, h, lum, featDim))
+    } catch { case _: Exception => None }
+  }
 }

@@ -35,16 +35,17 @@ object Multimodal {
     def decode(modality: String, bytes: Array[Byte], featDim: Int): Option[Array[Float]]
   }
 
-  /** REAL decoder for the uncompressed formats: WAV/PCM16 audio → framed
-    * RMS-energy features, 24-bit BMP images → grid-pooled luminance
-    * features — both pure JVM ([[MediaCodecs]]), no codec library.
-    * Compressed formats (JPEG/MP3/video) return None here; swap in a
-    * JNI/FFI-backed decoder at this seam for those. */
+  /** REAL decoder: WAV/PCM16 audio → framed RMS-energy features; images →
+    * grid-pooled luminance features via the pure-JVM 24-bit BMP parser
+    * first, then the JDK's javax.imageio readers (PNG/JPEG/GIF — still
+    * standard library, zero external deps). Audio beyond WAV and video
+    * return None here; swap in a JNI/FFI-backed decoder at this seam. */
   object RealDecoder extends MediaDecoder {
     def decode(modality: String, bytes: Array[Byte], featDim: Int): Option[Array[Float]] =
       modality match {
         case "audio" => MediaCodecs.wavFeatures(bytes, featDim)
         case "image" => MediaCodecs.bmpFeatures(bytes, featDim)
+          .orElse(MediaCodecs.imageioFeatures(bytes, featDim))
         case _ => None
       }
   }

@@ -176,8 +176,14 @@ object TextAnalysis {
     * narrow (zero shuffles, a 100 TB pass is one projection), constant
     * per-row state. HOF lambdas sit outside whole-stage codegen but on
     * the same no-shuffle footing as the minhash kernel. */
-  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +: repetitionSignalCols(col(textCol))
+      .map { case (n, c) => c.as(n) }: _*)
+
+  /** The named, round(6) repetition-signal columns for a text column —
+    * shared between [[repetitionSignals]] and [[Curation.gopherFilter]]
+    * so thresholds apply to exactly the reported values. */
+  private[ops] def repetitionSignalCols(t: Column): Seq[(String, Column)] = {
     val toks = Analyzer.tokensCol(t)
     val totChars = greatest(length(concat_ws(" ", toks)), lit(1)).cast("double")
 
@@ -192,20 +198,20 @@ object TextAnalysis {
     val lineChars = greatest(aggregate(lines, lit(0L), (a, x) => a + length(x)), lit(1L)).cast("double")
     val nWords = greatest(size(toks), lit(1)).cast("double")
 
-    df.select(col(idCol),
-      round(topFrac(2), 6).as("top_2gram_char_frac"),
-      round(topFrac(3), 6).as("top_3gram_char_frac"),
-      round(topFrac(4), 6).as("top_4gram_char_frac"),
-      round(dupFrac(5), 6).as("dup_5gram_char_frac"),
-      round(dupFrac(10), 6).as("dup_10gram_char_frac"),
-      round(dupRunCount(sortedLines).cast("double") / nLines, 6).as("dup_line_frac"),
-      round(dupRunChars(sortedLines).cast("double") / lineChars, 6).as("dup_line_char_frac"),
-      round(size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
-        .cast("double") / nLines, 6).as("ellipsis_line_frac"),
-      round(size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
-        l.startsWith("• "))).cast("double") / nLines, 6).as("bullet_line_frac"),
-      round((occurrences(t, "#") + occurrences(t, "...") + occurrences(t, "…"))
-        .cast("double") / nWords, 6).as("symbol_word_ratio"))
+    Seq(
+      "top_2gram_char_frac" -> round(topFrac(2), 6),
+      "top_3gram_char_frac" -> round(topFrac(3), 6),
+      "top_4gram_char_frac" -> round(topFrac(4), 6),
+      "dup_5gram_char_frac" -> round(dupFrac(5), 6),
+      "dup_10gram_char_frac" -> round(dupFrac(10), 6),
+      "dup_line_frac" -> round(dupRunCount(sortedLines).cast("double") / nLines, 6),
+      "dup_line_char_frac" -> round(dupRunChars(sortedLines).cast("double") / lineChars, 6),
+      "ellipsis_line_frac" -> round(size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("double") / nLines, 6),
+      "bullet_line_frac" -> round(size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("• "))).cast("double") / nLines, 6),
+      "symbol_word_ratio" -> round((occurrences(t, "#") + occurrences(t, "...") + occurrences(t, "…"))
+        .cast("double") / nWords, 6))
   }
 
   /** 64-bit document fingerprint: FNV-1a-style fold of the token hash

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------- decontamination
+
+  test("decontaminate flags docs sharing an n-gram with the eval set") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "prefix words alpha beta gamma delta more tail content here"), // shares a 4-gram
+      (2L, "totally unrelated text with no overlap at all whatsoever"),
+      (3L, "short")) // shorter than n -> zero grams, still present
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs, "doc_id", "text", eval, "text", n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("overlap_ngrams"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out(1L)._2 && out(1L)._1 == 1L) // alpha beta gamma delta
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    assert(out.size == 3)
+  }
+
+  test("decontaminate counts distinct overlapping grams, honors minOverlap") {
+    val eval = Seq((9L, "one two three four five six seven")).toDF("doc_id", "text")
+    // doc repeats the shared trigram — distinct overlap must still be
+    // counted once per distinct gram, not once per occurrence
+    val docs = Seq(
+      (1L, "one two three one two three two three four"),
+      (2L, "four five six and also five six seven")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs, "doc_id", "text", eval, "text",
+      n = 3, minOverlap = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("overlap_ngrams"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out(1L) == ((2L, true)))  // "one two three", "two three four"
+    assert(out(2L) == ((2L, true)))  // "four five six", "five six seven"
+  }
+
+  // ------------------------------------------------- gopher filter
+
+  private val goodText = (
+    "the quick brown fox jumps over a lazy dog and then the small cat " +
+      "walks through green fields while birds sing songs about warm " +
+      "summer days in the quiet village near old stone bridges today").trim
+
+  test("gopher filter keeps clean prose, flags failures by rule name") {
+    val docs = Seq(
+      (1L, goodText),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam " * 4),
+      (3L, "tiny"),
+      (4L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 21 22 23 " +
+        "24 25 26 27 28 29 30 31 32")).toDF("doc_id", "text")
+    val out = Curation.gopherFilter(docs, "doc_id", "text",
+      Curation.GopherRules(minWords = 10))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("reasons"))).toMap
+    assert(out(1L)._1, s"clean prose rejected: ${out(1L)._2}")
+    assert(!out(2L)._1 && out(2L)._2.contains("top_ngram"))
+    assert(!out(3L)._1 && out(3L)._2.contains("word_count"))
+    assert(!out(4L)._1 && out(4L)._2.contains("alpha_words"))
+  }
+
+  test("gopher reasons list is ordered and comma-joined") {
+    val docs = Seq((1L, "zz 11")).toDF("doc_id", "text")
+    val out = Curation.gopherFilter(docs, "doc_id", "text").collect().head
+    val reasons = out.getAs[String]("reasons").split(",").toSeq
+    // failing rules appear in the fixed declaration order
+    assert(reasons.head == "word_count")
+    assert(reasons.contains("stopwords"))
+    assert(reasons == reasons.distinct)
+  }
+
+  // ------------------------------------------------- PII redaction
+
+  test("pii redact replaces all four types and counts on the original") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "ssn 123-45-6789 phone 555-867-5309 ip 10.0.0.1"),
+      (3L, "two mails a@b.co c@d.io and ips 1.2.3.4 5.6.7.8"),
+      (4L, "nothing to redact here")).toDF("doc_id", "text")
+    val out = Curation.piiRedact(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("redacted") == "mail [EMAIL] now")
+    assert(out(1L).getAs[Long]("n_email") == 1L)
+    assert(out(2L).getAs[String]("redacted") == "ssn [SSN] phone [PHONE] ip [IP]")
+    assert(out(2L).getAs[Long]("n_ssn") == 1L)
+    assert(out(2L).getAs[Long]("n_phone") == 1L)
+    assert(out(2L).getAs[Long]("n_ip") == 1L)
+    assert(out(3L).getAs[String]("redacted") == "two mails [EMAIL] [EMAIL] and ips [IP] [IP]")
+    assert(out(3L).getAs[Long]("n_email") == 2L && out(3L).getAs[Long]("n_ip") == 2L)
+    assert(out(4L).getAs[String]("redacted") == "nothing to redact here")
+    assert(out(4L).getAs[Long]("n_email") == 0L)
+  }
+
+  test("pii patterns do not cross-match each other") {
+    // an SSN is not a phone (3-2-4 vs 3-3-4) and an IP is not a phone
+    val docs = Seq((1L, "123-45-6789 and 10.20.138.7")).toDF("doc_id", "text")
+    val r = Curation.piiRedact(docs, "doc_id", "text").collect().head
+    assert(r.getAs[String]("redacted") == "[SSN] and [IP]")
+    assert(r.getAs[Long]("n_phone") == 0L)
+  }
+}

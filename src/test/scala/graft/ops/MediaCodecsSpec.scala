@@ -124,4 +124,44 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(again(1L) == out(1L).features.toSeq)
     assert(again(2L) == out(2L).features.toSeq)
   }
+
+  /** Encode the same pixel function through the JDK's ImageIO writer. */
+  private def imageioBytes(fmt: String, width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) {
+      val (r, g, b) = rgb(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("imageio path decodes PNG to the exact features of the equivalent BMP") {
+    val pix = (x: Int, y: Int) => (x * 29 % 256, y * 53 % 256, (x + y) * 11 % 256)
+    val png = MediaCodecs.imageioFeatures(imageioBytes("png", 9, 7, pix), 8)
+    val bmp = MediaCodecs.bmpFeatures(MediaFixtures.bmp24(9, 7, pix), 8)
+    // PNG is lossless and both paths share luminance + grid pooling
+    assert(png.isDefined && bmp.isDefined)
+    assert(png.get.toSeq == bmp.get.toSeq)
+  }
+
+  test("imageio path decodes JPEG and GIF; garbage returns None") {
+    val pix = (x: Int, y: Int) => (128, (x * 16) % 256, (y * 16) % 256)
+    val jpg = MediaCodecs.imageioFeatures(imageioBytes("jpg", 16, 16, pix), 4)
+    assert(jpg.isDefined && jpg.get.length == 4 && jpg.get.forall(f => f >= 0f && f <= 1f))
+    val gif = MediaCodecs.imageioFeatures(imageioBytes("gif", 16, 16, pix), 4)
+    assert(gif.isDefined && gif.get.length == 4)
+    assert(MediaCodecs.imageioFeatures(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9), 4).isEmpty)
+    assert(MediaCodecs.imageioFeatures(null, 4).isEmpty)
+  }
+
+  test("RealDecoder now accepts compressed image formats via imageio") {
+    val pix = (x: Int, y: Int) => (x * 10 % 256, y * 10 % 256, 7)
+    val png = imageioBytes("png", 12, 12, pix)
+    val f = Multimodal.RealDecoder.decode("image", png, 4)
+    assert(f.isDefined && f.get.length == 4)
+  }
 }
