@@ -113,11 +113,17 @@ object Bench {
     * decomposition, not the engine. 8 covers local[4] with 2× slots. */
   private val BuildPartitions = 8
 
-  private def newSession(cores: Int, shufflePartitions: Int = 32): SparkSession = {
+  private def newSession(cores: Int, shufflePartitions: Int = 32,
+      adaptive: Boolean = true): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // The build's plan shape is fully static (explicit partition counts,
+      // explicit broadcast hint) — AQE contributes nothing but extra
+      // QueryStage job boundaries, each ~0.1-0.3 s of driver scheduling
+      // that lands identically at N and 4N and dilutes the scaling ratio.
+      .config("spark.sql.adaptive.enabled", adaptive.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -150,7 +156,8 @@ object Bench {
     // executors are long-lived and warm
     val warmed = scala.collection.mutable.Set.empty[Int]
     def buildAt(cores: Int, run: Int): Double = {
-      val s = newSession(cores, shufflePartitions = BuildPartitions)
+      val s = newSession(cores, shufflePartitions = BuildPartitions,
+        adaptive = false)
       import s.implicits._
       if (!warmed.contains(cores)) {
         warmed += cores

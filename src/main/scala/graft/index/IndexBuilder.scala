@@ -33,12 +33,21 @@ final case class IndexParams(
     /** First docId this build assigns — non-zero for incremental
       * generations ([[IncrementalIndex.append]]), so every generation owns
       * a disjoint docId (and therefore shard) range. */
-    idOffset: Long = 0L) {
+    idOffset: Long = 0L,
+    /** Fixed docId-assignment decomposition: urls land in
+      * `pmod(xxhash64(url), idBuckets)` buckets and ids are dense in
+      * (bucket, url) order. A FIXED bucket count (not the partition count)
+      * makes the assignment invariant to build parallelism — the same
+      * corpus yields the same ids on 1 executor or 1000 — without the
+      * range-partitioner sampling pass that re-reads the whole corpus.
+      * Part of the index identity → recorded in the manifest params. */
+    idBuckets: Int = 1024) {
   def resolvedPartitions(spark: SparkSession): Int =
     if (buildPartitions > 0) buildPartitions else spark.sparkContext.defaultParallelism
   def asMap: Map[String, String] = Map(
     "buckets" -> buckets.toString, "shardSize" -> shardSize.toString,
-    "blockSize" -> blockSize.toString, "idOffset" -> idOffset.toString)
+    "blockSize" -> blockSize.toString, "idOffset" -> idOffset.toString,
+    "idBuckets" -> idBuckets.toString)
 }
 
 /** One compressed posting block for (term, shard): `n` postings whose
@@ -91,9 +100,12 @@ final class InjectedFailure(stage: String)
   * [[StageManifest]]; a rerun skips committed stages → resumable):
   *
   *   docs      extract html→text (verified byte-identical to the stored
-  *             reference text per url), assign dense docIds by global url
-  *             order (range-partition + per-partition prefix-sum offsets —
-  *             no single-partition window, scales to any cluster).
+  *             reference text per url), assign dense docIds in
+  *             (urlHash-partition, url) order — hash-partition on url +
+  *             per-partition url sort + prefix-sum offsets: deterministic
+  *             and parallelism-invariant with no single-partition window
+  *             and no range-sampling pass (which would re-read the whole
+  *             corpus once per build).
   *   tf        (docId, term, tf, dl) — shuffle-free narrow mapPartitions
   *             (per-doc SPIMI map phase; see stageTf).
   *   stats     termstats(term, df), globals(N, sumDl).
@@ -105,7 +117,7 @@ final class InjectedFailure(stage: String)
   *             order into the globally docId-sorted posting list — the
   *             "external multi-way merge" is positional, never re-sorted).
   *
-  * Scale notes: exactly three shuffles end to end — url range-partition
+  * Scale notes: exactly three shuffles end to end — url hash-partition
   * (docIds), groupBy(term) (df stats), repartition(bucket, shard)
   * (postings); tf is narrow. Hot-term skew is defused
   * structurally: the build partitions by (bucket, shard), so a term with
@@ -137,13 +149,38 @@ final class IndexBuilder(
       val f = it.next()
       if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
     }
-    val per = files.sortBy(_.toString).map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try PartitionLineage(f.getName, r.getRecordCount) finally r.close()
-    }.toSeq
+    // Footer opens are independent metadata reads — do them on a small
+    // driver-side pool. A partitionBy'd postings commit touches
+    // buckets×partitions files; serial opens were the LARGEST fixed cost
+    // in the build (a ~2.5 s driver-only tail per build that dilutes the
+    // N→4N scaling ratio identically at every cluster size).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, files.size)))
+    val per =
+      try files.sortBy(_.toString).map { f =>
+        pool.submit(new java.util.concurrent.Callable[PartitionLineage] {
+          def call(): PartitionLineage = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try PartitionLineage(f.getName, r.getRecordCount) finally r.close()
+          }
+        })
+      }.map(_.get()).toSeq
+      finally pool.shutdown()
     (per.map(_.rows).sum, per)
   }
+
+
+  // Schema-pinned readers: a bare spark.read.parquet runs a small
+  // schema-inference job per call (footer sampling) — six of them per
+  // build, each a driver-serial ~0.2 s that dilutes the N→4N scaling
+  // ratio. The stage schemas are static, so pin them.
+  private val docSchema = implicitly[org.apache.spark.sql.Encoder[DocRow]].schema
+  private val tfSchema = implicitly[org.apache.spark.sql.Encoder[TfRow]].schema
+  private val tsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("total_tf", org.apache.spark.sql.types.LongType)))
 
   private def commit(stage: String, path: String, inputs: Seq[String],
       metrics: Map[String, String]): Unit = {
@@ -186,50 +223,70 @@ final class IndexBuilder(
   }
 
   /** Stage 1: distributed extraction (byte-identity-verified) + dense docId
-    * assignment in global url order. */
+    * assignment in deterministic (urlHash-partition, url) order. */
   def stageDocs(pages: Dataset[Page], inputDesc: String): Unit = {
     val parts = params.resolvedPartitions(spark)
     val extractUdf = udf((html: Array[Byte]) => HtmlText.extract(html))
 
-    // Extraction goes AFTER the range exchange: the range partitioner's
-    // sampling pass executes the exchange's child plan, so anything
-    // upstream of the exchange runs twice — with the UDF downstream the
-    // sample only touches the raw scan.
+    // HASH-partition on a FIXED id-bucket of the url (not range-partition):
+    // repartitionByRange's RangePartitioner executes the exchange's child
+    // once just to sample bounds, i.e. a SECOND full corpus read per build
+    // (~25% of the docs stage). Instead urls land in
+    // pmod(xxhash64(url), idBuckets) buckets; dense ids follow
+    // (bucket, url) order via per-bucket prefix-sum offsets. Because the
+    // bucket count is an IndexParams CONSTANT (each bucket lives entirely
+    // inside one partition), the assignment is invariant to build
+    // parallelism AND needs no sampling pass
+    // (ParallelismEquivalenceSpec pins 1-vs-7 identity).
     // Byte-identity gate (north rule): re-extracted text must equal the
     // reference-extracted text stored in the corpus, for every row.
+    val idBuckets = params.idBuckets
     val sorted = pages
       .select($"url", $"html", $"text", $"lang")
-      .repartitionByRange(parts, $"url")
-      .sortWithinPartitions("url")
+      .withColumn("idb", pmod(xxhash64($"url"), lit(idBuckets.toLong)).cast("int"))
+      .repartition(parts, $"idb")
+      .sortWithinPartitions("idb", "url")
       .withColumn("extracted", extractUdf(col("html")))
-      .select($"url", $"extracted", $"text", $"lang")
+      .select($"idb", $"url", $"extracted", $"text", $"lang")
       .persist()
 
-    // One fused pass over the cached partitions: per-partition row count
-    // (for the dense-docId prefix sum) AND the byte-identity mismatch
-    // count (north-rule extraction gate).
-    val counts = sorted.select($"extracted", $"text")
-      .as[(String, String)].mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
+    // One fused pass over the cached partitions: per-BUCKET row counts
+    // (for the dense-docId prefix sum; rows arrive bucket-sorted so this
+    // is a run-length count) AND the byte-identity mismatch count
+    // (north-rule extraction gate).
+    val counts = sorted.select($"idb", $"extracted", $"text")
+      .as[(Int, String, String)].mapPartitions { it =>
+        val perBucket = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var curB = -1
         var n = 0L
         var mism = 0L
-        it.foreach { case (e, t) => n += 1; if (e != t) mism += 1 }
-        Iterator.single((pid, n, mism))
-      }.collect().sortBy(_._1)
-    val mismatches = counts.map(_._3).sum
+        it.foreach { case (b, e, t) =>
+          if (b != curB) { if (curB >= 0) perBucket += ((curB, n)); curB = b; n = 0L }
+          n += 1
+          if (e != t) mism += 1
+        }
+        if (curB >= 0) perBucket += ((curB, n))
+        // bucket rows, plus one (-1, partitionMismatches) sentinel row
+        perBucket.iterator ++ Iterator.single((-1, mism))
+      }.collect()
+    val mismatches = counts.collect { case (-1, m) => m }.sum
     require(mismatches == 0,
       s"HTML extraction not byte-identical to reference for $mismatches urls")
-    val offsets = new Array[Long](parts)
+    val offsets = new Array[Long](idBuckets)
     var acc = params.idOffset // generation base — 0 for a standalone build
-    counts.foreach { case (pid, c, _) => offsets(pid) = acc; acc += c }
+    counts.filter(_._1 >= 0).sortBy(_._1).foreach { case (b, c) =>
+      offsets(b) = acc; acc += c
+    }
     val nDocs = acc - params.idOffset
     val bc = spark.sparkContext.broadcast(offsets)
 
-    val docs = sorted.select($"url", $"extracted", $"lang")
-      .as[(String, String, String)]
+    val docs = sorted.select($"idb", $"url", $"extracted", $"lang")
+      .as[(Int, String, String, String)]
       .mapPartitions { it =>
-        var id = bc.value(TaskContext.getPartitionId())
-        it.map { case (url, text, lang) =>
+        var curB = -1
+        var id = 0L
+        it.map { case (b, url, text, lang) =>
+          if (b != curB) { curB = b; id = bc.value(b) }
           val r = DocRow(id, url, text, lang); id += 1; r
         }
       }
@@ -249,7 +306,7 @@ final class IndexBuilder(
     * distinct (doc, term) pairs and never exchanges them. Carrying `dl` on
     * each row also deletes the doclen join from the postings stage. */
   def stageTf(): Unit = {
-    spark.read.parquet(docsPath).select($"docId", $"text")
+    spark.read.schema(docSchema).parquet(docsPath).select($"docId", $"text")
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -273,18 +330,20 @@ final class IndexBuilder(
     * unavoidable by-term shuffle, map-side combined) and exact integer
     * globals (N, sumDl) for a parallelism-invariant avgdl. */
   def stageStats(): Unit = {
-    val tf = spark.read.parquet(tfPath)
-    // ONE scan of tf: df and per-term total_tf in the same aggregate;
-    // sumDl then folds over the (tiny) termstats table instead of
-    // re-scanning tf (sum of per-term exact integers == total tokens).
+    val tf = spark.read.schema(tfSchema).parquet(tfPath)
+    // ONE scan of tf AND one Spark job: df and per-term total_tf in the
+    // same aggregate; sumDl rides the write action as an `observe`
+    // metric (sum of per-term exact integers == total tokens) instead of
+    // a second job over the written artifact.
+    val obs = org.apache.spark.sql.Observation("stats")
     tf.groupBy($"term").agg(count(lit(1)).as("df"), sum($"tf").as("total_tf"))
+      .observe(obs, coalesce(sum($"total_tf"), lit(0L)).as("sumDl"))
       .write.mode(SaveMode.Overwrite).parquet(termstatsPath)
     // n from the docs-stage manifest (no extra job; includes empty docs)
     val n = Manifest.read(indexDir, "docs")
       .flatMap(_.metrics.get("n").map(_.toLong))
       .getOrElse(spark.read.parquet(docsPath).count())
-    val sumDl = spark.read.parquet(termstatsPath)
-      .agg(coalesce(sum($"total_tf"), lit(0L))).as[Long].head()
+    val sumDl = obs.get("sumDl").asInstanceOf[Long]
     Globals.write(indexDir, Globals(n, sumDl))
     commit("stats", termstatsPath, Seq(tfPath),
       Map("n" -> n.toString, "sumDl" -> sumDl.toString))
@@ -300,8 +359,8 @@ final class IndexBuilder(
     val blockSize = params.blockSize
     val nBuckets = params.buckets
 
-    val tf = spark.read.parquet(tfPath)
-    val ts = spark.read.parquet(termstatsPath)
+    val tf = spark.read.schema(tfSchema).parquet(tfPath)
+    val ts = spark.read.schema(tsSchema).parquet(termstatsPath)
 
     // df lookup: broadcast when the vocabulary fits one executor (web
     // vocabularies are heavy-tailed; tens of millions of terms is a few
