@@ -277,6 +277,19 @@ object Bench {
     val pairEffMax = if (cleanPairs.nonEmpty) cleanPairs.max else efficiency
     val pairNormalized = pairEffMax / cpuCeiling
     val scalingClean = cleanPairs.nonEmpty
+    // Median adjacent-pair efficiency over ALL pairs: when the host sits
+    // in a sustained contention band (no pair passes the probe bar), each
+    // pair still shares one noise window, so its ratio is unbiased under
+    // proportional slowdown; the median rejects the asymmetric storms
+    // that hit only one side of a pair (either direction). Reported as
+    // supporting evidence beside the gated estimators, never in place of
+    // them.
+    val pairEffMedian = {
+      val es = allPairs.map(_._1._1).sorted
+      if (es.isEmpty) efficiency
+      else if (es.size % 2 == 1) es(es.size / 2)
+      else (es(es.size / 2 - 1) + es(es.size / 2)) / 2.0
+    }
 
     // --- query p95 latency over the fixture query set (warm, k=10) ---
     spark = newSession(32)
@@ -315,15 +328,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
 
     writeBenchMd(benchDocs, tN, t4N, thrN, thr4N, efficiency, cpuCeiling,
-      normalized, pairEffMax, pairNormalized, scalingClean, p50, p95)
+      normalized, pairEffMax, pairNormalized, pairEffMedian, scalingClean,
+      p50, p95)
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_efficiency_pair_median":${f"$pairEffMedian%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
   }
 
   private def writeBenchMd(n: Long, tN: Double, t4N: Double, thrN: Double,
       thr4N: Double, eff: Double, ceil: Double, norm: Double,
-      pairEff: Double, pairNorm: Double, clean: Boolean,
+      pairEff: Double, pairNorm: Double, pairMedian: Double, clean: Boolean,
       p50: Double, p95: Double): Unit = {
     val md =
       s"""# BENCH — measured (sandbox, this round)
@@ -350,7 +364,11 @@ object Bench {
          |back-to-back local[1]/local[4] pair shares one host-noise window,
          |so its ratio cancels the contention that cross-window minima
          |can't) = **${f"$pairEff%.3f"}**, ceiling-normalized
-         |**${f"$pairNorm%.3f"}** (target >= 0.8 normalized).
+         |**${f"$pairNorm%.3f"}** (target >= 0.8 normalized); MEDIAN
+         |adjacent-pair efficiency over all interleaved pairs =
+         |**${f"$pairMedian%.3f"}** (unbiased under the host's
+         |proportional contention bands, robust to one-sided storms —
+         |supporting evidence beside the gated estimators).
          |
          |Why 1→4 and not a wider pair: this VM's 32 "cores" are
          |SMT/overcommitted vCPUs — a pure-CPU burn loop (no Spark, no I/O)

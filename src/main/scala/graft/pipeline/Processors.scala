@@ -129,10 +129,32 @@ object Processors {
 
   /** `obfuscate` with mask action (obfuscate-processor/.../MaskAction.java:16):
     * replace every regex match with `maskChar` × `maskLength`. */
+  /** The obfuscate processor's predefined `%{NAME}` pattern library
+    * (obfuscate-processor/.../CommonPattern.java:9-14) — same names, same
+    * expressions, so reference configs port verbatim. */
+  val ObfuscatePatterns: Map[String, String] = Map(
+    "EMAIL_ADDRESS" -> "[A-Za-z0-9+_.-]+@([\\w-]+\\.)+[\\w-]{2,4}",
+    "IP_ADDRESS_V4" -> "((25[0-5]|(2[0-4]|1\\d|[1-9]|)\\d)\\.?\\b){4}",
+    "BASE_NUMBER" -> "[0-9]*\\.?[0-9]+",
+    "CREDIT_CARD_NUMBER" -> "(\\d[ -]*?){13,16}",
+    "US_PHONE_NUMBER" -> "\\+?\\d?[\\s-]?(\\(\\d{3}\\)|\\d{3})[\\s-]?\\d{3}[\\s-]?\\d{4}",
+    "US_SSN_NUMBER" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+
+  /** Expand a `%{NAME}` reference to its predefined expression; raw
+    * regexes pass through untouched (ObfuscationProcessor.java pattern
+    * resolution). Unknown names fail fast like the reference. */
+  private[pipeline] def resolveObfuscatePattern(p: String): String =
+    if (p.startsWith("%{") && p.endsWith("}")) {
+      val name = p.substring(2, p.length - 1)
+      ObfuscatePatterns.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown predefined obfuscate pattern: $p"))
+    } else p
+
   final case class ObfuscateMask(key: String, pattern: String,
       maskChar: String = "*", maskLength: Int = 3) extends Stage {
     def apply(df: DataFrame): DataFrame =
-      df.withColumn(key, regexp_replace(col(key), pattern, maskChar * maskLength))
+      df.withColumn(key, regexp_replace(col(key),
+        resolveObfuscatePattern(pattern), maskChar * maskLength))
   }
 
   /** `obfuscate` with one-way-hash action (OneWayHashAction.java:28):

@@ -66,6 +66,20 @@ class ProcessorsSpec extends AnyFunSuite {
     assert(h.length == 128 && h.matches("[0-9a-f]+")) // SHA-512 hex
   }
 
+  test("obfuscate predefined %{NAME} pattern library") {
+    val d = Seq(("mail a.b-1@test.mail.org from 10.1.2.3 ssn 123-45-6789", 1))
+      .toDF("t", "id")
+    assert(Processors.ObfuscateMask("t", "%{EMAIL_ADDRESS}", "*", 3)(d)
+      .select("t").as[String].head() == "mail *** from 10.1.2.3 ssn 123-45-6789")
+    assert(Processors.ObfuscateMask("t", "%{IP_ADDRESS_V4}", "#", 3)(d)
+      .select("t").as[String].head() == "mail a.b-1@test.mail.org from ### ssn 123-45-6789")
+    assert(Processors.ObfuscateMask("t", "%{US_SSN_NUMBER}", "*", 3)(d)
+      .select("t").as[String].head() == "mail a.b-1@test.mail.org from 10.1.2.3 ssn ***")
+    intercept[IllegalArgumentException] {
+      Processors.ObfuscateMask("t", "%{NOT_A_PATTERN}")(d)
+    }
+  }
+
   test("dissect positional extraction") {
     val d = Seq(("alice GET /index.html 200", 1)).toDF("line", "id")
     val out = Processors.Dissect("line", "%{user} %{method} %{path} %{code}")(d)
