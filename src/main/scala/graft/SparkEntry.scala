@@ -902,8 +902,13 @@ object SparkEntry {
     }, Some(ngramJaccardSql(0.5, None))),
 
     ("q_simhash_neardups", (s: SparkSession, dir: String) => {
-      Dedup.simHashNearDups(docs(s, dir), "doc_id", "text", maxHamming = 6)
-    }, None),
+      // md5 token-hash mode: bit-identical signatures are computable in
+      // DuckDB, so the full pair list (exact recall at radius 6 via the
+      // maxHamming+1-bank pigeonhole) is oracle-checked; the xxh64 fast
+      // path is pinned by the brute-force differential in OpsSpec
+      Dedup.simHashNearDups(docs(s, dir), "doc_id", "text", maxHamming = 6,
+        tokenHash = "md5")
+    }, Some(simHashSql(6))),
 
     ("q_neardup_clusters", (s: SparkSession, dir: String) => {
       // pair generation -> transitive closure -> per-doc cluster id: the
@@ -1244,6 +1249,29 @@ object SparkEntry {
        |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
        |LEFT JOIN d10 USING (doc_id) LEFT JOIN ld USING (doc_id)""".stripMargin
   }
+
+  /** Exact simhash oracle: per-token hash = first 8 bytes of md5 (the
+    * operator's "md5" tokenHash mode — bit-identical to
+    * `('0x' || substr(md5(t),1,16))::UBIGINT`), signature = sign of the
+    * per-bit +-1 vote sum, pairs = brute-force hamming join at small n
+    * (the engine's banked join must return EXACTLY these pairs — recall
+    * is guaranteed by the maxHamming+1-bank pigeonhole). */
+  private def simHashSql(maxHamming: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+       | h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM toks),
+       | bits AS (SELECT doc_id, b,
+       |     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+       |   FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) AS bs(b)
+       |   GROUP BY 1, 2),
+       | sig0 AS (SELECT doc_id,
+       |     sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)::UBIGINT AS sim
+       |   FROM bits GROUP BY 1),
+       | sig AS (SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
+       |   FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sig0 s USING (doc_id))
+       |SELECT a.doc_id AS idA, b.doc_id AS idB,
+       |  bit_count(xor(a.sim, b.sim)) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming""".stripMargin
 
   /** Same gram slicing convention as the duplicate-span oracles:
     * `l[i:i+n-1]` with 1-based inclusive DuckDB slices. */

@@ -236,15 +236,40 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token hashes weighted by tf. */
-  def simHash(text: Column): Column = {
+  /** First 8 bytes of md5(token), big-endian — the cross-engine-verifiable
+    * token hash: DuckDB's `('0x' || substr(md5(t), 1, 16))::UBIGINT` is
+    * bit-identical (same trick as the md5-threshold sampler), which makes
+    * an exact SQL oracle for simhash possible. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private def md5Hash64(t: String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** @param tokenHash "xxh64" (default — fastest, the 100 TB path) or
+    *                  "md5" (cross-engine-verifiable; see [[md5Hash64]]).
+    *                  Signature semantics are identical either way. */
+  def simHash(text: Column, tokenHash: String = "xxh64"): Column = {
+    require(tokenHash == "xxh64" || tokenHash == "md5", s"unknown tokenHash $tokenHash")
+    val useMd5 = tokenHash == "md5"
     val f = udf { (toks: Seq[String]) =>
       if (toks == null || toks.isEmpty) 0L
       else {
         val acc = new Array[Int](64)
         toks.foreach { t =>
-          val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+          val h =
+            if (useMd5) md5Hash64(t)
+            else {
+              val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+              org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+            }
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -268,7 +293,7 @@ object Dedup {
     * recall at the requested radius by construction (r1 hardcoded 4 banks,
     * which only guarantees radius 3 — VERDICT r1 "What's wrong" #2). */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, tokenHash: String = "xxh64"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 31] (64-bit signature needs banks of >= 2 bits), got $maxHamming")
     val banks = maxHamming + 1
@@ -281,7 +306,7 @@ object Dedup {
       val mask = if (width == 64) -1L else (1L << width) - 1L
       shiftrightunsigned(col("sim"), offsets(b)).bitwiseAND(lit(mask))
     }
-    val sigs = df.select(col(idCol), simHash(col(textCol)).as("sim"))
+    val sigs = df.select(col(idCol), simHash(col(textCol), tokenHash).as("sim"))
     val banked = sigs.select(col(idCol), col("sim"),
       posexplode(array(bankCols: _*)))
       .withColumnRenamed("pos", "bank").withColumnRenamed("col", "bankVal")

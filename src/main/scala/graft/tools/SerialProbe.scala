@@ -18,6 +18,7 @@ object SerialProbe {
   def main(args: Array[String]): Unit = {
     val cores = if (args.length > 0) args(0).toInt else 4
     val docs = if (args.length > 1) args(1).toLong else 60000L
+    val parts = if (args.length > 2) args(2).toInt else 8
 
     val gen = SparkSession.builder().master("local[32]")
       .appName("probe-gen").config("spark.sql.shuffle.partitions", "32")
@@ -28,7 +29,7 @@ object SerialProbe {
     gen.stop()
 
     val spark = SparkSession.builder().master(s"local[$cores]")
-      .appName("probe-build").config("spark.sql.shuffle.partitions", "8")
+      .appName("probe-build").config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "false"))
@@ -48,14 +49,14 @@ object SerialProbe {
 
     // warm codegen/JIT like the bench does
     new IndexBuilder(spark, s"$work/warm",
-      IndexParams(buckets = 16, shardSize = 8192, blockSize = 128, buildPartitions = 8))
+      IndexParams(buckets = 16, shardSize = 8192, blockSize = 128, buildPartitions = parts))
       .build(SyntheticCorpus.generate(spark, 2000, seed = 7L), "warmup")
     jobs.clear()
 
     val pages = spark.read.parquet(s"$work/corpus").as[graft.corpus.Page]
     val t0 = System.nanoTime()
     new IndexBuilder(spark, s"$work/idx",
-      IndexParams(buckets = 16, shardSize = 8192, blockSize = 128, buildPartitions = 8))
+      IndexParams(buckets = 16, shardSize = 8192, blockSize = 128, buildPartitions = parts))
       .build(pages, "probe")
     val total = (System.nanoTime() - t0) / 1e9
 
@@ -72,7 +73,7 @@ object SerialProbe {
       prevEnd = math.max(prevEnd, j.end)
     }
     val tail = (t0 + (total * 1e9).toLong - prevEnd) / 1e9
-    System.err.println(f"[serial] cores=$cores docs=$docs total ${total}%.2fs = jobs ${jobSum}%.2fs + gaps ${gapSum}%.2fs + tail ${tail}%.2fs (serial frac ${(gapSum + tail) / total * 100}%.1f%%)")
+    System.err.println(f"[serial] cores=$cores docs=$docs parts=$parts total ${total}%.2fs = jobs ${jobSum}%.2fs + gaps ${gapSum}%.2fs + tail ${tail}%.2fs (serial frac ${(gapSum + tail) / total * 100}%.1f%%)")
     spark.stop()
   }
 }

@@ -144,6 +144,29 @@ class DedupSpec extends AnyFunSuite {
     assert(banked == brute,
       s"banked missed ${(brute -- banked).size}, extra ${(banked -- brute).size}")
   }
+
+  test("simhash md5 token-hash mode: DuckDB-identical hash bits, same recall") {
+    // the md5 mode's per-token hash must equal
+    // ('0x' || substr(md5(t), 1, 16))::UBIGINT — pin one known value
+    // (md5('hello') = 5d41402abc4b2a76..., first 8 bytes BE below)
+    val one = Seq((1L, "hello")).toDF("doc_id", "text")
+      .select(Dedup.simHash($"text", tokenHash = "md5")).as[Long].head()
+    // single token => signature bits == hash bits
+    assert(one == 6719722671305337462L)
+    // the banked join under md5 mode finds a near pair at its exact radius
+    val docs2 = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i k"),
+      (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
+    val sigs = docs2.select($"doc_id", Dedup.simHash($"text", "md5").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val ham12 = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    assert(ham12 <= 31, s"fixture unexpectedly far apart ($ham12)")
+    val pairs = Dedup.simHashNearDups(docs2, "doc_id", "text",
+        maxHamming = ham12, tokenHash = "md5")
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    intercept[IllegalArgumentException](Dedup.simHash($"text", "sha9000"))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
