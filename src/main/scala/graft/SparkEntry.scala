@@ -937,8 +937,22 @@ object SparkEntry {
               | FROM documents""".stripMargin)),
 
     ("q_fingerprint", (s: SparkSession, dir: String) => {
-      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
-    }, None),
+      // md5 token-hash mode → the rolling FNV fold is reproducible in SQL
+      // (list_reduce with wrapping HUGEINT multiplication); xxh64 default
+      // stays the 100 TB fast path (TextSignalsSpec)
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", tokenHash = "md5")
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
+         | h AS (SELECT doc_id, list_transform(l,
+         |     t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs FROM toks),
+         | f AS (SELECT doc_id, list_reduce(
+         |     list_prepend(14695981039346656037::UBIGINT, hs),
+         |     (a, x) -> ((xor(a, x)::HUGEINT * 1099511628211)
+         |       % (1::HUGEINT << 64))::UBIGINT) AS v FROM h)
+         |SELECT doc_id, CASE WHEN v >= (1::HUGEINT << 63)
+         |  THEN (v::HUGEINT - (1::HUGEINT << 64))::BIGINT
+         |  ELSE v::BIGINT END AS fingerprint
+         |FROM f""".stripMargin)),
 
     ("q_repetition_signals", (s: SparkSession, dir: String) => {
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")

@@ -244,7 +244,7 @@ object Dedup {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  private def md5Hash64(t: String): Long = {
+  private[ops] def md5Hash64(t: String): Long = {
     val md = md5Local.get(); md.reset()
     val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |

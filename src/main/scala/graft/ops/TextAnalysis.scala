@@ -221,6 +221,24 @@ object TextAnalysis {
     aggregate(Analyzer.tokensCol(text), lit(-3750763034362895579L), // FNV offset basis
       (acc, tok) => (acc.bitwiseXOR(xxhash64(tok))) * lit(1099511628211L)) // FNV prime
 
-  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+  /** Same fold with per-token hash = first 8 bytes of md5 (the
+    * cross-engine-verifiable mode, [[Dedup.md5Hash64]]) — a SQL engine
+    * reproduces it exactly via `list_reduce` over
+    * `('0x'||substr(md5(t),1,16))::UBIGINT` with wrapping 64-bit
+    * multiplication, which is how the q_fingerprint oracle checks it. */
+  def fingerprintMd5(text: Column): Column = {
+    val f = udf { (toks: Seq[String]) =>
+      var acc = -3750763034362895579L
+      if (toks != null) toks.foreach(t => acc = (acc ^ Dedup.md5Hash64(t)) * 1099511628211L)
+      acc
+    }
+    f(Analyzer.tokensCol(text))
+  }
+
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: String = "xxh64"): DataFrame = {
+    require(tokenHash == "xxh64" || tokenHash == "md5", s"unknown tokenHash $tokenHash")
+    val fp = if (tokenHash == "md5") fingerprintMd5(col(textCol)) else fingerprint(col(textCol))
+    df.select(col(idCol), fp.as("fingerprint"))
+  }
 }

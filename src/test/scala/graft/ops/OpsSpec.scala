@@ -305,6 +305,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("fingerprint md5 mode matches the SQL-reproducible fold exactly") {
+    val d = Seq((1L, "hello world abc"), (2L, "")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d, "doc_id", "text", tokenHash = "md5")
+      .as[(Long, Long)].collect().toMap
+    // pinned against the DuckDB list_reduce form over
+    // ('0x'||substr(md5(t),1,16))::UBIGINT with wrapping 64-bit multiply
+    assert(fp(1L) == 5920778325586184407L)
+    assert(fp(2L) == -3750763034362895579L) // empty doc = FNV offset basis
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
