@@ -1031,11 +1031,14 @@ object SparkEntry {
     }, Some(annBruteSql(annQueryVec(64), 10))),
 
     ("q_ann_lsh", (s: SparkSession, dir: String) => {
+      // REAL multi-probe run (22 of 64 buckets probed) — the oracle
+      // replays bucketing, probing and ranking exactly: the +-1
+      // hyperplanes are deterministic literals, so DuckDB computes the
+      // same sign bits from the same double dot products
       val q = annQueryVec(64)
       Similarity.lshTopK(embeddings(s, dir), "vec_id", "embedding", q, 10,
-        bits = 6, probeHamming = 6)
-        .withColumn("cosine", round(col("cosine"), 4))
-    }, None),
+        bits = 6, probeHamming = 2, roundCosineTo = Some(4))
+    }, Some(annLshSql(annQueryVec(64), 10, bits = 6, probeHamming = 2))),
 
     ("q_ann_ivf", (s: SparkSession, dir: String) => {
       val q = annQueryVec(64)
@@ -1379,6 +1382,29 @@ object SparkEntry {
        |  CAST(embedding AS DOUBLE[]), $vec), 4) AS cosine
        | FROM embeddings
        | ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Exact multi-probe LSH oracle: rebuilds the SAME deterministic ±1
+    * hyperplanes as Similarity.hyperplanes and replays bucket assignment
+    * (sign of the double dot product — bit-identical accumulation order),
+    * the probe-set filter, and rounded-cosine ranking in SQL. */
+  private def annLshSql(q: Seq[Double], k: Int, bits: Int, probeHamming: Int): String = {
+    val planes = graft.ops.Similarity.hyperplanes(q.length, bits)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      if (p.zip(q).map { case (a, b) => a * b }.sum >= 0.0) 1L << i else 0L
+    }.sum
+    val probes = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+      .map(_ ^ qBucket).mkString(", ")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(e, ${p.mkString("[", ", ", "]")}) >= 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val vec = q.mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       | b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM v)
+       |SELECT vec_id, round(list_cosine_similarity(e, $vec), 4) AS cosine
+       |FROM b WHERE bucket IN ($probes)
+       |ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
   }
 
   private def langIdSql(): String = {

@@ -62,9 +62,13 @@ object Similarity {
   /** ANN top-k via LSH: probe the query's bucket plus all buckets within
     * `probeHamming` bit flips (multi-probe improves recall without touching
     * more than a sliver of the table). Exact cosine within the probed rows. */
+  /** @param roundCosineTo when set, ranks by the cosine ROUNDED to that
+    *                       many decimals (with id tie-break) — cross-engine
+    *                       oracle gates use it so sub-1e-n float noise can
+    *                       never flip ranks between engines. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, bits: Int = 8, probeHamming: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, roundCosineTo: Option[Int] = None): DataFrame = {
     val dim = query.length
     val planes = hyperplanes(dim, bits, seed)
     val qBucket = planes.zipWithIndex.map { case (p, i) =>
@@ -78,8 +82,10 @@ object Similarity {
         .filter(mask => java.lang.Long.bitCount(mask) <= probeHamming)
         .map(mask => qBucket ^ mask)
     val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), planes))
+    val raw = cosine(col(vecCol), array(query.map(lit): _*))
+    val scored = roundCosineTo.fold(raw)(d => round(raw, d))
     bucketed.filter(col("_bucket").isin(probes: _*))
-      .select(col(idCol), cosine(col(vecCol), array(query.map(lit): _*)).as("cosine"))
+      .select(col(idCol), scored.as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
