@@ -37,7 +37,8 @@ object Bench {
     "q_user_agent", "q_expr_functions", "q_otel_metrics", "q_event_json",
     "q_cosine_neardups", "q_neardup_clusters", "q_repetition_signals",
     "q_duplicate_spans", "q_pipeline_yaml",
-    "q_decontaminate", "q_gopher_filter", "q_pii_redact", "q_ml_inference")
+    "q_decontaminate", "q_gopher_filter", "q_pii_redact", "q_ml_inference",
+    "q_pack_sequences")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.

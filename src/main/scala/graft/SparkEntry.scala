@@ -1011,6 +1011,23 @@ object SparkEntry {
       graft.ops.Curation.piiRedact(aug, "doc_id", "text")
     }, Some(piiRedactSql())),
 
+    ("q_pack_sequences", (s: SparkSession, dir: String) => {
+      // chunk = 64 forces the multi-chunk two-phase path at sf0.01; the
+      // oracle's single SQL window proves chunking doesn't leak into the
+      // layout (the operator is deterministic for ANY chunk size)
+      graft.ops.Curation.packSequences(docs(s, dir), "doc_id", "text",
+        budgetTokens = 2048, chunk = 64)
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n FROM documents),
+         | p AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM t)
+         |SELECT doc_id, n AS n_tokens, start AS start_offset,
+         | start // 2048 AS bin_first,
+         | CASE WHEN n > 0 THEN (start + n - 1) // 2048
+         |   ELSE start // 2048 END AS bin_last
+         |FROM p""".stripMargin)),
+
     ("q_ml_inference", (s: SparkSession, dir: String) => {
       // logistic head over the embedding column; weights are a
       // deterministic literal so the oracle can restate them exactly

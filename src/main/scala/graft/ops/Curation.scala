@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.analyze.Analyzer
@@ -114,6 +114,59 @@ object Curation {
       checks.map { case (name, pass) => when(!pass, lit(name)) }: _*)
     df.select(col(idCol), nToks.as("n_tokens"),
       (reasons === "").as("keep"), reasons.as("reasons"))
+  }
+
+  // ------------------------------------------------- sequence packing
+
+  /** GPT-style sequence packing layout: documents in doc-id order are
+    * laid out back-to-back in token space and cut every `budgetTokens`
+    * (the concat-and-chunk regime LLM training pipelines use — a doc may
+    * straddle a boundary). Emits each doc's global `start_offset` plus
+    * the first/last training bin it touches.
+    *
+    * Scale shape: the global prefix sum is two-phase, like the index's
+    * docId assignment — per-id-chunk token sums (one keyed aggregate)
+    * prefix-summed on the driver (n/chunk scalars), then a per-chunk
+    * sorted fold assigns within-chunk offsets; no single-partition
+    * window anywhere (the naive `sum() OVER (ORDER BY id)` plan funnels
+    * 10^12 rows through ONE task). Deterministic for any partitioning.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, chunk: Long = 8192L): DataFrame = {
+    require(budgetTokens > 0 && chunk > 0)
+    val counted = df.select(col(idCol).cast("long").as("id"),
+      size(Analyzer.tokensCol(col(textCol))).cast("long").as("n"))
+
+    // phase 1: per-chunk totals -> driver prefix (tiny) -> broadcast
+    val chunkOf = expr(s"id DIV $chunk")
+    val sums = counted.groupBy(chunkOf.as("c"))
+      .agg(sum("n").as("cn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = scala.collection.mutable.LongMap.empty[Long]
+    var acc = 0L
+    sums.foreach { case (c, cn) => offsets(c) = acc; acc += cn }
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    // phase 2: within-chunk fold over the id-sorted docs of each chunk
+    // (bounded: <= `chunk` rows per group)
+    val packFold = udf { (c: Long, docs: Seq[Row]) =>
+      var off = bc.value(c)
+      docs.map { r =>
+        val start = off
+        off += r.getLong(1)
+        (r.getLong(0), r.getLong(1), start)
+      }
+    }
+    counted
+      .groupBy(chunkOf.as("c"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("docs"))
+      .select(explode(packFold(col("c"), col("docs"))).as("p"))
+      .select(col("p._1").as(idCol), col("p._2").as("n_tokens"),
+        col("p._3").as("start_offset"))
+      .withColumn("bin_first", expr(s"start_offset DIV $budgetTokens"))
+      .withColumn("bin_last", when(col("n_tokens") > 0,
+          expr(s"(start_offset + n_tokens - 1) DIV $budgetTokens"))
+        .otherwise(expr(s"start_offset DIV $budgetTokens")))
   }
 
   // ------------------------------------------------- PII redaction

@@ -78,6 +78,48 @@ class CurationSpec extends AnyFunSuite {
     assert(reasons == reasons.distinct)
   }
 
+  // ------------------------------------------------- sequence packing
+
+  test("packSequences lays docs back-to-back and is chunk-invariant") {
+    val docs = Seq(
+      (0L, "a b c"),            // 3 tokens, start 0
+      (1L, "d e f g"),          // 4 tokens, start 3
+      (2L, ""),                 // 0 tokens, start 7
+      (3L, "h i j k l m n o"),  // 8 tokens, start 7 -> straddles budget 10
+      (4L, "p q")).toDF("doc_id", "text")
+    def run(chunk: Long) =
+      Curation.packSequences(docs, "doc_id", "text", budgetTokens = 10L, chunk)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"),
+            r.getAs[Long]("bin_first"), r.getAs[Long]("bin_last"))).toMap
+    val out = run(chunk = 2)
+    assert(out(0L) == ((3L, 0L, 0L, 0L)))
+    assert(out(1L) == ((4L, 3L, 0L, 0L)))
+    assert(out(2L) == ((0L, 7L, 0L, 0L)))   // empty doc occupies no tokens
+    assert(out(3L) == ((8L, 7L, 0L, 1L)))   // straddles the bin boundary
+    assert(out(4L) == ((2L, 15L, 1L, 1L)))
+    // chunking is an execution detail, not a layout input
+    assert(run(chunk = 1) == out)
+    assert(run(chunk = 1000) == out)
+  }
+
+  test("packSequences is deterministic under repartitioning") {
+    val docs = (0 until 200).map(i => (i.toLong, ("w " * (i % 17 + 1)).trim))
+      .toDF("doc_id", "text")
+    val a = Curation.packSequences(docs, "doc_id", "text", 64L, chunk = 32)
+      .collect().map(_.toSeq).toSet
+    val b = Curation.packSequences(docs.repartition(7), "doc_id", "text", 64L, chunk = 32)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // offsets are a dense token layout: sorted starts tile exactly
+    val rows = a.toSeq.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long],
+      s(2).asInstanceOf[Long])).sortBy(_._3)
+    rows.sliding(2).foreach {
+      case Seq((_, n1, s1), (_, _, s2)) => assert(s1 + n1 == s2)
+      case _ => ()
+    }
+  }
+
   // ------------------------------------------------- PII redaction
 
   test("pii redact replaces all four types and counts on the original") {
