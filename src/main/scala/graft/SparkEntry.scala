@@ -1011,6 +1011,31 @@ object SparkEntry {
       graft.ops.Curation.piiRedact(aug, "doc_id", "text")
     }, Some(piiRedactSql())),
 
+    ("q_bulk_merge", (s: SparkSession, dir: String) => {
+      // opensearch-sink bulk actions replayed against a table snapshot:
+      // a deterministic batch (built identically in the oracle) mixes all
+      // five actions over existing and new keys, incl. null-field merges
+      val ex = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val act = when(pmod(col("doc_id"), lit(5)) === 0, "delete")
+        .when(pmod(col("doc_id"), lit(5)) === 1, "index")
+        .when(pmod(col("doc_id"), lit(5)) === 2, "update")
+        .when(pmod(col("doc_id"), lit(5)) === 3, "upsert")
+        .otherwise("create")
+      val batch = ex.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(null).cast("string"))
+            .otherwise(lit("xx")).as("lang"),
+          (col("n_chars") + 1).as("n_chars"), act.as("_action"),
+          lit(1L).as("_seq"))
+        .unionByName(ex.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            lit("new").as("lang"), lit(7L).as("n_chars"),
+            when(pmod(col("doc_id"), lit(2)) === 0, "upsert").otherwise("update")
+              .as("_action"),
+            lit(1L).as("_seq")))
+      graft.sinks.Sinks.mergeActions(ex, batch, "doc_id")
+    }, Some(bulkMergeSql())),
+
     ("q_pack_sequences", (s: SparkSession, dir: String) => {
       // chunk = 64 forces the multi-chunk two-phase path at sf0.01; the
       // oracle's single SQL window proves chunking doesn't leak into the
@@ -1282,6 +1307,37 @@ object SparkEntry {
        |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
        |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
        |LEFT JOIN d10 USING (doc_id) LEFT JOIN ld USING (doc_id)""".stripMargin
+  }
+
+  /** Replays mergeActions' OpenSearch document semantics in SQL: the
+    * batch is rebuilt with identical expressions, then one full-outer
+    * join applies index/create/update/upsert/delete per key. */
+  private def bulkMergeSql(): String = {
+    def mergeCol(c: String) =
+      s"""CASE WHEN b._action IS NULL THEN e.$c
+         |     WHEN b._action = 'index' THEN b.$c
+         |     WHEN b._action = 'create' THEN
+         |       CASE WHEN e.doc_id IS NOT NULL THEN e.$c ELSE b.$c END
+         |     ELSE coalesce(b.$c, e.$c) END AS $c""".stripMargin
+    s"""WITH ex AS (SELECT doc_id, lang, n_chars FROM documents),
+       | batch AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 'xx' END AS lang,
+       |    n_chars + 1 AS n_chars,
+       |    CASE doc_id % 5 WHEN 0 THEN 'delete' WHEN 1 THEN 'index'
+       |      WHEN 2 THEN 'update' WHEN 3 THEN 'upsert'
+       |      ELSE 'create' END AS _action
+       |  FROM ex WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, 'new', 7,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'upsert' ELSE 'update' END
+       |  FROM ex WHERE doc_id % 10 = 0)
+       |SELECT coalesce(e.doc_id, b.doc_id) AS doc_id,
+       | ${mergeCol("lang")},
+       | ${mergeCol("n_chars")}
+       |FROM ex e FULL OUTER JOIN batch b ON e.doc_id = b.doc_id
+       |WHERE b._action IS NULL OR (b._action <> 'delete'
+       |  AND (b._action <> 'update' OR e.doc_id IS NOT NULL))""".stripMargin
   }
 
   /** Exact simhash oracle: per-token hash = first 8 bytes of md5 (the

@@ -79,4 +79,69 @@ object Sinks {
       (good.count(), bad.count())
     } finally { cached.unpersist() }
   }
+
+  // --------------------------------------------- bulk action semantics
+
+  /** Per-event bulk-action resolution (opensearch sink
+    * EventActionResolver.java:44-57): the FIRST rule whose `when`
+    * condition holds wins; a rule with no condition never breaks the
+    * loop, so when nothing matches the LAST rule's action sticks (the
+    * reference's exact quirk), and an empty rule list yields `default`.
+    * Conditions go through the expression-language compiler. */
+  def resolveActions(df: DataFrame, default: String,
+      rules: Seq[(Option[String], String)],
+      out: String = "_action"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = if (rules.isEmpty) lit(default) else lit(rules.last._2)
+    val chain = rules.foldRight(base) {
+      case ((Some(cond), act), acc) =>
+        when(graft.pipeline.ExprCompiler.compile(cond), lit(act)).otherwise(acc)
+      case ((None, _), acc) => acc
+    }
+    df.withColumn(out, chain)
+  }
+
+  /** Apply a batch of per-event bulk actions to a keyed table snapshot —
+    * OpenSearch document semantics (OpenSearchBulkActions.java:20-24 +
+    * BulkOperationFactory): `index` inserts-or-overwrites, `create`
+    * inserts only if absent, `update` merges non-null payload fields into
+    * an EXISTING doc (no-op when absent), `upsert` merges-or-inserts,
+    * `delete` removes. Within the batch the LAST action per key wins
+    * (`seqCol` = arrival order), exactly like replaying the bulk request.
+    *
+    * Shape: one `max_by` collapse of the batch + ONE keyed full-outer
+    * join against the snapshot (the MERGE INTO plan) — both shuffles key
+    * on the doc id, so at 10^12 docs this is two bounded exchanges and
+    * no driver involvement. */
+  def mergeActions(existing: DataFrame, batch: DataFrame, keyCol: String,
+      actionCol: String = "_action", seqCol: String = "_seq"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val payload = existing.columns.filterNot(_ == keyCol).toSeq
+    require(payload.forall(batch.columns.contains),
+      s"batch is missing payload columns: ${payload.filterNot(batch.columns.contains)}")
+    // last action per key, with its payload
+    val last = batch.groupBy(col(keyCol))
+      .agg(max_by(struct((actionCol +: payload).map(col): _*), col(seqCol)).as("b"))
+      .select(col(keyCol) +: (col(s"b.$actionCol").as(actionCol) +:
+        payload.map(p => col(s"b.$p").as(s"_b_$p"))): _*)
+    val joined = existing.withColumn("_e", lit(true))
+      .join(last, Seq(keyCol), "full_outer")
+    val existed = col("_e").isNotNull
+    val act = col(actionCol)
+    val keep =
+      when(act.isNull, lit(true))                       // untouched existing row
+        .when(act === "delete", lit(false))
+        .when(act === "update", existed)                // update needs a doc
+        .otherwise(lit(true))                           // index/create/upsert
+    val merged = payload.map { p =>
+      val b = col(s"_b_$p")
+      val e = col(p)
+      when(act.isNull, e)                               // untouched
+        .when(act === "index", b)                       // full overwrite
+        .when(act === "create", when(existed, e).otherwise(b))
+        .otherwise(coalesce(b, e))                      // update/upsert merge
+        .as(p)
+    }
+    joined.filter(keep).select(col(keyCol) +: merged: _*)
+  }
 }

@@ -101,4 +101,50 @@ class SinksSpec extends AnyFunSuite {
     assert(good == 2 && bad == 1)
     assert(spark.read.parquet(s"$dir/dlq").select("id").as[Int].head() == 2)
   }
+
+  test("bulk-action merge: index/create/update/upsert/delete semantics") {
+    import graft.sinks.Sinks
+    val existing = Seq(
+      (1L, "one", 10), (2L, "two", 20), (3L, "three", 30), (4L, "four", 40),
+      (5L, "five", 50)).toDF("id", "name", "v")
+    val batch = Seq(
+      // (id, name, v, action, seq)
+      (1L, "ONE", 11, "index", 1L),            // overwrite
+      (2L, null.asInstanceOf[String], 22, "update", 1L), // merge: keeps name
+      (3L, "THREE", 33, "create", 1L),         // exists -> no-op
+      (4L, null.asInstanceOf[String], 44, "delete", 1L),
+      (6L, "six", 60, "create", 1L),           // absent -> insert
+      (7L, "seven", 70, "update", 1L),         // absent -> no-op
+      (8L, "eight", 80, "upsert", 1L),         // absent -> insert
+      (5L, "FIVE-a", 51, "index", 1L),         // superseded by seq 2
+      (5L, "FIVE-b", 52, "upsert", 2L))        // last wins: merge
+      .toDF("id", "name", "v", "_action", "_seq")
+    val out = Sinks.mergeActions(existing, batch, "id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == (("ONE", 11)))
+    assert(out(2L) == (("two", 22)))   // update merged v, kept name
+    assert(out(3L) == (("three", 30))) // create on existing = no-op
+    assert(!out.contains(4L))          // deleted
+    assert(out(5L) == (("FIVE-b", 52)))
+    assert(out(6L) == (("six", 60)))
+    assert(!out.contains(7L))          // update without a doc
+    assert(out(8L) == (("eight", 80)))
+    assert(out.size == 6)
+  }
+
+  test("action resolution: first matching when wins, last rule sticks otherwise") {
+    import graft.sinks.Sinks
+    val d = Seq((1, "err"), (2, "ok"), (3, "warn")).toDF("id", "status")
+    val out = Sinks.resolveActions(d, "index", Seq(
+      (Some("/status == \"err\""), "delete"),
+      (Some("/status == \"ok\""), "upsert"),
+      (None, "create")))
+      .select("id", "_action").as[(Int, String)].collect().toMap
+    assert(out(1) == "delete")
+    assert(out(2) == "upsert")
+    assert(out(3) == "create") // nothing matched -> LAST rule's action
+    val empty = Sinks.resolveActions(d, "index", Seq.empty)
+      .select("_action").as[String].collect().toSet
+    assert(empty == Set("index"))
+  }
 }
