@@ -617,12 +617,24 @@ object PipelineYaml {
         case "opensearch" =>
           outDir.foreach { base =>
             val index = optStr(so.plugin.options, "index").getOrElse("graft")
+            // per-event bulk action resolution (sink `action` +
+            // conditional `actions` config, EventActionResolver
+            // semantics) — the resolved `_action` column is what a
+            // downstream Sinks.mergeActions replay consumes
+            val actionRules = mapList(so.plugin.options, "actions").map { a =>
+              (optStr(a, "when"), reqStr(a, "type", "opensearch.actions"))
+            }
+            val defaultAction = optStr(so.plugin.options, "action").getOrElse("index")
+            val withActions =
+              if (actionRules.nonEmpty || so.plugin.options.contains("action"))
+                graft.sinks.Sinks.resolveActions(so.df, defaultAction, actionRules)
+              else so.df
             // `${}` index templating (index-per-key) = partitioned write
             if (index.contains("${")) {
               val tpl = FormatString.compile(index)
-              so.df.withColumn("_index", tpl)
+              withActions.withColumn("_index", tpl)
                 .write.mode("overwrite").partitionBy("_index").parquet(s"$base/indexed")
-            } else so.df.write.mode("overwrite").parquet(s"$base/$index")
+            } else withActions.write.mode("overwrite").parquet(s"$base/$index")
           }
         case _ => () // stdout & friends: lazy, caller inspects `df`
       }

@@ -318,4 +318,31 @@ class PipelineYamlSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
     assert(spark.read.parquet(s"$dir/os/logs").count() == 2)
   }
+
+  test("opensearch sink resolves per-event bulk actions from YAML") {
+    val dir = TestSpark.tmpDir("pyaml-act")
+    val yaml =
+      s"""p:
+         |  source:
+         |    in_memory:
+         |  sink:
+         |    - opensearch:
+         |        index: logs
+         |        action: index
+         |        actions:
+         |          - type: delete
+         |            when: '/s == "drop"'
+         |          - type: upsert
+         |            when: '/s == "merge"'
+         |""".stripMargin
+    val input = Seq((1, "drop"), (2, "merge"), (3, "keep")).toDF("id", "s")
+    PipelineYaml.run(spark, yaml, Map("p" -> input), outDir = Some(dir))
+    val out = spark.read.parquet(s"$dir/logs")
+      .select("id", "_action").as[(Int, String)].collect().toMap
+    assert(out(1) == "delete")
+    assert(out(2) == "upsert")
+    // nothing matched and the last rule has a condition -> reference
+    // semantics leave the LAST rule's type in eventAction
+    assert(out(3) == "upsert")
+  }
 }
