@@ -886,10 +886,11 @@ object SparkEntry {
          | g AS (SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+19], ' ') AS g
          |       FROM (SELECT doc_id, l, unnest(range(1, len(l)-18)) AS i
          |             FROM toks WHERE len(l) >= 20)),
-         | c AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM g
+         | c AS (SELECT g, count(DISTINCT doc_id) AS n_docs,
+         |              min(doc_id) AS keeper FROM g
          |       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
-         | f AS (SELECT doc_id, list(DISTINCT pos) AS spans FROM g
-         |       JOIN c USING (g) GROUP BY 1)
+         | f AS (SELECT g.doc_id, list(DISTINCT pos) AS spans FROM g
+         |       JOIN c USING (g) WHERE g.doc_id <> c.keeper GROUP BY 1)
          | SELECT t.doc_id, coalesce(array_to_string(list_transform(
          |   list_filter(range(0, len(t.l)), i -> len(list_filter(
          |     coalesce(f.spans, []), p -> i >= p AND i < p + 20)) = 0),

@@ -27,9 +27,11 @@ import graft.corpus.Page
   *
   * Resumability is inherited: a killed append rerun skips the batch's
   * committed stages via the per-generation manifests; a generation is
-  * visible to readers only once its `globals.json` exists (written after
-  * the stats stage), and [[append]] numbers generations by scanning
-  * committed ones, so a half-built `gen-k` is re-entered, never skipped.
+  * visible to readers only once its FINAL stage's manifest commits
+  * (postings — an atomic rename), and [[append]] numbers generations by
+  * scanning committed ones, so a half-built `gen-k` is re-entered, never
+  * skipped or double-counted — even when the kill lands between the
+  * stats commit (which writes globals.json) and the postings commit.
   *
   * At 100 TB: appends touch only the new batch (the base corpus is never
   * re-read); each append costs the batch's own 3 shuffles. Generations
@@ -44,9 +46,21 @@ object IncrementalIndex {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A generation is committed iff its FINAL stage (postings) has a
+    * committed manifest. globals.json alone is NOT enough: stats writes it
+    * one stage before postings, so a crash in that window would leave a
+    * generation that readers count (double-counting its docs in
+    * totalDocs/idOffset on the re-run) but whose postings manifest —
+    * which [[graft.query.IndexReader]] needs for the bucket modulus —
+    * never exists, bricking the whole index. Keying visibility on the
+    * last stage's atomic manifest rename closes that window: the re-run
+    * resumes the half-built generation in place (same gen number, same
+    * idOffset) instead of orphaning it. */
+  private def isGenCommitted(genDir: String): Boolean =
+    Manifest.read(genDir, "postings").exists(_.status == "committed")
+
   /** Committed (gen, dir) pairs sorted by generation; `(0, indexDir)` when
-    * the index is standalone (no gen-* children). A generation counts as
-    * committed once its globals.json exists. */
+    * the index is standalone (no gen-* children). */
   def genDirs(spark: SparkSession, indexDir: String): Seq[(Int, String)] = {
     val root = new Path(indexDir)
     val f = fs(spark, indexDir)
@@ -55,7 +69,7 @@ object IncrementalIndex {
       else f.listStatus(root).toSeq.collect {
         case st if st.isDirectory =>
           st.getPath.getName match {
-            case GenRe(k) if f.exists(new Path(st.getPath, "globals.json")) =>
+            case GenRe(k) if isGenCommitted(st.getPath.toString) =>
               Some(k.toInt -> st.getPath.toString)
             case _ => None
           }
@@ -75,14 +89,31 @@ object IncrementalIndex {
   }
 
   /** Append one batch of pages as the next generation. Returns the
-    * generation number. Founding `params` (buckets/shardSize/blockSize)
-    * must be passed identically on every append — the reader enforces
-    * bucket agreement. Re-running a killed append resumes it. */
+    * generation number. Founding `params` (buckets/shardSize/blockSize/
+    * idBuckets) are VERIFIED against the committed generations' manifests
+    * before any work runs: a mismatched shardSize or blockSize would
+    * silently break the disjoint-shard / docId-sorted posting-
+    * concatenation invariant (wrong WAND rankings, no error), so it must
+    * fail fast instead. Re-running a killed append resumes the half-built
+    * generation — including the stats→postings window, where globals.json
+    * exists but the generation is still uncommitted. */
   def append(spark: SparkSession, indexDir: String, pages: Dataset[Page],
       params: IndexParams, inputDesc: String): Int = {
     require(IndexIO.readString(s"$indexDir/globals.json").isEmpty,
       s"$indexDir holds a standalone index; a generational index starts " +
         "from an empty dir (compact the standalone build into gen-0 first)")
+    // founding-param agreement with every already-committed generation
+    val Founding = Seq("buckets", "shardSize", "blockSize", "idBuckets")
+    genDirs(spark, indexDir).foreach { case (k, d) =>
+      if (d != indexDir) Manifest.read(d, "postings").foreach { m =>
+        val want = params.asMap.view.filterKeys(Founding.contains).toMap
+        val have = m.params.view.filterKeys(Founding.contains).toMap
+        require(have == want,
+          s"append params $want disagree with committed gen-$k's founding " +
+            s"params $have — a mismatch would corrupt posting-list " +
+            "concatenation order across generations")
+      }
+    }
     val f = fs(spark, indexDir)
     // resume a half-built generation (dir exists, globals not committed)
     val existing =

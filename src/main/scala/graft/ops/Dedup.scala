@@ -117,10 +117,28 @@ object Dedup {
     * `cleanCol` is the space-joined surviving tokens — token-normalized
     * text (lowercased, punctuation collapsed), the standard contract of
     * token-level substring dedup. One extra groupBy(doc) of the flagged
-    * positions + a left join; the rewrite itself is a per-row fold. */
+    * positions + a left join; the rewrite itself is a per-row fold.
+    *
+    * `keepFirst` (default, the cited Lee et al. semantics) keeps ONE
+    * canonical occurrence of each duplicated window — the min-`idCol`
+    * document containing it keeps all its copies; every other document
+    * drops its own. `keepFirst = false` removes the span from ALL
+    * documents (useful for boilerplate scrubbing where no copy should
+    * survive). The survivor choice is a `min(id)` inside the same
+    * window-hash groupBy — no extra shuffle. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 20, minDocs: Long = 2, cleanCol: String = "clean_text"): DataFrame = {
-    val flagged = duplicateSpans(df, idCol, textCol, w, minDocs)
+      w: Int = 20, minDocs: Long = 2, cleanCol: String = "clean_text",
+      keepFirst: Boolean = true): DataFrame = {
+    val wnd = df
+      .select(col(idCol), posexplode(
+        TextAnalysis.ngramsCol(graft.analyze.Analyzer.tokensCol(col(textCol)), w))
+        .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("h"))
+    val dup = wnd.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), min(col(idCol)).as("_keeper"))
+      .where(col("n_docs") >= minDocs)
+    val flagged = wnd.join(dup, "h")
+      .where(if (keepFirst) col(idCol) =!= col("_keeper") else lit(true))
       .groupBy(col(idCol)).agg(collect_set(col("pos")).as("_spans"))
     val toks = Analyzer.tokensCol(col(textCol))
     val spans = coalesce(col("_spans"), array().cast("array<int>"))

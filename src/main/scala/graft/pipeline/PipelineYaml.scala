@@ -366,7 +366,10 @@ object PipelineYaml {
           df.columns.filterNot(c => keys.contains(c) || c == orderKey).toSeq
         an match {
           case "count" =>
-            val uniques = optStr(ao, "unique_keys").map(Seq(_)).getOrElse(strList(ao, "unique_keys"))
+            // reference CountAggregateActionConfig.uniqueKeys is List<String>;
+            // strList accepts both a YAML list and a bare scalar (optStr
+            // would stringify a list into one garbage column name)
+            val uniques = strList(ao, "unique_keys")
             if (uniques.nonEmpty)
               (df: DataFrame) => Aggregates.countDistinctAction(df, keys, uniques, approx = false)
             else

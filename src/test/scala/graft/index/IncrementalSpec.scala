@@ -124,6 +124,45 @@ class IncrementalSpec extends AnyFunSuite {
     assert(Globals.read(s"$incDir/gen-3").n == Cuts(3) - Cuts(2))
   }
 
+  test("a kill between the stats and postings commits resumes in place") {
+    import org.apache.spark.sql.functions.{min => sqlMin}
+    import spark.implicits._
+    incDir // ensure committed generations exist
+    val offset = IncrementalIndex.totalDocs(spark, incDir)
+    val gen = IncrementalIndex.genDirs(spark, incDir).map(_._1).max + 1
+    // half-build the next generation: docs+tf+stats committed — so
+    // globals.json EXISTS — but postings never commits. This is the
+    // window where commit-on-globals would double-count the batch and
+    // permanently brick the reader (no postings manifest → no bucket
+    // modulus).
+    intercept[InjectedFailure] {
+      new IndexBuilder(spark, s"$incDir/gen-$gen", params.copy(idOffset = offset))
+        .build(batch(1), "kill-test", failAfterStage = Some("stats"))
+    }
+    assert(new java.io.File(s"$incDir/gen-$gen/globals.json").exists())
+    // the half-committed generation must be invisible to readers/appends
+    assert(!IncrementalIndex.genDirs(spark, incDir).exists(_._1 == gen))
+    assert(IncrementalIndex.totalDocs(spark, incDir) == offset)
+    // re-running the same append resumes the SAME generation at the SAME
+    // idOffset (docs/tf/stats stages skip via their manifests)
+    val g = IncrementalIndex.append(spark, incDir, batch(1), params, "retry")
+    assert(g == gen, "append must resume the stats-committed generation")
+    assert(IncrementalIndex.genDirs(spark, incDir).exists(_._1 == gen))
+    assert(IncrementalIndex.totalDocs(spark, incDir) ==
+      offset + (Cuts(2) - Cuts(1)))
+    val minId = spark.read.parquet(s"$incDir/gen-$gen/docs")
+      .agg(sqlMin($"docId")).as[Long].collect()(0)
+    assert(minId == offset, "resumed generation must not shift its docIds")
+  }
+
+  test("append with mismatched founding params fails fast") {
+    incDir
+    intercept[IllegalArgumentException] {
+      IncrementalIndex.append(spark, incDir, batch(0),
+        params.copy(shardSize = 128), "bad-params")
+    }
+  }
+
   test("appending into a standalone index dir is refused") {
     fullDir
     intercept[IllegalArgumentException] {

@@ -62,9 +62,15 @@ class DedupSpec extends AnyFunSuite {
     val d = Seq(
       (1L, "a b c d e f"),
       (2L, "x y a b c d q")).toDF("doc_id", "text")
+    // default (Lee et al.): the min-id doc keeps the canonical occurrence
     val got = Dedup.removeDuplicateSpans(d, "doc_id", "text", w = 4)
       .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
-    assert(got == Map(1L -> "e f", 2L -> "x y q"))
+    assert(got == Map(1L -> "a b c d e f", 2L -> "x y q"))
+    // keepFirst = false: boilerplate scrubbing, no copy survives
+    val all = Dedup.removeDuplicateSpans(d, "doc_id", "text", w = 4,
+      keepFirst = false)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(all == Map(1L -> "e f", 2L -> "x y q"))
     // no duplicates -> text survives token-normalized
     val clean = Dedup.removeDuplicateSpans(
       Seq((1L, "Only, one. DOC here!")).toDF("doc_id", "text"),

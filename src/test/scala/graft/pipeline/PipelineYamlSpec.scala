@@ -261,6 +261,40 @@ class PipelineYamlSpec extends AnyFunSuite {
         |  sink:
         |    - stdout:
         |""".stripMargin, Map("p" -> clash)).head.df.count() == 4)
+
+    // count with LIST-valued unique_keys (the reference config type,
+    // CountAggregateActionConfig List<String>): distinct over the tuple
+    val distinctTuple = oneOut(
+      """p:
+        |  source:
+        |    in_memory:
+        |  processor:
+        |    - aggregate:
+        |        identification_keys: [svc]
+        |        action:
+        |          count:
+        |            unique_keys: [ts, n]
+        |  sink:
+        |    - stdout:
+        |""".stripMargin)
+    assert(distinctTuple.select("svc", "value").orderBy("svc")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 3L), ("b", 1L)))
+    // scalar unique_keys still accepted
+    val distinctScalar = oneOut(
+      """p:
+        |  source:
+        |    in_memory:
+        |  processor:
+        |    - aggregate:
+        |        identification_keys: [svc]
+        |        action:
+        |          count:
+        |            unique_keys: svc
+        |  sink:
+        |    - stdout:
+        |""".stripMargin)
+    assert(distinctScalar.select("svc", "value").orderBy("svc")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 1L), ("b", 1L)))
   }
 
   test("geoip ranges + anomaly_detector z-score through YAML") {
