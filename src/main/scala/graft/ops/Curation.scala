@@ -130,15 +130,33 @@ object Curation {
     * sorted fold assigns within-chunk offsets; no single-partition
     * window anywhere (the naive `sum() OVER (ORDER BY id)` plan funnels
     * 10^12 rows through ONE task). Deterministic for any partitioning.
+    *
+    * Driver-memory bound: the phase-1 collect holds one (chunkId, sum)
+    * pair per id-chunk. With `chunk = 0` (default: auto) the chunk width
+    * is derived from the id RANGE so at most ~2^20 chunks exist — ≤ ~32 MB
+    * on the driver at ANY corpus size (at 10^12 docs the fixed 8192
+    * default would collect 1.2×10^8 entries, gigabytes). The sizing pass
+    * is one min/max aggregate over the id column. Offsets are
+    * chunk-size-invariant (CurationSpec pins two widths byte-identical).
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Long, chunk: Long = 8192L): DataFrame = {
-    require(budgetTokens > 0 && chunk > 0)
+      budgetTokens: Long, chunk: Long = 0L): DataFrame = {
+    require(budgetTokens > 0 && chunk >= 0)
     val counted = df.select(col(idCol).cast("long").as("id"),
       size(Analyzer.tokensCol(col(textCol))).cast("long").as("n"))
+    val chunkW =
+      if (chunk > 0) chunk
+      else {
+        val r = counted.agg(min("id"), max("id")).head()
+        if (r.isNullAt(0)) 8192L
+        else {
+          val span = r.getLong(1) - r.getLong(0) + 1
+          math.max(8192L, (span + (1L << 20) - 1) / (1L << 20))
+        }
+      }
 
     // phase 1: per-chunk totals -> driver prefix (tiny) -> broadcast
-    val chunkOf = expr(s"id DIV $chunk")
+    val chunkOf = expr(s"id DIV $chunkW")
     val sums = counted.groupBy(chunkOf.as("c"))
       .agg(sum("n").as("cn"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

@@ -91,15 +91,32 @@ object Similarity {
   }
 
   /** IVF index: k-means coarse assignment. Returns (df + `_cluster`,
-    * centroids). Deterministic via fixed seed. */
+    * centroids). Deterministic via fixed seed.
+    *
+    * Scale shape: the k-means FIT runs on a deterministic hash-ordered
+    * sample of at most `fitSample` vectors (centroid quality converges
+    * long before corpus size — FAISS trains IVF on 30-256 points per
+    * centroid); ASSIGNMENT stays a full-data map-side transform. Training
+    * on 10^12 vectors would iterate whole-corpus Spark jobs per k-means
+    * round for no quality gain. `fitSample = 0` forces full-data fit
+    * (used by the spec to pin sampled ≡ full on under-sample-size data).
+    */
   def ivfAssign(df: DataFrame, vecCol: String, nClusters: Int,
-      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+      seed: Long = 42L, fitSample: Int = 262144): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featurized = df.withColumn("_features", array_to_vector(col(vecCol).cast("array<double>")))
+    // deterministic, partitioning-invariant sample: best `fitSample` rows
+    // by xxhash64 of the vector bytes (the Rcf.fit pattern) — TakeOrdered,
+    // no global sort
+    val trainSet =
+      if (fitSample <= 0) featurized
+      else featurized.select(col("_features"),
+          xxhash64(to_json(struct(col(vecCol)))).as("_h"))
+        .orderBy("_h").limit(fitSample).drop("_h")
     val model = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("_features").setPredictionCol("_cluster")
-      .fit(featurized)
+      .fit(trainSet)
     val assigned = model.transform(featurized).drop("_features")
     (assigned, model.clusterCenters.map(_.toArray))
   }

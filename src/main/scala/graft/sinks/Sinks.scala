@@ -69,14 +69,26 @@ object Sinks {
     * go to a quarantine path with a reason column; good rows continue. */
   def writeWithDlq(df: DataFrame, isGood: org.apache.spark.sql.Column,
       goodPath: String, dlqPath: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit}
     val cached = df.persist()
     try {
-      val good = cached.filter(isGood)
-      val bad = cached.filter(!org.apache.spark.sql.functions.coalesce(
-        isGood, org.apache.spark.sql.functions.lit(false)))
-      good.write.mode(SaveMode.Overwrite).parquet(goodPath)
-      bad.write.mode(SaveMode.Overwrite).parquet(dlqPath)
-      (good.count(), bad.count())
+      // counts ride each branch's write action via `observe` (the
+      // Router.fanOut pattern) — a follow-up count job would re-scan the
+      // input twice whenever the cache has been evicted, which at scale
+      // means two extra full passes over the corpus
+      def writeCounted(branch: DataFrame, path: String, tag: String): Long = {
+        val obs = org.apache.spark.sql.Observation(s"dlq_$tag")
+        branch.observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        org.apache.spark.sql.graft.ColumnLift.observedOrEmpty(obs).get("n") match {
+          case Some(v: Long) => v
+          case _ => branch.count()
+        }
+      }
+      val good = writeCounted(cached.filter(isGood), goodPath, "good")
+      val bad = writeCounted(
+        cached.filter(!coalesce(isGood, lit(false))), dlqPath, "bad")
+      (good, bad)
     } finally { cached.unpersist() }
   }
 

@@ -101,6 +101,8 @@ class CurationSpec extends AnyFunSuite {
     // chunking is an execution detail, not a layout input
     assert(run(chunk = 1) == out)
     assert(run(chunk = 1000) == out)
+    // auto sizing (chunk = 0, the driver-memory-bounded default) included
+    assert(run(chunk = 0) == out)
   }
 
   test("packSequences is deterministic under repartitioning") {

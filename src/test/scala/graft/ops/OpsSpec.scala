@@ -225,6 +225,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute == ivf)
   }
 
+  test("IVF sampled fit: tiny deterministic train sample still partitions the space") {
+    // the 100-TB path: fit on a hash-ordered sample, assign full data.
+    // With nprobe = k the query is exact regardless of centroid quality;
+    // the sample-fit must (a) assign EVERY row, (b) keep assignment
+    // deterministic across invocations.
+    val (a1, c1) = Similarity.ivfAssign(vecs, "embedding", 4, fitSample = 8)
+    val (a2, c2) = Similarity.ivfAssign(vecs, "embedding", 4, fitSample = 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(a1.filter($"_cluster".isNull || $"_cluster" < 0 || $"_cluster" >= 4).count() == 0)
+    assert(a1.count() == vecs.count())
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ivf = Similarity.ivfTopK(a1, c1, "vec_id", "embedding", query, 5, nprobe = 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(brute == ivf)
+  }
+
   test("cosine near-dup pairs find planted duplicates") {
     val planted = vecs.union(
       vecs.where($"vec_id" < 3).withColumn("vec_id", $"vec_id" + 1000))
