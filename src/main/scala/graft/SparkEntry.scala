@@ -49,6 +49,27 @@ object SparkEntry {
   private val tokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** Shared by q_otel_spans (JSON wire) and q_otel_spans_proto (protobuf
+    * wire): both decode the same logical fixture, so one oracle pins both
+    * paths — and pins them EQUAL to each other. */
+  private val otelSpansOracleSql: String =
+    """SELECT printf('%016x', event_id) AS spanId,
+      | printf('%032x', user_id) AS traceId,
+      | CASE WHEN event_id % 4 = 0 THEN ''
+      |      ELSE printf('%016x', event_id // 4) END AS parentSpanId,
+      | event_type AS name,
+      | 'SPAN_KIND_SERVER' AS kind,
+      | 'svc-' || event_type AS serviceName,
+      | epoch_us(ts) * 1000 AS startTimeUnixNano,
+      | epoch_us(ts) * 1000
+      |   + CAST(floor(abs(coalesce(value, 0.0)) * 1000000.0) AS BIGINT) * 1000
+      |   AS endTimeUnixNano,
+      | CAST(floor(abs(coalesce(value, 0.0)) * 1000000.0) AS BIGINT) * 1000
+      |   AS durationInNanos,
+      | CASE WHEN event_id % 4 = 0 THEN event_type ELSE NULL END AS traceGroup,
+      | CAST(user_id AS VARCHAR) AS uid_attr
+      | FROM events""".stripMargin
+
   private val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---------- analyzer / index statistics family ----------
@@ -337,22 +358,46 @@ object SparkEntry {
           col("startTimeUnixNano"), col("endTimeUnixNano"),
           col("durationInNanos"), col("traceGroup"),
           element_at(col("attributes"), "uid").as("uid_attr"))
-    }, Some("""SELECT printf('%016x', event_id) AS spanId,
-              | printf('%032x', user_id) AS traceId,
-              | CASE WHEN event_id % 4 = 0 THEN ''
-              |      ELSE printf('%016x', event_id // 4) END AS parentSpanId,
-              | event_type AS name,
-              | 'SPAN_KIND_SERVER' AS kind,
-              | 'svc-' || event_type AS serviceName,
-              | epoch_us(ts) * 1000 AS startTimeUnixNano,
-              | epoch_us(ts) * 1000
-              |   + CAST(floor(abs(coalesce(value, 0.0)) * 1000000.0) AS BIGINT) * 1000
-              |   AS endTimeUnixNano,
-              | CAST(floor(abs(coalesce(value, 0.0)) * 1000000.0) AS BIGINT) * 1000
-              |   AS durationInNanos,
-              | CASE WHEN event_id % 4 = 0 THEN event_type ELSE NULL END AS traceGroup,
-              | CAST(user_id AS VARCHAR) AS uid_attr
-              | FROM events""".stripMargin)),
+    }, Some(otelSpansOracleSql)),
+
+    ("q_otel_spans_proto", (s: SparkSession, dir: String) => {
+      // the SAME logical span fixture as q_otel_spans, but on the binary
+      // protobuf wire form (reference otlp-source's native encoding) —
+      // encode per row with the own-kernel writer, decode with
+      // spansFromProto, and the shared oracle must match byte-for-byte
+      val e = events(s, dir)
+      val enc = udf { (traceId: String, spanId: String, parent: String,
+          name: String, svc: String, startNs: Long, endNs: Long, uid: Long) =>
+        import graft.sources.OtlpProto._
+        encodeTraceRequest(PTraceRequest(Seq(PResourceSpans(
+          Some(PResource(Seq(PKV("service.name",
+            PAny(Some(svc), None, None, None))))),
+          Seq(PScopeSpans(Some(PScope(Some("graft"), None)),
+            Seq(PSpan(Some(traceId), Some(spanId),
+              if (parent.isEmpty) None else Some(parent), None,
+              Some(name), Some("SPAN_KIND_SERVER"),
+              Some(startNs.toString), Some(endNs.toString),
+              Seq(PKV("uid", PAny(None, Some(uid.toString), None, None))),
+              Some(PStatus(Some("STATUS_CODE_OK"), None))))))))))
+      }
+      val startNs = unix_micros(col("ts")) * 1000L
+      val durNs = floor(abs(coalesce(col("value"), lit(0.0))) * 1000000.0).cast("long") * 1000L
+      val bin = enc(
+        lpad(lower(hex(col("user_id"))), 32, "0"),
+        lpad(lower(hex(col("event_id"))), 16, "0"),
+        when(col("event_id") % 4 === 0, lit("")).otherwise(
+          lpad(lower(hex(call_function("div", col("event_id"), lit(4L)))), 16, "0")),
+        col("event_type"),
+        concat(lit("svc-"), col("event_type")),
+        startNs, startNs + durNs, col("user_id"))
+      graft.sources.OtelJson.spansFromProto(
+          e.withColumn("otlp", bin).select("otlp"), "otlp")
+        .select(col("spanId"), col("traceId"), col("parentSpanId"),
+          col("name"), col("kind"), col("serviceName"),
+          col("startTimeUnixNano"), col("endTimeUnixNano"),
+          col("durationInNanos"), col("traceGroup"),
+          element_at(col("attributes"), "uid").as("uid_attr"))
+    }, Some(otelSpansOracleSql)),
 
     ("q_event_json", (s: SparkSession, dir: String) => {
       // reference event_json round-trip: events rows -> per-partition

@@ -61,11 +61,28 @@ object OtelJson {
 
   /** Flatten an OTLP/JSON column into one row per span. Input columns
     * other than `jsonCol` pass through. */
-  def spans(df: DataFrame, jsonCol: String): DataFrame = {
-    val passthrough = df.columns.filter(_ != jsonCol).map(col).toSeq
-    val parsed = df
-      .withColumn("_otlp",
-        from_json(col(jsonCol), SpanSchemaDdl, Map.empty[String, String]))
+  def spans(df: DataFrame, jsonCol: String): DataFrame =
+    flattenSpans(
+      df.withColumn("_otlp",
+        from_json(col(jsonCol), SpanSchemaDdl, Map.empty[String, String])),
+      df.columns.filter(_ != jsonCol).map(col).toSeq)
+
+  /** Flatten an OTLP protobuf WIRE-FORM binary column into one row per
+    * span — same output as [[spans]] byte-for-byte on equivalent payloads
+    * (the decode UDF materializes the `from_json` struct tree; see
+    * [[OtlpProto]]). The UDF is a JVM-kernel seam: a byte-cursor parser has
+    * no Column-algebra form, and per row it is one allocation-light pass. */
+  def spansFromProto(df: DataFrame, binCol: String): DataFrame = {
+    val decode = udf((b: Array[Byte]) => OtlpProto.decodeTraceRequest(b))
+    flattenSpans(df.withColumn("_otlp", decode(col(binCol))),
+      df.columns.filter(_ != binCol).map(col).toSeq)
+  }
+
+  /** Shared ResourceSpans-tree → span-rows projection chain (three ordinal
+    * explodes, no shuffle). `_otlp` must hold the [[SpanSchemaDdl]] tree. */
+  private def flattenSpans(withTree: DataFrame,
+      passthrough: Seq[Column]): DataFrame = {
+    val parsed = withTree
       .select(passthrough :+ explode(col("_otlp.resourceSpans")).as("_rs"): _*)
       .withColumn("serviceName",
         element_at(filter(col("_rs.resource.attributes"),
