@@ -230,14 +230,18 @@ object Bench {
     // efficiency sample (BASELINE.md methodology).
     val CleanQ = 0.85
     def quality(r: TimedRun): Double = math.min(1.0, r.probe / probeRef)
-    def cleanPairExists: Boolean = runs.grouped(2).exists {
+    // ≥2 clean pairs before stopping: one clean-probed pair can still hide
+    // a storm that hit strictly between its probes (observed in BOTH
+    // directions — a slowed N side reads as superlinear), and the median
+    // over clean pairs rejects what a single pair cannot.
+    def cleanPairCount: Int = runs.grouped(2).count {
       case scala.collection.mutable.ArrayBuffer(a, b) =>
         a.cores == 1 && b.cores == 4 && quality(a) >= CleanQ && quality(b) >= CleanQ
       case _ => false
     }
     (0 until 12).flatMap(r => Seq((1, r), (4, r))).foreach { case (c, r) =>
       val haveBoth = runs.exists(_.cores == 1) && runs.exists(_.cores == 4)
-      val needMore = !haveBoth || !cleanPairExists || r < 3
+      val needMore = !haveBoth || cleanPairCount < 2 || r < 3
       if (!haveBoth || (remainingSec > 0 && needMore)) {
         // a run started below the clean bar can never join a clean pair, so
         // while the budget is young insist on near-clean before launching;
@@ -305,20 +309,20 @@ object Bench {
           math.min(1.0, math.max(0.25, (b.m4 / a.m1) / 4.0)))
     }.toSeq
     val cleanPairs = allPairs.collect { case p if p.q >= CleanQ && p.nearMin => p.eff }
-    // among clean pairs max picks the quietest window; with NO clean pair,
-    // max over all pairs would reward a storm-slowed N side (a contended
-    // local[1] makes the ratio LOOK superlinear), so fall back to the
-    // per-level-minima efficiency — quality-first selection, efficiency
-    // as the outcome, never the other way round
-    val pairEffMax = if (cleanPairs.nonEmpty) cleanPairs.max else efficiency
-    val pairNormalized = pairEffMax / cpuCeiling
-    val scalingClean = cleanPairs.nonEmpty
     def median(xs: Seq[Double], ifEmpty: Double): Double = {
       val es = xs.sorted
       if (es.isEmpty) ifEmpty
       else if (es.size % 2 == 1) es(es.size / 2)
       else (es(es.size / 2 - 1) + es(es.size / 2)) / 2.0
     }
+    // The gated clean-pair number is the MEDIAN over clean pairs (max
+    // would reward the pair whose N side a between-probes storm slowed —
+    // superlinear ratios were observed exactly that way); with NO clean
+    // pair, fall back to the per-level-minima efficiency — quality-first
+    // selection, efficiency as the outcome, never the other way round.
+    val pairEffMax = if (cleanPairs.nonEmpty) median(cleanPairs, efficiency) else efficiency
+    val pairNormalized = pairEffMax / cpuCeiling
+    val scalingClean = cleanPairs.nonEmpty
     // Median adjacent-pair efficiency over ALL pairs: when the host sits
     // in a sustained contention band (no pair passes the probe bar), each
     // pair still shares one noise window, so its ratio is unbiased under
@@ -416,15 +420,17 @@ object Bench {
          || local[4] (4N) | ${f"$t4N%.2f"} | ${f"$thr4N%.1f"} |
          |
          |Scaling efficiency (T_N/T_4N)/4 over per-level minima =
-         |**${f"$eff%.3f"}**; best ADJACENT-PAIR efficiency (each
+         |**${f"$eff%.3f"}**; CLEAN-PAIR MEDIAN efficiency (each
          |back-to-back local[1]/local[4] pair shares one host-noise window,
          |so its ratio cancels the contention that cross-window minima
-         |can't) = **${f"$pairEff%.3f"}**, ceiling-normalized
-         |**${f"$pairNorm%.3f"}** (target >= 0.8 normalized); MEDIAN
-         |adjacent-pair efficiency over all interleaved pairs =
-         |**${f"$pairMedian%.3f"}** (unbiased under the host's
-         |proportional contention bands, robust to one-sided storms —
-         |supporting evidence beside the gated estimators).
+         |can't; median over the quiet-probed near-minimum pairs rejects
+         |the storm a single pair's probes can miss) = **${f"$pairEff%.3f"}**,
+         |ceiling-normalized **${f"$pairNorm%.3f"}** (target >= 0.8);
+         |MEDIAN over ALL interleaved pairs = **${f"$pairMedian%.3f"}**
+         |(supporting evidence). Values above 1.0 are reported as measured —
+         |they mean residual noise slowed the N side more than the 4N side
+         |inside one pair; the estimator family's noise band on this host
+         |is roughly ±10%.
          |
          |CONCURRENT-ceiling estimator (for windows with no clean pair):
          |each timed run is bracketed by burn-loop measurements — 1-thread

@@ -56,6 +56,73 @@ object Inference {
       (lit(1.0) / (lit(1.0) + exp(-logit))).as("prob"))
   }
 
+  /** Demo endpoint-backed scorer — the wiring the reference's `aws_lambda`
+    * / `s3_enrich` / external-`ml_inference` clients need, with running
+    * code at the seam (the sandbox has no egress, so the "endpoint" is an
+    * in-process deterministic stub; swap [[StubEndpoint]] for an HTTP/SDK
+    * client and nothing else changes). What the demo demonstrates is the
+    * plumbing that matters at 100 TB:
+    *
+    *  - a JVM-SHARED lazy client pool: clients are created on first use on
+    *    each executor and reused across every task/batch/row that executor
+    *    ever runs — never one client per row (the classic `mapPartitions`
+    *    anti-pattern this seam exists to prevent);
+    *  - bounded concurrency: at most `poolSize` in-flight requests per
+    *    executor regardless of task slots (endpoint rate-limit hygiene);
+    *  - batched payloads: rows reach the endpoint in [[batchInfer]]'s
+    *    `batchSize` groups, not singly.
+    *
+    * InferenceSpec pins: scores ≡ [[LinearModel]] exactly, clients created
+    * ≤ poolSize across many partitions, and > 1 batch per client. */
+  final class PooledEndpointModel(weights: Array[Float], bias: Double,
+      poolSize: Int = 2) extends BatchModel {
+    def predict(batch: Array[Array[Float]]): Array[Float] = {
+      val client = PooledEndpointModel.acquire(poolSize, weights, bias)
+      try client.call(batch)
+      finally PooledEndpointModel.release(client)
+    }
+  }
+
+  object PooledEndpointModel {
+    /** The "remote" scorer: deterministic so the spec can differential it
+      * against the in-plan path. A real deployment replaces only this. */
+    final class StubEndpoint(weights: Array[Float], bias: Double) {
+      private[Inference] val served = new java.util.concurrent.atomic.AtomicInteger()
+      def call(batch: Array[Array[Float]]): Array[Float] = {
+        served.incrementAndGet()
+        LinearModel(weights, bias).predict(batch)
+      }
+    }
+
+    // JVM-wide (per-executor) state: @transient-static by construction —
+    // each executor JVM builds its own pool lazily and keeps it for the
+    // executor's lifetime, exactly like a pooled HTTP/SDK client.
+    private val clientsCreated = new java.util.concurrent.atomic.AtomicInteger()
+    private var pool: java.util.concurrent.ArrayBlockingQueue[StubEndpoint] = _
+
+    private def acquire(poolSize: Int, w: Array[Float], b: Double): StubEndpoint = {
+      val p = synchronized {
+        if (pool == null) pool = new java.util.concurrent.ArrayBlockingQueue(poolSize)
+        pool
+      }
+      p.poll() match {
+        case null =>
+          // no idle client: claim a creation slot or wait for a release —
+          // never create past poolSize (blocking take, NOT lock-held)
+          if (clientsCreated.getAndIncrement() < poolSize) new StubEndpoint(w, b)
+          else { clientsCreated.decrementAndGet(); p.take() }
+        case c => c
+      }
+    }
+
+    private def release(c: StubEndpoint): Unit = pool.put(c)
+
+    /** Test hooks (driver-side observability of the executor pool — valid
+      * under local[*] where driver and executor share the JVM). */
+    def createdCount: Int = clientsCreated.get()
+    def resetForTest(): Unit = synchronized { clientsCreated.set(0); pool = null }
+  }
+
   /** Opaque-model path: partition-local batches through [[BatchModel]].
     * Mirrors `extractFeatures`' batch seam — `batchSize` is the model's
     * preferred batch shape (GPU/endpoint payload), not a Spark knob. */

@@ -170,6 +170,133 @@ object MediaCodecs {
   def bmpFeatures(bytes: Array[Byte], featDim: Int): Option[Array[Float]] =
     parseBmp(bytes).map(b => gridPoolFeatures(b.width, b.height, b.lum, featDim))
 
+  /** Decoded PNG: width, height, row-major top-down luminance in [0,255]. */
+  final case class Png(width: Int, height: Int, lum: Array[Float])
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** Own-kernel PNG decoder (public spec, RFC 2083 / W3C PNG): chunk walk →
+    * concatenated-IDAT zlib inflate (`java.util.zip.Inflater` — the only
+    * machinery borrowed, it ships in the JDK) → per-scanline unfiltering
+    * (None/Sub/Up/Average/Paeth) → luminance. Supports the 8-bit-depth
+    * color types (gray 0, RGB 2, palette 3, gray+alpha 4, RGBA 6),
+    * non-interlaced — the overwhelming share of web PNGs. Anything else →
+    * None (quarantine contract, like every parser here). Alpha is ignored:
+    * luminance weights 0.299/0.587/0.114 match [[parseBmp]] so identical
+    * pixel content gives identical features across container formats. */
+  def parsePng(bytes: Array[Byte]): Option[Png] = {
+    val Sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes == null || bytes.length < 8 + 25) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != Sig(i)) return None; i += 1 }
+    var pos = 8
+    var width, height, bitDepth, colorType = -1
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 8 <= bytes.length) {
+      val len = be32(bytes, pos).toInt
+      if (len < 0 || pos + 12L + len > bytes.length) return None
+      val typ = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val body = pos + 8
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = be32(bytes, body).toInt
+          height = be32(bytes, body + 4).toInt
+          bitDepth = bytes(body + 8) & 0xff
+          colorType = bytes(body + 9) & 0xff
+          val interlace = bytes(body + 12) & 0xff
+          if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0 ||
+              !Set(0, 2, 3, 4, 6).contains(colorType)) return None
+          // cap decoded size (defensive: a crafted IHDR could demand GBs)
+          if (width.toLong * height > 64L * 1024 * 1024) return None
+        case "PLTE" =>
+          if (len % 3 != 0) return None
+          palette = java.util.Arrays.copyOfRange(bytes, body, body + len)
+        case "IDAT" => idat.write(bytes, body, len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunk — skip
+      }
+      pos = body + len + 4 // + CRC (not verified: tolerance over rejection)
+    }
+    if (width < 0 || idat.size() == 0) return None
+    if (colorType == 3 && palette == null) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+
+    // unfilter in place into `img` (top-down rows of `stride` bytes)
+    val img = new Array[Byte](stride * height)
+    val bpp = channels // 8-bit depth: filter unit = one pixel's channels
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (stride + 1)) & 0xff
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val rawV = raw(src + x) & 0xff
+        val a = if (x >= bpp) img(dst + x - bpp) & 0xff else 0            // left
+        val b = if (y > 0) img(dst - stride + x) & 0xff else 0            // up
+        val c = if (x >= bpp && y > 0) img(dst - stride + x - bpp) & 0xff else 0 // up-left
+        val v = filter match {
+          case 0 => rawV
+          case 1 => rawV + a
+          case 2 => rawV + b
+          case 3 => rawV + ((a + b) >> 1)
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            rawV + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        img(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    val lum = new Array[Float](width * height)
+    var p = 0
+    while (p < width * height) {
+      val o = p * channels
+      lum(p) = colorType match {
+        case 0 | 4 => (img(o) & 0xff).toFloat
+        case 2 | 6 =>
+          0.299f * (img(o) & 0xff) + 0.587f * (img(o + 1) & 0xff) +
+            0.114f * (img(o + 2) & 0xff)
+        case 3 =>
+          val pi = (img(o) & 0xff) * 3
+          if (pi + 2 >= palette.length) return None
+          0.299f * (palette(pi) & 0xff) + 0.587f * (palette(pi + 1) & 0xff) +
+            0.114f * (palette(pi + 2) & 0xff)
+      }
+      p += 1
+    }
+    Some(Png(width, height, lum))
+  }
+
+  /** Image features from the own-kernel PNG decoder. */
+  def pngFeatures(bytes: Array[Byte], featDim: Int): Option[Array[Float]] =
+    parsePng(bytes).map(p => gridPoolFeatures(p.width, p.height, p.lum, featDim))
+
   /** Image features for COMPRESSED formats (PNG/JPEG/GIF/WBMP) through
     * the JDK's own javax.imageio readers — part of the standard library,
     * so still zero external dependencies. Luminance uses the same

@@ -36,15 +36,18 @@ object Multimodal {
   }
 
   /** REAL decoder: WAV/PCM16 audio → framed RMS-energy features; images →
-    * grid-pooled luminance features via the pure-JVM 24-bit BMP parser
-    * first, then the JDK's javax.imageio readers (PNG/JPEG/GIF — still
-    * standard library, zero external deps). Audio beyond WAV and video
-    * return None here; swap in a JNI/FFI-backed decoder at this seam. */
+    * grid-pooled luminance features via the pure-JVM 24-bit BMP parser,
+    * then the own-kernel PNG decoder (Inflater + spec unfiltering —
+    * MediaCodecs.parsePng), then the JDK's javax.imageio readers
+    * (JPEG/GIF — still standard library, zero external deps). Audio
+    * beyond WAV and video return None here; swap in a JNI/FFI-backed
+    * decoder at this seam. */
   object RealDecoder extends MediaDecoder {
     def decode(modality: String, bytes: Array[Byte], featDim: Int): Option[Array[Float]] =
       modality match {
         case "audio" => MediaCodecs.wavFeatures(bytes, featDim)
         case "image" => MediaCodecs.bmpFeatures(bytes, featDim)
+          .orElse(MediaCodecs.pngFeatures(bytes, featDim))
           .orElse(MediaCodecs.imageioFeatures(bytes, featDim))
         case _ => None
       }

@@ -1,0 +1,391 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.PipelineYaml.{PipelineDef, PluginDef, SinkDef}
+
+/** Logstash `.conf` → pipeline-model converter — the front-end the
+  * reference ships as its `data-prepper-logstash-configuration` module
+  * (`LogstashConfigConverter.java:34`): parse the Logstash config grammar,
+  * map each Logstash plugin to its engine equivalent through the module's
+  * published attribute mappings (`*.mapping.yaml` resources +
+  * `mapping/mutate/MutateMapper.java:34`), and hand the result to the SAME
+  * [[PipelineYaml]] compiler the YAML front-end uses.
+  *
+  * Supported subset (the same plugins the reference maps): inputs pass
+  * through to the compiler's source resolution (`file` natively; `stdin`/
+  * `http` via the registered-DataFrame fallback); filters `grok`, `date`,
+  * `kv`, `csv`, `drop`, `mutate` (rename/copy/add_field/remove_field/gsub/
+  * lowercase/uppercase/strip/split); outputs `stdout`, `file`,
+  * `opensearch`/`elasticsearch`/`amazon_es`. Logstash `[a][b]` field
+  * references become `/a/b` pointers (`NestedSyntaxConverter.java:14`).
+  * Conditionals (`if`/`else`) are out of subset and rejected explicitly.
+  *
+  * Deviation from the reference, documented: the reference's
+  * `GrokMatchUtil.convertGrokMatchPattern` (`GrokMatchUtil.java:20`)
+  * rebuilds a match pattern from ONLY its `%{...}` groups, silently
+  * dropping literal text between captures (`"%{IP:a} - %{USER:b}"` loses
+  * `" - "`). This converter preserves literals and converts just the
+  * nested-syntax semantic inside each `%{...}` group — the converted
+  * pipeline then matches the same lines the Logstash one did.
+  */
+object LogstashConf {
+
+  /** Attributes keep ORDER and DUPLICATES — Logstash allows repeated
+    * attributes (`match => ...` twice in one grok, repeated
+    * `remove_field`) and the reference merges them per-plugin
+    * (GrokMatchAttributeHelper.mergeMatchAttributes, MutateMapper). */
+  final case class LsPlugin(name: String, attrs: Seq[(String, Any)]) {
+    def first(k: String): Option[Any] = attrs.collectFirst { case (`k`, v) => v }
+    def all(k: String): Seq[Any] = attrs.collect { case (`k`, v) => v }
+    def lastWins: Map[String, Any] = attrs.toMap
+  }
+  final case class LsConfig(input: Seq[LsPlugin], filter: Seq[LsPlugin],
+      output: Seq[LsPlugin])
+
+  // --------------------------------------------------------------- parser
+
+  /** Recursive-descent parser for the Logstash config subset: sections of
+    * plugin blocks with `name => value` attributes; values are strings,
+    * numbers, booleans, barewords, arrays and hashes. Comments run from
+    * `#` to end of line. */
+  def parse(text: String): LsConfig = {
+    val p = new Parser(text)
+    val sections = scala.collection.mutable.Map.empty[String, Seq[LsPlugin]]
+    p.ws()
+    while (!p.eof) {
+      val section = p.ident()
+      require(Set("input", "filter", "output").contains(section),
+        s"unknown section '$section' (conditionals and unknown blocks are out of subset)")
+      p.expect('{')
+      val plugins = Seq.newBuilder[LsPlugin]
+      p.ws()
+      while (p.peek != '}') {
+        val name = p.ident()
+        require(name != "if" && name != "else",
+          "logstash conditionals are out of the converter's subset")
+        p.expect('{')
+        val attrs = Seq.newBuilder[(String, Any)]
+        p.ws()
+        while (p.peek != '}') {
+          val k = p.attrName()
+          p.arrow()
+          attrs += (k -> p.value())
+          p.ws()
+        }
+        p.expect('}')
+        plugins += LsPlugin(name, attrs.result())
+        p.ws()
+      }
+      p.expect('}')
+      sections(section) = sections.getOrElse(section, Seq.empty) ++ plugins.result()
+      p.ws()
+    }
+    LsConfig(sections.getOrElse("input", Seq.empty),
+      sections.getOrElse("filter", Seq.empty),
+      sections.getOrElse("output", Seq.empty))
+  }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def eof: Boolean = i >= s.length
+    def peek: Char = if (eof) '\u0000' else s.charAt(i)
+    def ws(): Unit = {
+      var go = true
+      while (go && !eof) {
+        val c = s.charAt(i)
+        if (c == '#') { while (!eof && s.charAt(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def ident(): String = {
+      ws()
+      val start = i
+      while (!eof && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      require(i > start, s"expected identifier at offset $start")
+      s.substring(start, i)
+    }
+    /** Attribute names may be barewords or quoted strings. */
+    def attrName(): String = {
+      ws()
+      if (peek == '"' || peek == '\'') string() else ident()
+    }
+    def expect(c: Char): Unit = {
+      ws()
+      require(!eof && s.charAt(i) == c, s"expected '$c' at offset $i")
+      i += 1
+    }
+    def arrow(): Unit = {
+      ws()
+      require(i + 1 < s.length && s.charAt(i) == '=' && s.charAt(i + 1) == '>',
+        s"expected '=>' at offset $i")
+      i += 2
+    }
+    def string(): String = {
+      val quote = s.charAt(i); i += 1
+      val sb = new StringBuilder
+      while (!eof && s.charAt(i) != quote) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+        else { sb.append(c); i += 1 }
+      }
+      require(!eof, "unterminated string")
+      i += 1
+      sb.toString
+    }
+    def value(): Any = {
+      ws()
+      peek match {
+        case '"' | '\'' => string()
+        case '[' =>
+          i += 1; ws()
+          val items = Seq.newBuilder[Any]
+          while (peek != ']') {
+            items += value()
+            ws()
+            if (peek == ',') { i += 1; ws() }
+          }
+          i += 1
+          items.result()
+        case '{' =>
+          i += 1; ws()
+          val m = Map.newBuilder[String, Any]
+          while (peek != '}') {
+            val k = attrName()
+            arrow()
+            m += (k -> value())
+            ws()
+            if (peek == ',') { i += 1; ws() }
+          }
+          i += 1
+          m.result()
+        case c if c.isDigit || c == '-' =>
+          val start = i
+          if (peek == '-') i += 1
+          while (!eof && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+          val t = s.substring(start, i)
+          if (t.contains('.')) t.toDouble else t.toLong
+        case _ =>
+          ident() match {
+            case "true" => true
+            case "false" => false
+            case other => other // bareword → string
+          }
+      }
+    }
+  }
+
+  // ------------------------------------------------------- nested syntax
+
+  private val NestedRef = "(\\[([^\\]\\[]+)\\])+".r
+
+  /** Logstash `[a][b]` field reference → `/a/b` pointer; plain names pass
+    * through (NestedSyntaxConverter.java:14 semantics). */
+  def nestedToPointer(v: String): String =
+    if (NestedRef.matches(v)) v.replace("[", "/").replace("]", "") else v
+
+  private val GrokCapture =
+    "%\\{([^{}:]+)(?::([^{}:]+))?(?::([a-zA-Z]+))?\\}".r
+
+  /** Convert nested-syntax semantics INSIDE `%{SYNTAX:semantic[:type]}`
+    * captures, preserving all literal text around them (see class doc for
+    * the deliberate deviation from GrokMatchUtil's group-only rebuild). */
+  def convertGrokPattern(p: String): String =
+    GrokCapture.replaceAllIn(p, m => {
+      val syntax = m.group(1)
+      val semantic = Option(m.group(2)).map(nestedToPointer)
+      val typ = Option(m.group(3))
+      val body = (Seq(syntax) ++ semantic ++ typ).mkString(":")
+      java.util.regex.Matcher.quoteReplacement(s"%{$body}")
+    })
+
+  // ------------------------------------------------------------- mapping
+
+  private def str(v: Any): String = String.valueOf(v)
+
+  private def strSeq(v: Any): Seq[String] = v match {
+    case l: Seq[Any] @unchecked => l.map(str)
+    case other => Seq(str(other))
+  }
+
+  /** Rename attributes per a mapping-yaml-style table; unmapped attributes
+    * are dropped (AbstractLogstashPluginAttributesMapper behavior);
+    * repeated attributes resolve last-wins except where a plugin merges
+    * them explicitly (grok match, mutate). */
+  private def mapAttrs(p: LsPlugin, table: Map[String, String],
+      additional: Map[String, Any] = Map.empty): Map[String, Any] =
+    additional ++ p.lastWins.flatMap { case (k, v) => table.get(k).map(_ -> v) }
+
+  /** One Logstash filter plugin → one or more engine processors. */
+  def mapFilter(p: LsPlugin): Seq[PluginDef] = p.name match {
+    case "grok" =>
+      // grok.mapping.yaml + GrokMatchAttributeHelper.mergeMatchAttributes:
+      // every repeated `match` merges into one field→patterns map; the
+      // hash form contributes each (field, pattern), the array form must
+      // be [field, pattern]; fields go through nested-syntax conversion
+      val merged = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+      def add(f: String, pat: String): Unit = {
+        val k = nestedToPointer(f)
+        merged(k) = merged.getOrElse(k, Vector.empty) :+ convertGrokPattern(pat)
+      }
+      p.all("match").foreach {
+        case h: Map[String, Any] @unchecked => h.foreach { case (f, v) => add(f, str(v)) }
+        case l: Seq[Any] @unchecked if l.size == 2 => add(str(l.head), str(l(1)))
+        case other => throw new IllegalArgumentException(
+          s"grok match must be a hash or [field, pattern] pair, got: $other")
+      }
+      require(merged.nonEmpty, "grok: 'match' is required")
+      val renames = Map("break_on_match" -> "break_on_match",
+        "keep_empty_captures" -> "keep_empty_captures",
+        "pattern_definitions" -> "pattern_definitions",
+        "patterns_dir" -> "patterns_directories",
+        "patterns_files_glob" -> "patterns_files_glob",
+        "timeout_millis" -> "timeout_millis",
+        "overwrite" -> "keys_to_overwrite",
+        "named_captures_only" -> "named_captures_only")
+      val extra = mapAttrs(p, renames).map {
+        case ("keys_to_overwrite", v) => "keys_to_overwrite" -> strSeq(v).map(nestedToPointer)
+        case kv => kv
+      }
+      Seq(PluginDef("grok", extra + ("match" -> merged.toMap.map {
+        case (k, v) => k -> (v: Seq[String]) })))
+
+    case "date" =>
+      // date.mapping.yaml + DateLogstashPluginAttributesMapper: match
+      // array [field, fmt...] → [{key, patterns}]; fixed additionals
+      val entry = p.first("match") match {
+        case Some(l: Seq[Any] @unchecked) if l.size >= 2 =>
+          Map("key" -> nestedToPointer(str(l.head)),
+            "patterns" -> l.tail.map(str))
+        case _ => throw new IllegalArgumentException(
+          "date: 'match' must be [field, format, ...]")
+      }
+      val renames = Map("target" -> "destination",
+        "timezone" -> "source_timezone", "locale" -> "locale")
+      val mapped = mapAttrs(p, renames,
+        additional = Map("from_time_received" -> false,
+          "destination_timezone" -> "UTC")).map {
+        case ("destination", v) => "destination" -> nestedToPointer(str(v))
+        case kv => kv
+      }
+      Seq(PluginDef("date", mapped + ("match" -> Seq(entry))))
+
+    case "kv" =>
+      val renames = Map("source" -> "source", "target" -> "destination",
+        "field_split" -> "field_split_characters",
+        "field_split_pattern" -> "field_delimiter_regex",
+        "value_split" -> "value_split_characters",
+        "value_split_pattern" -> "key_value_delimiter_regex",
+        "remove_char_key" -> "delete_key_regex",
+        "remove_char_value" -> "delete_value_regex")
+      val mapped = mapAttrs(p, renames).map {
+        case (k @ ("source" | "destination"), v) => k -> nestedToPointer(str(v))
+        case kv => kv
+      }
+      Seq(PluginDef("key_value", mapped))
+
+    case "csv" =>
+      val renames = Map("columns" -> "column_names",
+        "quote_char" -> "quote_character", "separator" -> "delimiter",
+        "source" -> "source")
+      Seq(PluginDef("csv",
+        mapAttrs(p, renames, additional = Map("delete_header" -> true))))
+
+    case "drop" =>
+      // bare `drop {}` outside a conditional drops every event
+      Seq(PluginDef("drop_events", Map("drop_when" -> "1 == 1")))
+
+    case "mutate" =>
+      // MutateMapper: one engine processor per mutate sub-action, in
+      // FIRST-APPEARANCE order, accumulating repeated attributes into the
+      // same processor; hash keys (and string hash values / list elements)
+      // go through nested-syntax conversion
+      def hashEntries(v: Any): Seq[(String, Any)] = v match {
+        case h: Map[String, Any] @unchecked => h.toSeq.map {
+          case (k, s: String) => nestedToPointer(k) -> nestedToPointer(s)
+          case (k, other) => nestedToPointer(k) -> other
+        }
+        case _ => throw new IllegalArgumentException("mutate: hash expected")
+      }
+      def keyList(v: Any): Seq[String] = strSeq(v).map(nestedToPointer)
+      val order = p.attrs.map(_._1).distinct
+      order.flatMap { action =>
+        val vs = p.all(action)
+        action match {
+          case "rename" => Some(PluginDef("rename_keys", Map("entries" ->
+            vs.flatMap(hashEntries).map { case (f, t) =>
+              Map("from_key" -> f, "to_key" -> str(t)) })))
+          case "copy" => Some(PluginDef("copy_values", Map("entries" ->
+            vs.flatMap(hashEntries).map { case (f, t) =>
+              Map("from_key" -> f, "to_key" -> str(t)) })))
+          case "add_field" => Some(PluginDef("add_entries", Map("entries" ->
+            vs.flatMap(hashEntries).map { case (k, value) =>
+              Map("key" -> k, "value" -> value) })))
+          case "remove_field" =>
+            Some(PluginDef("delete_entries", Map("with_keys" -> vs.flatMap(keyList))))
+          case "gsub" =>
+            // flat [source, pattern, replacement, ...] triples
+            val flat = vs.flatMap(strSeq)
+            require(flat.size % 3 == 0, "mutate.gsub expects triples")
+            Some(PluginDef("substitute_string", Map("entries" ->
+              flat.grouped(3).map(t => Map("source" -> nestedToPointer(t(0)),
+                "from" -> t(1), "to" -> t(2))).toSeq)))
+          case "lowercase" =>
+            Some(PluginDef("lowercase_string", Map("with_keys" -> vs.flatMap(keyList))))
+          case "uppercase" =>
+            Some(PluginDef("uppercase_string", Map("with_keys" -> vs.flatMap(keyList))))
+          case "trim" =>
+            Some(PluginDef("trim_string", Map("with_keys" -> vs.flatMap(keyList))))
+          case "split" => Some(PluginDef("split_string", Map("entries" ->
+            vs.flatMap(hashEntries).map { case (f, d) =>
+              Map("source" -> f, "delimiter" -> str(d)) })))
+          case _ => None // unsupported sub-action: dropped like the reference
+        }
+      }
+
+    case other =>
+      throw new IllegalArgumentException(
+        s"logstash filter '$other' has no mapping (reference maps grok, date, kv, csv, drop, mutate)")
+  }
+
+  private def mapOutput(p: LsPlugin): SinkDef = p.name match {
+    case "opensearch" | "elasticsearch" | "amazon_es" =>
+      // opensearch.mapping.yaml: user→username, ssl_certificate_verification
+      // → NEGATED insecure; default index logstash-%{uuuu.MM.dd}
+      val renames = Map("hosts" -> "hosts", "user" -> "username",
+        "password" -> "password", "index" -> "index")
+      var opts = mapAttrs(p, renames,
+        additional = Map("index" -> "logstash-%{uuuu.MM.dd}"))
+      p.first("ssl_certificate_verification").foreach {
+        case b: Boolean => opts += ("insecure" -> !b)
+        case _ => ()
+      }
+      SinkDef(PluginDef("opensearch", opts), Seq.empty)
+    case "stdout" => SinkDef(PluginDef("stdout", Map.empty), Seq.empty)
+    case "file" => SinkDef(PluginDef("file", p.lastWins), Seq.empty)
+    case other =>
+      throw new IllegalArgumentException(s"logstash output '$other' has no mapping")
+  }
+
+  /** Convert a Logstash config to a [[PipelineYaml.PipelineDef]] named like
+    * the reference's `logstash-converted-pipeline`. */
+  def convert(text: String,
+      name: String = "logstash-converted-pipeline"): PipelineDef = {
+    val conf = parse(text)
+    require(conf.input.size <= 1,
+      "multiple logstash inputs are out of subset (the reference maps one)")
+    val source = conf.input.headOption
+      .map(in => PluginDef(in.name, in.lastWins))
+      .getOrElse(PluginDef("stdin", Map.empty))
+    val processors = conf.filter.flatMap(mapFilter)
+    val sinks = conf.output.map(mapOutput)
+    require(sinks.nonEmpty, "logstash config needs at least one output")
+    PipelineDef(name, source, processors, routes = Seq.empty, sinks = sinks)
+  }
+
+  /** Convert + compile through the shared YAML pipeline compiler. */
+  def compile(spark: SparkSession, confText: String,
+      inputs: Map[String, DataFrame] = Map.empty): Seq[PipelineYaml.SinkOutput] =
+    PipelineYaml.compileDefs(spark, Seq(convert(confText)), inputs)
+}

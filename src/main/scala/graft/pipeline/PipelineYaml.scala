@@ -540,8 +540,14 @@ object PipelineYaml {
     * runs until the caller acts on one). Pipelines are evaluated in
     * dependency order; `pipeline` sinks become union edges. */
   def compile(spark: SparkSession, yamlText: String,
+      inputs: Map[String, DataFrame] = Map.empty): Seq[SinkOutput] =
+    compileDefs(spark, parse(yamlText), inputs)
+
+  /** Compile already-parsed pipeline definitions — the shared back half of
+    * [[compile]], also fed by the Logstash front-end
+    * ([[LogstashConf.compile]]). */
+  def compileDefs(spark: SparkSession, defs: Seq[PipelineDef],
       inputs: Map[String, DataFrame] = Map.empty): Seq[SinkOutput] = {
-    val defs = parse(yamlText)
     val byName = defs.map(d => d.name -> d).toMap
 
     // upstream edges: child pipeline -> (parent, routes on the edge)

@@ -47,4 +47,25 @@ class InferenceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getFloat(1))).toSet
     assert(a == b)
   }
+
+  test("pooled endpoint client: batched, pooled, never more clients than poolSize") {
+    Inference.PooledEndpointModel.resetForTest()
+    val ws = Array(0.5f, -0.25f, 1.0f)
+    val big = (0 until 500).map(i =>
+      (i.toLong, Array(i * 0.01f, -i * 0.02f, 1.0f))).toDF("vec_id", "embedding")
+      .repartition(8) // many tasks, many batches — ONE bounded client pool
+    val pooled = Inference.batchInfer(big, "vec_id", "embedding",
+      new Inference.PooledEndpointModel(ws, 0.1, poolSize = 2), batchSize = 16)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toMap
+    // scores identical to the in-plan reference head
+    val reference = Inference.batchInfer(big, "vec_id", "embedding",
+      Inference.LinearModel(ws, 0.1), batchSize = 16)
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toMap
+    assert(pooled == reference)
+    // pool bound held across 8 partitions / ~32 batches (local[*]: driver
+    // and executor share a JVM, so the counter is observable here)
+    assert(Inference.PooledEndpointModel.createdCount <= 2,
+      s"created ${Inference.PooledEndpointModel.createdCount} clients")
+    assert(Inference.PooledEndpointModel.createdCount >= 1)
+  }
 }

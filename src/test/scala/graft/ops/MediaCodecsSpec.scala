@@ -164,4 +164,124 @@ class MediaCodecsSpec extends AnyFunSuite {
     val f = Multimodal.RealDecoder.decode("image", png, 4)
     assert(f.isDefined && f.get.length == 4)
   }
+
+  // ----------------------------------------------- own-kernel PNG decoder
+
+  /** Minimal PNG writer for fixtures: 8-bit depth, chosen color type and a
+    * FIXED filter id applied to every scanline (exercises each unfilter
+    * branch deterministically — ImageIO's encoder picks filters
+    * adaptively, so it can't). */
+  private def pngBytes(width: Int, height: Int, colorType: Int, filter: Int,
+      px: (Int, Int) => Array[Int], palette: Array[Byte] = null): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4 }
+    val stride = width * channels
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val img = Array.tabulate(height, stride) { (y, i) => px(i / channels, y)(i % channels) }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until height) {
+      raw.write(filter)
+      for (x <- 0 until stride) {
+        val orig = img(y)(x)
+        val a = if (x >= channels) img(y)(x - channels) else 0
+        val b = if (y > 0) img(y - 1)(x) else 0
+        val c = if (x >= channels && y > 0) img(y - 1)(x - channels) else 0
+        val v = filter match {
+          case 0 => orig
+          case 1 => orig - a
+          case 2 => orig - b
+          case 3 => orig - ((a + b) >> 1)
+          case 4 => orig - paeth(a, b, c)
+        }
+        raw.write(v & 0xff)
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be(v: Long): Unit =
+        (3 to 0 by -1).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+      be(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be(crc.getValue)
+      out.toByteArray
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit =
+      (3 to 0 by -1).foreach(i => ihdr.write((v >> (8 * i)) & 0xff))
+    be32(width); be32(height)
+    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.write(chunk("IHDR", ihdr.toByteArray))
+    if (palette != null) out.write(chunk("PLTE", palette))
+    out.write(chunk("IDAT", comp.toByteArray))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  test("png kernel: every filter type reconstructs the original pixels (RGB)") {
+    val px = (x: Int, y: Int) => Array(x * 37 % 256, y * 91 % 256, (x * y + 13) % 256)
+    val expected = MediaCodecs.parsePng(pngBytes(11, 9, 2, 0, px)).get
+    for (f <- 1 to 4) {
+      val got = MediaCodecs.parsePng(pngBytes(11, 9, 2, f, px))
+      assert(got.isDefined, s"filter $f failed to parse")
+      assert(got.get.lum.toSeq == expected.lum.toSeq, s"filter $f mismatch")
+    }
+  }
+
+  test("png kernel: gray, gray+alpha, RGBA and palette color types decode") {
+    val g = MediaCodecs.parsePng(pngBytes(6, 5, 0, 1, (x, y) => Array((x * 40 + y) % 256)))
+    assert(g.isDefined && g.get.lum(0) == 0f && g.get.lum(1) == 40f)
+    val ga = MediaCodecs.parsePng(pngBytes(6, 5, 4, 2,
+      (x, y) => Array((x * 40 + y) % 256, 200)))
+    assert(ga.isDefined && ga.get.lum.toSeq == g.get.lum.toSeq) // alpha ignored
+    val rgba = MediaCodecs.parsePng(pngBytes(6, 5, 6, 4,
+      (x, y) => Array(x * 30 % 256, y * 50 % 256, 9, 128)))
+    val rgb = MediaCodecs.parsePng(pngBytes(6, 5, 2, 4,
+      (x, y) => Array(x * 30 % 256, y * 50 % 256, 9)))
+    assert(rgba.isDefined && rgba.get.lum.toSeq == rgb.get.lum.toSeq)
+    val pal = Array.tabulate(256 * 3)(i => ((i / 3 + i % 3) % 256).toByte)
+    val p = MediaCodecs.parsePng(pngBytes(6, 5, 3, 3,
+      (x, y) => Array((x * 11 + y * 7) % 256), palette = pal))
+    assert(p.isDefined && p.get.width == 6 && p.get.height == 5)
+  }
+
+  test("png kernel: differential vs the JDK's independent decoder") {
+    val pix = (x: Int, y: Int) => (x * 29 % 256, y * 53 % 256, (x + y) * 11 % 256)
+    val bytes = imageioBytes("png", 13, 8, pix)
+    val own = MediaCodecs.pngFeatures(bytes, 8)
+    val jdk = MediaCodecs.imageioFeatures(bytes, 8)
+    assert(own.isDefined, "own kernel rejected an ImageIO-written PNG")
+    assert(own.get.toSeq == jdk.get.toSeq)
+    // and equal to the same pixels through the BMP container
+    val bmp = MediaCodecs.bmpFeatures(MediaFixtures.bmp24(13, 8, pix), 8)
+    assert(own.get.toSeq == bmp.get.toSeq)
+  }
+
+  test("png kernel: corrupt and unsupported payloads return None") {
+    val px = (x: Int, y: Int) => Array(x % 256, y % 256, 1)
+    val good = pngBytes(8, 8, 2, 0, px)
+    assert(MediaCodecs.parsePng(good).isDefined)
+    assert(MediaCodecs.parsePng(good.take(40)).isEmpty)          // truncated
+    assert(MediaCodecs.parsePng(good.updated(0, 0x00.toByte)).isEmpty) // bad sig
+    val noPlte = pngBytes(4, 4, 3, 0, (x, y) => Array(0))        // palette missing
+    assert(MediaCodecs.parsePng(noPlte).isEmpty)
+    // truncated IDAT body (cut inside the zlib stream)
+    val cut = good.dropRight(20)
+    assert(MediaCodecs.parsePng(cut).isEmpty)
+    assert(MediaCodecs.parsePng(null).isEmpty)
+  }
 }

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.pipeline.PipelineYaml.PluginDef
+
+/** Logstash `.conf` front-end vs the reference converter
+  * (data-prepper-logstash-configuration; fixture shapes mirror its
+  * log-ingest-to-opensearch*.conf test resources). */
+class LogstashConfSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val referenceShapedConf =
+    """input {
+      |    http {
+      |        port => 3000
+      |        ssl => true
+      |    }
+      |}
+      |filter {
+      |    grok {
+      |        match => ["[data][log1]", "%{NUMBER} %{GREEDYDATA:[nested][field][data1]}"]
+      |        match => {"[data][log2]" => "%{NUMBER:num:int} %{GREEDYDATA:[nested][field][data2]}"}
+      |        overwrite => ["[nested][field][data1]"]
+      |        break_on_match => false
+      |    }
+      |    date {
+      |        match => ["[data][timestamp]", "yyyy-MM-dd"]
+      |        target => "[data][@timestamp]"
+      |    }
+      |    kv {
+      |        source => "[data][message]"
+      |        target => "[data][test]"
+      |    }
+      |    mutate {
+      |        add_field => { "[messages][message1]" => 3 "m2" => 4.2 "m3" => "test3" }
+      |        rename => { "[messages][messagea]" => "[newMessage]" }
+      |        remove_field => ["[messages][test]", "[test2]"]
+      |        remove_field => ["test3"]
+      |        uppercase => ["[message][uppercaseField]"]
+      |        gsub => ["source", "from", "to", "source2", "from2", "to2"]
+      |        split => { "splitMessage" => "," }
+      |    }
+      |}
+      |output {
+      |    elasticsearch {
+      |        hosts => ["https://localhost:19000"]
+      |        user => myuser
+      |        password => mypassword
+      |        index => "simple-pipeline"
+      |        ssl_certificate_verification => false
+      |    }
+      |}
+      |""".stripMargin
+
+  test("reference-shaped conf converts: grok merge, nested syntax, mutate split, sink mapping") {
+    val d = LogstashConf.convert(referenceShapedConf)
+    assert(d.name == "logstash-converted-pipeline")
+    assert(d.source.name == "http")
+
+    val grok = d.processors.find(_.name == "grok").get
+    val m = grok.options("match").asInstanceOf[Map[String, Seq[String]]]
+    // repeated match attrs merged; fields AND pattern semantics converted
+    assert(m("/data/log1") == Seq("%{NUMBER} %{GREEDYDATA:/nested/field/data1}"))
+    assert(m("/data/log2") == Seq("%{NUMBER:num:int} %{GREEDYDATA:/nested/field/data2}"))
+    assert(grok.options("keys_to_overwrite") == Seq("/nested/field/data1"))
+    assert(grok.options("break_on_match") == false)
+
+    val date = d.processors.find(_.name == "date").get
+    val entry = date.options("match").asInstanceOf[Seq[Map[String, Any]]].head
+    assert(entry("key") == "/data/timestamp")
+    assert(entry("patterns") == Seq("yyyy-MM-dd"))
+    assert(date.options("destination") == "/data/@timestamp")
+    assert(date.options("from_time_received") == false)
+    assert(date.options("destination_timezone") == "UTC")
+
+    val kv = d.processors.find(_.name == "key_value").get
+    assert(kv.options("source") == "/data/message")
+    assert(kv.options("destination") == "/data/test")
+
+    // mutate sub-actions in first-appearance order, repeats accumulated
+    val mutateNames = d.processors.map(_.name).filter(Set("add_entries",
+      "rename_keys", "delete_entries", "uppercase_string",
+      "substitute_string", "split_string"))
+    assert(mutateNames == Seq("add_entries", "rename_keys", "delete_entries",
+      "uppercase_string", "substitute_string", "split_string"))
+    val del = d.processors.find(_.name == "delete_entries").get
+    assert(del.options("with_keys") == Seq("/messages/test", "/test2", "test3"))
+    val add = d.processors.find(_.name == "add_entries").get
+    val entries = add.options("entries").asInstanceOf[Seq[Map[String, Any]]]
+    assert(entries.toSet == Set(
+      Map("key" -> "/messages/message1", "value" -> 3L),
+      Map("key" -> "m2", "value" -> 4.2),
+      Map("key" -> "m3", "value" -> "test3")))
+    val gsub = d.processors.find(_.name == "substitute_string").get
+    assert(gsub.options("entries") == Seq(
+      Map("source" -> "source", "from" -> "from", "to" -> "to"),
+      Map("source" -> "source2", "from" -> "from2", "to" -> "to2")))
+
+    val sink = d.sinks.head.plugin
+    assert(sink.name == "opensearch")
+    assert(sink.options("username") == "myuser")
+    assert(sink.options("index") == "simple-pipeline")
+    assert(sink.options("insecure") == true) // negated ssl_certificate_verification
+  }
+
+  test("default index applies when the output names none") {
+    val d = LogstashConf.convert(
+      "input { http {} } output { opensearch { hosts => [\"h\"] } }")
+    assert(d.sinks.head.plugin.options("index") == "logstash-%{uuuu.MM.dd}")
+  }
+
+  test("grok pattern conversion preserves literal text between captures") {
+    // deliberate deviation from GrokMatchUtil's group-only rebuild (which
+    // drops the " - ") — documented in LogstashConf's scaladoc
+    assert(LogstashConf.convertGrokPattern("%{IP:a} - %{USER:[u][id]}") ==
+      "%{IP:a} - %{USER:/u/id}")
+    assert(LogstashConf.convertGrokPattern("%{NUMBER:num:int}x") ==
+      "%{NUMBER:num:int}x")
+    assert(LogstashConf.convertGrokPattern("no captures") == "no captures")
+  }
+
+  test("conditionals and unknown filters are rejected, not silently dropped") {
+    intercept[IllegalArgumentException] {
+      LogstashConf.convert(
+        "input { stdin {} } filter { if [x] { drop {} } } output { stdout {} }")
+    }
+    intercept[IllegalArgumentException] {
+      LogstashConf.convert(
+        "input { stdin {} } filter { throttle {} } output { stdout {} }")
+    }
+  }
+
+  test("converted pipeline runs end-to-end through the shared compiler") {
+    val conf =
+      """input { stdin {} }
+        |filter {
+        |    grok {
+        |        match => { "message" => "%{WORD:verb} %{NUMBER:code}" }
+        |    }
+        |    mutate {
+        |        uppercase => ["verb"]
+        |        add_field => { "tag" => "ls" }
+        |    }
+        |}
+        |output { stdout {} }
+        |""".stripMargin
+    val input = Seq("get 200", "post 503").toDF("message")
+    val outs = LogstashConf.compile(spark, conf,
+      Map("logstash-converted-pipeline" -> input))
+    assert(outs.size == 1)
+    val rows = outs.head.df
+      .select("verb", "code", "tag")
+      .as[(String, String, String)].collect().toSet
+    assert(rows == Set(("GET", "200", "ls"), ("POST", "503", "ls")))
+  }
+}
