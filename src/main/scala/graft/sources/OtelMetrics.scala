@@ -160,12 +160,37 @@ object OtelMetrics {
   def metrics(df: DataFrame, jsonCol: String,
       calculateHistogramBuckets: Boolean = true,
       calculateExponentialHistogramBuckets: Boolean = true,
+      exponentialHistogramMaxAllowedScale: Int = 10): DataFrame =
+    flattenMetrics(
+      df.withColumn("_otlp",
+        from_json(col(jsonCol), MetricsSchemaDdl, Map.empty[String, String])),
+      df.columns.filter(_ != jsonCol).map(col).toSeq,
+      calculateHistogramBuckets, calculateExponentialHistogramBuckets,
+      exponentialHistogramMaxAllowedScale)
+
+  /** Flatten an OTLP protobuf WIRE-FORM binary metrics column — same
+    * output as [[metrics]] byte-for-byte on equivalent payloads (the
+    * decode UDF materializes the `from_json` struct tree; [[OtlpProto]]).
+    * JVM-kernel seam, like [[OtelJson.spansFromProto]]. */
+  def metricsFromProto(df: DataFrame, binCol: String,
+      calculateHistogramBuckets: Boolean = true,
+      calculateExponentialHistogramBuckets: Boolean = true,
       exponentialHistogramMaxAllowedScale: Int = 10): DataFrame = {
-    val passthrough = df.columns.filter(_ != jsonCol).map(col).toSeq
+    val decode = udf((b: Array[Byte]) => OtlpProto.decodeMetricsRequest(b))
+    flattenMetrics(df.withColumn("_otlp", decode(col(binCol))),
+      df.columns.filter(_ != binCol).map(col).toSeq,
+      calculateHistogramBuckets, calculateExponentialHistogramBuckets,
+      exponentialHistogramMaxAllowedScale)
+  }
+
+  /** Shared ResourceMetrics-tree → datapoint-rows projection. `_otlp` must
+    * hold the [[MetricsSchemaDdl]] tree. */
+  private def flattenMetrics(withTree: DataFrame, passthrough: Seq[Column],
+      calculateHistogramBuckets: Boolean,
+      calculateExponentialHistogramBuckets: Boolean,
+      exponentialHistogramMaxAllowedScale: Int): DataFrame = {
     val m = col("_m")
-    val parsed = df
-      .withColumn("_otlp",
-        from_json(col(jsonCol), MetricsSchemaDdl, Map.empty[String, String]))
+    val parsed = withTree
       .select(passthrough :+ explode(col("_otlp.resourceMetrics")).as("_rm"): _*)
       .withColumn("_resAttrs", col("_rm.resource.attributes"))
       .withColumn("serviceName",

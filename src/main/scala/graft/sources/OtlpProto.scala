@@ -267,6 +267,335 @@ object OtlpProto {
     PTraceRequest(rs.result())
   }
 
+  // ----------------------------------------------------------- metrics model
+  // Field names/nullability mirror OtelMetrics.MetricsSchemaDdl so the
+  // decode UDF yields the same struct tree as from_json on the JSON wire
+  // form. Message layout: public opentelemetry-proto metrics.proto.
+
+  final case class MNumDp(startTimeUnixNano: Option[String],
+      timeUnixNano: Option[String], asDouble: Option[Double],
+      asInt: Option[String], flags: Option[Int], attributes: Seq[PKV])
+  final case class MHistDp(startTimeUnixNano: Option[String],
+      timeUnixNano: Option[String], count: Option[String],
+      sum: Option[Double], bucketCounts: Seq[String],
+      explicitBounds: Seq[Double], flags: Option[Int], attributes: Seq[PKV])
+  final case class MBuckets(offset: Option[Int], bucketCounts: Seq[String])
+  final case class MExpDp(startTimeUnixNano: Option[String],
+      timeUnixNano: Option[String], count: Option[String],
+      sum: Option[Double], scale: Option[Int], zeroCount: Option[String],
+      positive: Option[MBuckets], negative: Option[MBuckets],
+      flags: Option[Int], attributes: Seq[PKV])
+  final case class MQuantile(quantile: Option[Double], value: Option[Double])
+  final case class MSummDp(startTimeUnixNano: Option[String],
+      timeUnixNano: Option[String], count: Option[String],
+      sum: Option[Double], quantileValues: Seq[MQuantile],
+      flags: Option[Int], attributes: Seq[PKV])
+  final case class MGauge(dataPoints: Seq[MNumDp])
+  final case class MSum(dataPoints: Seq[MNumDp], isMonotonic: Option[Boolean],
+      aggregationTemporality: Option[String])
+  final case class MHistogram(dataPoints: Seq[MHistDp],
+      aggregationTemporality: Option[String])
+  final case class MExpHistogram(dataPoints: Seq[MExpDp],
+      aggregationTemporality: Option[String])
+  final case class MSummary(dataPoints: Seq[MSummDp])
+  final case class MMetric(name: Option[String], description: Option[String],
+      unit: Option[String], gauge: Option[MGauge], sum: Option[MSum],
+      histogram: Option[MHistogram],
+      exponentialHistogram: Option[MExpHistogram], summary: Option[MSummary])
+  final case class MScopeMetrics(scope: Option[PScope], metrics: Seq[MMetric])
+  final case class MResourceMetrics(resource: Option[PResource],
+      scopeMetrics: Seq[MScopeMetrics])
+  final case class MMetricsRequest(resourceMetrics: Seq[MResourceMetrics])
+
+  /** AggregationTemporality enum names (metrics.proto). */
+  private val TemporalityNames = Array("AGGREGATION_TEMPORALITY_UNSPECIFIED",
+    "AGGREGATION_TEMPORALITY_DELTA", "AGGREGATION_TEMPORALITY_CUMULATIVE")
+
+  private def zigzag32(v: Long): Int = (((v >>> 1) ^ -(v & 1)).toInt)
+
+  // ------------------------------------------------------- metrics decoders
+
+  private def u64s(v: Long): String = java.lang.Long.toUnsignedString(v)
+
+  /** Packed OR unpacked repeated fixed64 field; returns decimal strings
+    * (the proto3-JSON uint64 mapping). */
+  private def readPackedFixed64(r: Reader, wire: Int,
+      out: scala.collection.mutable.Builder[String, Seq[String]]): Unit =
+    if (wire == 1) out += u64s(r.readFixed64())
+    else { val s = r.sub(); while (s.hasMore) out += u64s(s.readFixed64()) }
+
+  private def readPackedDouble(r: Reader, wire: Int,
+      out: scala.collection.mutable.Builder[Double, Seq[Double]]): Unit = {
+    def d(x: Long) = java.lang.Double.longBitsToDouble(x)
+    if (wire == 1) out += d(r.readFixed64())
+    else { val s = r.sub(); while (s.hasMore) out += d(s.readFixed64()) }
+  }
+
+  private def readPackedVarint(r: Reader, wire: Int,
+      out: scala.collection.mutable.Builder[String, Seq[String]]): Unit =
+    if (wire == 0) out += u64s(r.readVarint())
+    else { val s = r.sub(); while (s.hasMore) out += u64s(s.readVarint()) }
+
+  private def decodeNumDp(r: Reader): MNumDp = {
+    var start, time, asInt: Option[String] = None
+    var asDouble: Option[Double] = None
+    var flags: Option[Int] = None
+    val attrs = Seq.newBuilder[PKV]
+    while (r.hasMore) {
+      val tag = r.readVarint().toInt
+      (tag >> 3, tag & 7) match {
+        case (2, 1) => start = Some(u64s(r.readFixed64()))
+        case (3, 1) => time = Some(u64s(r.readFixed64()))
+        case (4, 1) => asDouble = Some(java.lang.Double.longBitsToDouble(r.readFixed64()))
+        case (6, 1) => asInt = Some(r.readFixed64().toString) // sfixed64
+        case (7, 2) => attrs += decodeKv(r.sub())
+        case (8, 0) =>
+          val f = r.readVarint().toInt; flags = if (f != 0) Some(f) else None
+        case (_, w) => r.skip(w)
+      }
+    }
+    MNumDp(start, time, asDouble, asInt, flags, attrs.result())
+  }
+
+  private def decodeHistDp(r: Reader): MHistDp = {
+    var start, time, count: Option[String] = None
+    var sum: Option[Double] = None
+    var flags: Option[Int] = None
+    val counts = Seq.newBuilder[String]
+    val bounds = Seq.newBuilder[Double]
+    val attrs = Seq.newBuilder[PKV]
+    while (r.hasMore) {
+      val tag = r.readVarint().toInt
+      (tag >> 3, tag & 7) match {
+        case (2, 1) => start = Some(u64s(r.readFixed64()))
+        case (3, 1) => time = Some(u64s(r.readFixed64()))
+        case (4, 1) => count = Some(u64s(r.readFixed64()))
+        case (5, 1) => sum = Some(java.lang.Double.longBitsToDouble(r.readFixed64()))
+        case (6, w) => readPackedFixed64(r, w, counts)
+        case (7, w) => readPackedDouble(r, w, bounds)
+        case (9, 2) => attrs += decodeKv(r.sub())
+        case (10, 0) =>
+          val f = r.readVarint().toInt; flags = if (f != 0) Some(f) else None
+        case (_, w) => r.skip(w)
+      }
+    }
+    MHistDp(start, time, count, sum, counts.result(), bounds.result(),
+      flags, attrs.result())
+  }
+
+  private def decodeBuckets(r: Reader): MBuckets = {
+    var offset: Option[Int] = None
+    val counts = Seq.newBuilder[String]
+    while (r.hasMore) {
+      val tag = r.readVarint().toInt
+      (tag >> 3, tag & 7) match {
+        case (1, 0) => offset = Some(zigzag32(r.readVarint()))
+        case (2, w) => readPackedVarint(r, w, counts)
+        case (_, w) => r.skip(w)
+      }
+    }
+    MBuckets(offset.orElse(Some(0)), counts.result())
+  }
+
+  private def decodeExpDp(r: Reader): MExpDp = {
+    var start, time, count, zeroCount: Option[String] = None
+    var sum: Option[Double] = None
+    var scale: Option[Int] = None
+    var pos, neg: Option[MBuckets] = None
+    var flags: Option[Int] = None
+    val attrs = Seq.newBuilder[PKV]
+    while (r.hasMore) {
+      val tag = r.readVarint().toInt
+      (tag >> 3, tag & 7) match {
+        case (1, 2) => attrs += decodeKv(r.sub())
+        case (2, 1) => start = Some(u64s(r.readFixed64()))
+        case (3, 1) => time = Some(u64s(r.readFixed64()))
+        case (4, 1) => count = Some(u64s(r.readFixed64()))
+        case (5, 1) => sum = Some(java.lang.Double.longBitsToDouble(r.readFixed64()))
+        case (6, 0) => scale = Some(zigzag32(r.readVarint()))
+        case (7, 1) => zeroCount = Some(u64s(r.readFixed64()))
+        case (8, 2) => pos = Some(decodeBuckets(r.sub()))
+        case (9, 2) => neg = Some(decodeBuckets(r.sub()))
+        case (10, 0) =>
+          val f = r.readVarint().toInt; flags = if (f != 0) Some(f) else None
+        case (_, w) => r.skip(w)
+      }
+    }
+    MExpDp(start, time, count, sum, scale.orElse(Some(0)), zeroCount,
+      pos, neg, flags, attrs.result())
+  }
+
+  private def decodeSummDp(r: Reader): MSummDp = {
+    var start, time, count: Option[String] = None
+    var sum: Option[Double] = None
+    var flags: Option[Int] = None
+    val qs = Seq.newBuilder[MQuantile]
+    val attrs = Seq.newBuilder[PKV]
+    while (r.hasMore) {
+      val tag = r.readVarint().toInt
+      (tag >> 3, tag & 7) match {
+        case (2, 1) => start = Some(u64s(r.readFixed64()))
+        case (3, 1) => time = Some(u64s(r.readFixed64()))
+        case (4, 1) => count = Some(u64s(r.readFixed64()))
+        case (5, 1) => sum = Some(java.lang.Double.longBitsToDouble(r.readFixed64()))
+        case (6, 2) =>
+          val s = r.sub()
+          var q, v: Option[Double] = None
+          while (s.hasMore) {
+            val t = s.readVarint().toInt
+            (t >> 3, t & 7) match {
+              case (1, 1) => q = Some(java.lang.Double.longBitsToDouble(s.readFixed64()))
+              case (2, 1) => v = Some(java.lang.Double.longBitsToDouble(s.readFixed64()))
+              case (_, w) => s.skip(w)
+            }
+          }
+          qs += MQuantile(q.orElse(Some(0.0)), v.orElse(Some(0.0)))
+        case (7, 2) => attrs += decodeKv(r.sub())
+        case (8, 0) =>
+          val f = r.readVarint().toInt; flags = if (f != 0) Some(f) else None
+        case (_, w) => r.skip(w)
+      }
+    }
+    MSummDp(start, time, count, sum, qs.result(), flags, attrs.result())
+  }
+
+  private def temporality(v: Long): Option[String] =
+    if (v > 0 && v < TemporalityNames.length) Some(TemporalityNames(v.toInt)) else None
+
+  private def decodeMetric(r: Reader): MMetric = {
+    var name, desc, unit: Option[String] = None
+    var gauge: Option[MGauge] = None
+    var msum: Option[MSum] = None
+    var hist: Option[MHistogram] = None
+    var exp: Option[MExpHistogram] = None
+    var summ: Option[MSummary] = None
+    while (r.hasMore) {
+      val tag = r.readVarint().toInt
+      (tag >> 3, tag & 7) match {
+        case (1, 2) => name = strOrNone(r.readString())
+        case (2, 2) => desc = strOrNone(r.readString())
+        case (3, 2) => unit = strOrNone(r.readString())
+        case (5, 2) => // Gauge
+          val s = r.sub()
+          val dps = Seq.newBuilder[MNumDp]
+          while (s.hasMore) {
+            val t = s.readVarint().toInt
+            if ((t >> 3, t & 7) == ((1, 2))) dps += decodeNumDp(s.sub()) else s.skip(t & 7)
+          }
+          gauge = Some(MGauge(dps.result()))
+        case (7, 2) => // Sum
+          val s = r.sub()
+          val dps = Seq.newBuilder[MNumDp]
+          var temp: Option[String] = None
+          var mono: Option[Boolean] = None
+          while (s.hasMore) {
+            val t = s.readVarint().toInt
+            (t >> 3, t & 7) match {
+              case (1, 2) => dps += decodeNumDp(s.sub())
+              case (2, 0) => temp = temporality(s.readVarint())
+              case (3, 0) => mono = Some(s.readVarint() != 0L)
+              case (_, w) => s.skip(w)
+            }
+          }
+          msum = Some(MSum(dps.result(), mono, temp))
+        case (9, 2) => // Histogram
+          val s = r.sub()
+          val dps = Seq.newBuilder[MHistDp]
+          var temp: Option[String] = None
+          while (s.hasMore) {
+            val t = s.readVarint().toInt
+            (t >> 3, t & 7) match {
+              case (1, 2) => dps += decodeHistDp(s.sub())
+              case (2, 0) => temp = temporality(s.readVarint())
+              case (_, w) => s.skip(w)
+            }
+          }
+          hist = Some(MHistogram(dps.result(), temp))
+        case (10, 2) => // ExponentialHistogram
+          val s = r.sub()
+          val dps = Seq.newBuilder[MExpDp]
+          var temp: Option[String] = None
+          while (s.hasMore) {
+            val t = s.readVarint().toInt
+            (t >> 3, t & 7) match {
+              case (1, 2) => dps += decodeExpDp(s.sub())
+              case (2, 0) => temp = temporality(s.readVarint())
+              case (_, w) => s.skip(w)
+            }
+          }
+          exp = Some(MExpHistogram(dps.result(), temp))
+        case (11, 2) => // Summary
+          val s = r.sub()
+          val dps = Seq.newBuilder[MSummDp]
+          while (s.hasMore) {
+            val t = s.readVarint().toInt
+            if ((t >> 3, t & 7) == ((1, 2))) dps += decodeSummDp(s.sub()) else s.skip(t & 7)
+          }
+          summ = Some(MSummary(dps.result()))
+        case (_, w) => r.skip(w)
+      }
+    }
+    MMetric(name, desc, unit, gauge, msum, hist, exp, summ)
+  }
+
+  /** Decode an ExportMetricsServiceRequest. Null/empty → empty request. */
+  def decodeMetricsRequest(bytes: Array[Byte]): MMetricsRequest = {
+    if (bytes == null || bytes.isEmpty) return MMetricsRequest(Nil)
+    val r = new Reader(bytes, 0, bytes.length)
+    val rms = Seq.newBuilder[MResourceMetrics]
+    while (r.hasMore) {
+      val tag = r.readVarint().toInt
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val rr = r.sub()
+          var resource: Option[PResource] = None
+          val sms = Seq.newBuilder[MScopeMetrics]
+          while (rr.hasMore) {
+            val t = rr.readVarint().toInt
+            (t >> 3, t & 7) match {
+              case (1, 2) => // Resource
+                val res = rr.sub()
+                val attrs = Seq.newBuilder[PKV]
+                while (res.hasMore) {
+                  val tt = res.readVarint().toInt
+                  if ((tt >> 3, tt & 7) == ((1, 2))) attrs += decodeKv(res.sub())
+                  else res.skip(tt & 7)
+                }
+                resource = Some(PResource(attrs.result()))
+              case (2, 2) => // ScopeMetrics
+                val sm = rr.sub()
+                var scope: Option[PScope] = None
+                val ms = Seq.newBuilder[MMetric]
+                while (sm.hasMore) {
+                  val tt = sm.readVarint().toInt
+                  (tt >> 3, tt & 7) match {
+                    case (1, 2) =>
+                      val sc = sm.sub()
+                      var n, v: Option[String] = None
+                      while (sc.hasMore) {
+                        val t3 = sc.readVarint().toInt
+                        (t3 >> 3, t3 & 7) match {
+                          case (1, 2) => n = strOrNone(sc.readString())
+                          case (2, 2) => v = strOrNone(sc.readString())
+                          case (_, w) => sc.skip(w)
+                        }
+                      }
+                      scope = Some(PScope(n, v))
+                    case (2, 2) => ms += decodeMetric(sm.sub())
+                    case (_, w) => sm.skip(w)
+                  }
+                }
+                sms += MScopeMetrics(scope, ms.result())
+              case (_, w) => rr.skip(w)
+            }
+          }
+          rms += MResourceMetrics(resource, sms.result())
+        case (_, w) => r.skip(w)
+      }
+    }
+    MMetricsRequest(rms.result())
+  }
+
   // -------------------------------------------------------------- encoder
 
   /** Append-only proto writer (varint / fixed64 / length-delimited). */
@@ -287,6 +616,12 @@ object OtlpProto {
     }
     def bytesField(field: Int, b: Array[Byte]): Writer = {
       tag(field, 2).varint(b.length.toLong); out.write(b, 0, b.length); this
+    }
+    /** Raw little-endian 8 bytes, no tag — packed-array element. */
+    def fixed64Raw(v: Long): Writer = {
+      var i = 0
+      while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+      this
     }
     def str(field: Int, s: String): Writer = bytesField(field, s.getBytes(UTF_8))
     def varintField(field: Int, v: Long): Writer = { tag(field, 0).varint(v); this }
@@ -327,6 +662,153 @@ object OtlpProto {
       w.msg(15, sw)
     }
     w
+  }
+
+  private def dbl(w: Writer, field: Int, v: Double): Unit =
+    w.fixed64(field, java.lang.Double.doubleToLongBits(v))
+  private def u64(w: Writer, field: Int, s: String): Unit =
+    w.fixed64(field, java.lang.Long.parseUnsignedLong(s))
+  private def zig(v: Int): Long = ((v.toLong << 1) ^ (v.toLong >> 63)) & 0xffffffffL
+
+  private def encodeNumDp(dp: MNumDp): Writer = {
+    val w = new Writer
+    dp.startTimeUnixNano.foreach(u64(w, 2, _))
+    dp.timeUnixNano.foreach(u64(w, 3, _))
+    dp.asDouble.foreach(dbl(w, 4, _))
+    dp.asInt.foreach(i => w.fixed64(6, i.toLong))
+    dp.attributes.foreach(kv => w.msg(7, encodeKv(kv)))
+    dp.flags.foreach(f => w.varintField(8, f.toLong))
+    w
+  }
+
+  private def encodeHistDp(dp: MHistDp): Writer = {
+    val w = new Writer
+    dp.startTimeUnixNano.foreach(u64(w, 2, _))
+    dp.timeUnixNano.foreach(u64(w, 3, _))
+    dp.count.foreach(u64(w, 4, _))
+    dp.sum.foreach(dbl(w, 5, _))
+    if (dp.bucketCounts.nonEmpty) { // packed fixed64
+      val p = new Writer
+      dp.bucketCounts.foreach(c => p.fixed64Raw(java.lang.Long.parseUnsignedLong(c)))
+      w.bytesField(6, p.bytes)
+    }
+    if (dp.explicitBounds.nonEmpty) { // packed double
+      val p = new Writer
+      dp.explicitBounds.foreach(b => p.fixed64Raw(java.lang.Double.doubleToLongBits(b)))
+      w.bytesField(7, p.bytes)
+    }
+    dp.attributes.foreach(kv => w.msg(9, encodeKv(kv)))
+    dp.flags.foreach(f => w.varintField(10, f.toLong))
+    w
+  }
+
+  private def encodeBuckets(b: MBuckets): Writer = {
+    val w = new Writer
+    b.offset.filter(_ != 0).foreach(o => w.varintField(1, zig(o)))
+    if (b.bucketCounts.nonEmpty) { // packed varint
+      val p = new Writer
+      b.bucketCounts.foreach(c => p.varint(java.lang.Long.parseUnsignedLong(c)))
+      w.bytesField(2, p.bytes)
+    }
+    w
+  }
+
+  private def encodeExpDp(dp: MExpDp): Writer = {
+    val w = new Writer
+    dp.attributes.foreach(kv => w.msg(1, encodeKv(kv)))
+    dp.startTimeUnixNano.foreach(u64(w, 2, _))
+    dp.timeUnixNano.foreach(u64(w, 3, _))
+    dp.count.foreach(u64(w, 4, _))
+    dp.sum.foreach(dbl(w, 5, _))
+    dp.scale.filter(_ != 0).foreach(s => w.varintField(6, zig(s)))
+    dp.zeroCount.foreach(u64(w, 7, _))
+    dp.positive.foreach(b => w.msg(8, encodeBuckets(b)))
+    dp.negative.foreach(b => w.msg(9, encodeBuckets(b)))
+    dp.flags.foreach(f => w.varintField(10, f.toLong))
+    w
+  }
+
+  private def encodeSummDp(dp: MSummDp): Writer = {
+    val w = new Writer
+    dp.startTimeUnixNano.foreach(u64(w, 2, _))
+    dp.timeUnixNano.foreach(u64(w, 3, _))
+    dp.count.foreach(u64(w, 4, _))
+    dp.sum.foreach(dbl(w, 5, _))
+    dp.quantileValues.foreach { q =>
+      val qw = new Writer
+      q.quantile.foreach(dbl(qw, 1, _))
+      q.value.foreach(dbl(qw, 2, _))
+      w.msg(6, qw)
+    }
+    dp.attributes.foreach(kv => w.msg(7, encodeKv(kv)))
+    dp.flags.foreach(f => w.varintField(8, f.toLong))
+    w
+  }
+
+  private def encodeMetric(m: MMetric): Writer = {
+    val w = new Writer
+    m.name.foreach(w.str(1, _))
+    m.description.foreach(w.str(2, _))
+    m.unit.foreach(w.str(3, _))
+    m.gauge.foreach { g =>
+      val gw = new Writer
+      g.dataPoints.foreach(dp => gw.msg(1, encodeNumDp(dp)))
+      w.msg(5, gw)
+    }
+    m.sum.foreach { s =>
+      val sw = new Writer
+      s.dataPoints.foreach(dp => sw.msg(1, encodeNumDp(dp)))
+      s.aggregationTemporality.foreach(t =>
+        sw.varintField(2, TemporalityNames.indexOf(t).toLong))
+      s.isMonotonic.foreach(b => sw.varintField(3, if (b) 1L else 0L))
+      w.msg(7, sw)
+    }
+    m.histogram.foreach { h =>
+      val hw = new Writer
+      h.dataPoints.foreach(dp => hw.msg(1, encodeHistDp(dp)))
+      h.aggregationTemporality.foreach(t =>
+        hw.varintField(2, TemporalityNames.indexOf(t).toLong))
+      w.msg(9, hw)
+    }
+    m.exponentialHistogram.foreach { h =>
+      val hw = new Writer
+      h.dataPoints.foreach(dp => hw.msg(1, encodeExpDp(dp)))
+      h.aggregationTemporality.foreach(t =>
+        hw.varintField(2, TemporalityNames.indexOf(t).toLong))
+      w.msg(10, hw)
+    }
+    m.summary.foreach { s =>
+      val sw = new Writer
+      s.dataPoints.foreach(dp => sw.msg(1, encodeSummDp(dp)))
+      w.msg(11, sw)
+    }
+    w
+  }
+
+  /** Encode a full ExportMetricsServiceRequest. */
+  def encodeMetricsRequest(req: MMetricsRequest): Array[Byte] = {
+    val w = new Writer
+    req.resourceMetrics.foreach { rm =>
+      val rw = new Writer
+      rm.resource.foreach { res =>
+        val resW = new Writer
+        res.attributes.foreach(kv => resW.msg(1, encodeKv(kv)))
+        rw.msg(1, resW)
+      }
+      rm.scopeMetrics.foreach { sm =>
+        val smW = new Writer
+        sm.scope.foreach { sc =>
+          val scW = new Writer
+          sc.name.foreach(scW.str(1, _))
+          sc.version.foreach(scW.str(2, _))
+          smW.msg(1, scW)
+        }
+        sm.metrics.foreach(m => smW.msg(2, encodeMetric(m)))
+        rw.msg(2, smW)
+      }
+      w.msg(1, rw)
+    }
+    w.bytes
   }
 
   /** Encode a full ExportTraceServiceRequest. */
