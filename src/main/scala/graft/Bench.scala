@@ -38,7 +38,9 @@ object Bench {
     "q_cosine_neardups", "q_neardup_clusters", "q_repetition_signals",
     "q_duplicate_spans", "q_pipeline_yaml",
     "q_decontaminate", "q_gopher_filter", "q_pii_redact", "q_ml_inference",
-    "q_pack_sequences")
+    "q_pack_sequences",
+    // round-3 operators
+    "q_otel_spans_proto", "q_parse_ion_binary", "q_corpus_bm25")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.

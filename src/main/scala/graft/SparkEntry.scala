@@ -319,6 +319,55 @@ object SparkEntry {
     }, Some("""SELECT doc_id, lang AS ilang, source AS isrc,
               | CAST(n_chars AS BIGINT) AS in_chars FROM documents""".stripMargin)),
 
+    ("q_parse_ion_binary", (s: SparkSession, dir: String) => {
+      // the SAME logical event as q_parse_ion, on the BINARY Ion wire form
+      // (local symbol table, doc::-annotated struct, count::-annotated int
+      // field) — assembled per row from the public Ion 1.0 encoding, then
+      // decoded by the IonBinary own kernel; same oracle as the text path
+      val enc = udf { (lang: String, src: String, n: Long) =>
+        import java.nio.charset.StandardCharsets.UTF_8
+        def varU(v: Long): Seq[Byte] = {
+          val groups = Iterator.iterate(v)(_ >>> 7).takeWhile(_ != 0)
+            .map(x => (x & 0x7f).toByte).toSeq.reverse
+          val gs = if (groups.isEmpty) Seq(0.toByte) else groups
+          gs.init ++ Seq((gs.last | 0x80).toByte)
+        }
+        def tl(t: Int, len: Int): Seq[Byte] =
+          if (len < 14 && !(t == 13 && len == 1)) Seq(((t << 4) | len).toByte)
+          else Seq(((t << 4) | 14).toByte) ++ varU(len.toLong)
+        def str(x: String): Seq[Byte] = {
+          val b = x.getBytes(UTF_8).toSeq; tl(8, b.size) ++ b
+        }
+        def posInt(v: Long): Seq[Byte] = {
+          val mag = BigInt(v).toByteArray.dropWhile(_ == 0).toSeq
+          tl(2, mag.size) ++ mag
+        }
+        def annot(sid: Int, value: Seq[Byte]): Seq[Byte] = {
+          val annots = varU(sid.toLong)
+          val body = varU(annots.size.toLong) ++ annots ++ value
+          tl(14, body.size) ++ body
+        }
+        // local symbol table: sids 10..14
+        val names = Seq("lang", "src", "n", "doc", "count")
+        val items = names.flatMap(str)
+        val symList = tl(11, items.size) ++ items
+        val stBody = varU(7L) ++ symList
+        val symtab = annot(3, tl(13, stBody.size) ++ stBody)
+        // {lang: "<lang>", src: "<src>", n: count::<n>}
+        val fields = varU(10L) ++ str(lang) ++ varU(11L) ++ str(src) ++
+          varU(12L) ++ annot(14, posInt(n))
+        val doc = annot(13, tl(13, fields.size) ++ fields)
+        (Seq(0xE0, 0x01, 0x00, 0xEA).map(_.toByte) ++ symtab ++ doc).toArray
+      }
+      val ion = docs(s, dir).withColumn("ion",
+        enc(col("lang"), col("source"), col("n_chars").cast("long")))
+      graft.pipeline.Pipeline(
+        Processors.ParseIonBinary("ion", "lang STRING, src STRING, n BIGINT", "p"))(ion)
+        .select(col("doc_id"), col("p")("lang").as("ilang"),
+          col("p")("src").as("isrc"), col("p")("n").as("in_chars"))
+    }, Some("""SELECT doc_id, lang AS ilang, source AS isrc,
+              | CAST(n_chars AS BIGINT) AS in_chars FROM documents""".stripMargin)),
+
     ("q_parse_xml", (s: SparkSession, dir: String) => {
       val withXml = docs(s, dir).withColumn("xml",
         concat(lit("<r><lang>"), col("lang"), lit("</lang><src>"),
@@ -1178,7 +1227,10 @@ object SparkEntry {
       val media = Multimodal.synthesize(s, 200).toDF()
       Multimodal.sampleFrames(media, everyN = 30)
         .select("media_id", "n_frames", "frame_idx")
-    }, None),
+    }, Some("""SELECT media_id, n_frames,
+              | unnest(range(0, n_frames, 30))::INT AS frame_idx
+              | FROM read_parquet('${GRAFT_OUT}/fixture_media/*.parquet')
+              | WHERE modality = 'video' AND n_frames > 0""".stripMargin)),
 
     // ---------- corpus / north-rule pipeline ----------
     // Oracles read the fixture corpus that Verify writes to outDir (the

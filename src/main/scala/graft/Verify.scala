@@ -25,6 +25,9 @@ object Verify {
     graft.corpus.SyntheticCorpus.generate(spark, 500, seed = 42L)
       .select("url", "text", "lang")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/fixture_corpus")
+    graft.ops.Multimodal.synthesize(spark, 200).toDF()
+      .select("media_id", "modality", "n_frames")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/fixture_media")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -472,6 +472,20 @@ object Processors {
           org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)))
   }
 
+  /** `parse_ion` over the BINARY wire form (the codec layer's half —
+    * reference ion-java reads both forms transparently): binary Ion
+    * payloads convert to JSON via the [[IonBinary]] own kernel (local
+    * symbol tables honored, annotations stripped, same JSON conventions
+    * as [[IonText]]), then parse with the same `from_json` shape. */
+  final case class ParseIonBinary(source: String, schemaDdl: String,
+      destination: String = "parsed") extends Stage {
+    private val conv = udf((b: Array[Byte]) => IonBinary.toJson(b))
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destination,
+        from_json(conv(col(source)),
+          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)))
+  }
+
   /** `parse_xml` (parse-json-processor family): parse an XML string field
     * into a struct at `destination` (Spark 4 native from_xml — codegen'd,
     * no external parser). */
