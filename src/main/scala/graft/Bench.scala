@@ -203,10 +203,12 @@ object Bench {
     // soft time budget: under severe host starvation (observed 20×
     // slowdowns lasting minutes) later repeats are skipped once each level
     // has at least one measurement, so the driver always gets its JSON line.
-    // 2100 s ≈ up to ~12 interleaved (1,4) pairs at 60k docs — on this host
-    // clean-pair odds come from repeats, and the r2 driver run showed a
-    // 1200 s window can sit entirely inside one multi-storm band.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toLong
+    // 1680 s ≈ up to ~10 interleaved (1,4) pairs at 60k docs — on this host
+    // clean-pair odds come from repeats (the r2 driver run showed a 1200 s
+    // window can sit entirely inside one multi-storm band), while keeping
+    // the bench's worst-case total under ~35 min (r2's driver run completed
+    // at 24 min; an unknown driver timeout must not eat the artifact).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1680").toLong
     val benchStart = System.nanoTime()
     def remainingSec: Double = budgetSec - (System.nanoTime() - benchStart) / 1e9
     // best-ever single-thread probe: the anchor that lets a stormy bench

@@ -1222,6 +1222,46 @@ object SparkEntry {
           round(element_at(col("features"), 1), 4).as("f0"))
     }, None),
 
+    ("q_multimodal_decode", (s: SparkSession, dir: String) => {
+      // REAL decoders, oracle-checked: payloads are analytically
+      // constructed (gradient BMPs: lum(x,y)=x; constant-amplitude WAVs:
+      // RMS frame = |amp|/32768) so DuckDB recomputes the grid-pool /
+      // RMS features in closed form from the fixture metadata alone
+      import s.implicits._
+      val fix = Multimodal.decodeFixture(s, 100)
+      val mk = udf { (modality: String, w: Int, h: Int, amp: Int) =>
+        if (modality == "image")
+          graft.ops.MediaCodecs.encodeBmp24(w, h, (x, _) => (x, x, x))
+        else
+          graft.ops.MediaCodecs.encodeWavPcm16(8000, Array.fill(64)(amp.toShort))
+      }
+      val rows = fix.select(col("media_id"), col("modality"),
+          mk(col("modality"), col("w"), col("h"), col("amp")).as("bytes"),
+          col("w").as("width"), col("h").as("height"),
+          lit(8000).as("sample_rate"), lit(0).as("n_frames"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(rows, featDim = 4,
+          decoder = Multimodal.RealDecoder).toDF()
+        .select(col("media_id"), col("modality"), col("ok"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 2).cast("double"), 4).as("f1"),
+          round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
+          round(element_at(col("features"), 4).cast("double"), 4).as("f3"))
+    }, Some {
+      // featDim=4 grid: 2×2 cells; y never matters (lum depends on x
+      // only), so f0=f2 (cx=0: x∈[0, max(1, w//2))) and f1=f3 (cx=1:
+      // x∈[w//2, w)); mean of consecutive ints = (first+last)/2
+      val img0 = "round(((greatest(1, w//2) - 1) / 2.0) / 255, 4)"
+      val img1 = "round(((w//2 + w - 1) / 2.0) / 255, 4)"
+      val aud = "round(abs(amp) / 32768.0, 4)"
+      s"""SELECT media_id, modality, true AS ok,
+         | CASE WHEN modality = 'image' THEN $img0 ELSE $aud END AS f0,
+         | CASE WHEN modality = 'image' THEN $img1 ELSE $aud END AS f1,
+         | CASE WHEN modality = 'image' THEN $img0 ELSE $aud END AS f2,
+         | CASE WHEN modality = 'image' THEN $img1 ELSE $aud END AS f3
+         | FROM read_parquet('$${GRAFT_OUT}/fixture_decode/*.parquet')""".stripMargin
+    }),
+
     ("q_multimodal_frames", (s: SparkSession, dir: String) => {
       import s.implicits._
       val media = Multimodal.synthesize(s, 200).toDF()

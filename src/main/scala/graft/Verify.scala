@@ -28,6 +28,8 @@ object Verify {
     graft.ops.Multimodal.synthesize(spark, 200).toDF()
       .select("media_id", "modality", "n_frames")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/fixture_media")
+    graft.ops.Multimodal.decodeFixture(spark, 100)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/fixture_decode")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

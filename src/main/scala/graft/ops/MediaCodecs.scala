@@ -297,6 +297,63 @@ object MediaCodecs {
   def pngFeatures(bytes: Array[Byte], featDim: Int): Option[Array[Float]] =
     parsePng(bytes).map(p => gridPoolFeatures(p.width, p.height, p.lum, featDim))
 
+  // ------------------------------------------------------------- encoders
+  // The write-side halves (media sink parity + analytic decode fixtures).
+
+  /** Encode an uncompressed 24-bit BITMAPINFOHEADER BMP (bottom-up rows,
+    * 4-byte padding — the exact flavor [[parseBmp]] reads). */
+  def encodeBmp24(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3
+    val dataSize = rowBytes * height
+    val out = new Array[Byte](54 + dataSize)
+    def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def put32(o: Int, v: Int): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, 54 + dataSize); put32(10, 54); put32(14, 40)
+    put32(18, width); put32(22, height) // positive = bottom-up
+    put16(26, 1); put16(28, 24); put32(30, 0); put32(34, dataSize)
+    var y = 0
+    while (y < height) {
+      val ro = 54 + (height - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        out(ro + x * 3) = b.toByte // BGR
+        out(ro + x * 3 + 1) = g.toByte
+        out(ro + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode a PCM16 mono RIFF/WAVE container ([[parseWav]]'s flavor). */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def put32(o: Int, v: Int): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    def tag(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, i) => out(o + i) = c.toByte }
+    tag(0, "RIFF"); put32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2); put16(34, 16)
+    tag(36, "data"); put32(40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      put16(44 + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
   /** Image features for COMPRESSED formats (PNG/JPEG/GIF/WBMP) through
     * the JDK's own javax.imageio readers — part of the standard library,
     * so still zero external dependencies. Luminance uses the same

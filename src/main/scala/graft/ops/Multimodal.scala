@@ -103,6 +103,22 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))))
 
+  /** Analytic REAL-decode fixture: rows whose RealDecoder features have
+    * closed forms an external engine recomputes independently (gate
+    * q_multimodal_decode). Image rows become w×h gradient BMPs with
+    * lum(x,y) = x, so a grid cell's feature is mean(x over the cell)/255;
+    * audio rows become constant-amplitude PCM16 WAVs, so every RMS frame
+    * is |amp|/32768 exactly. */
+  def decodeFixture(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism).map { id =>
+      if (id % 2 == 0)
+        (id, "image", (4 + id % 13).toInt, (3 + id % 7).toInt, 0)
+      else
+        (id, "audio", 0, 0, (id * 997 % 20001 - 10000).toInt)
+    }.toDF("media_id", "modality", "w", "h", "amp")
+  }
+
   /** Deterministic synthetic media fixture (no external data). */
   def synthesize(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
