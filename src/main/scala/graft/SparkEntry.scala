@@ -49,6 +49,21 @@ object SparkEntry {
   private val tokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** Shared by q_otel_logs (JSON wire) and q_otel_logs_proto (protobuf
+    * wire) — one oracle pins both decode paths equal. */
+  private val otelLogsOracleSql: String =
+    """SELECT epoch_us(ts) * 1000 AS timeUnixNano,
+      | epoch_us(ts) * 1000 + 500000 AS observedTimeUnixNano,
+      | 'svc-' || event_type AS serviceName,
+      | CAST(9 + event_id % 5 AS INT) AS severityNumber,
+      | CASE WHEN event_id % 2 = 0 THEN 'INFO' ELSE 'WARN' END AS severityText,
+      | 'evt ' || event_type AS body,
+      | printf('%032x', user_id) AS traceId,
+      | printf('%016x', event_id) AS spanId,
+      | CAST(user_id AS VARCHAR) AS uid_attr,
+      | 'graft' AS scope_name
+      | FROM events""".stripMargin
+
   /** Shared by q_otel_spans (JSON wire) and q_otel_spans_proto (protobuf
     * wire): both decode the same logical fixture, so one oracle pins both
     * paths — and pins them EQUAL to each other. */
@@ -447,6 +462,71 @@ object SparkEntry {
           col("durationInNanos"), col("traceGroup"),
           element_at(col("attributes"), "uid").as("uid_attr"))
     }, Some(otelSpansOracleSql)),
+
+    ("q_otel_logs", (s: SparkSession, dir: String) => {
+      // otel_logs_source decode path, JSON wire form: events → OTLP/JSON
+      // ExportLogsServiceRequest → reference-shaped log rows
+      val e = events(s, dir)
+      val timeNs = (unix_micros(col("ts")) * 1000L).cast("string")
+      val obsNs = (unix_micros(col("ts")) * 1000L + 500000L).cast("string")
+      val json = concat(
+        lit("""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-"""),
+        col("event_type"),
+        lit(""""}}]},"scopeLogs":[{"scope":{"name":"graft"},"logRecords":[{"timeUnixNano":""""),
+        timeNs,
+        lit("""","observedTimeUnixNano":""""), obsNs,
+        lit("""","severityNumber":"""), (col("event_id") % 5 + 9).cast("int"),
+        lit(""","severityText":""""),
+        when(col("event_id") % 2 === 0, lit("INFO")).otherwise(lit("WARN")),
+        lit("""","body":{"stringValue":"evt """), col("event_type"),
+        lit(""""},"attributes":[{"key":"uid","value":{"intValue":""""),
+        col("user_id").cast("string"),
+        lit(""""}}],"traceId":""""), lpad(lower(hex(col("user_id"))), 32, "0"),
+        lit("""","spanId":""""), lpad(lower(hex(col("event_id"))), 16, "0"),
+        lit(""""}]}]}]}"""))
+      graft.sources.OtelLogs.logs(e.withColumn("otlp", json).select("otlp"), "otlp")
+        .select(col("timeUnixNano"), col("observedTimeUnixNano"),
+          col("serviceName"), col("severityNumber"), col("severityText"),
+          col("body"), col("traceId"), col("spanId"),
+          element_at(col("attributes"), "log.attributes.uid").as("uid_attr"),
+          element_at(col("attributes"), "instrumentationScope.name").as("scope_name"))
+    }, Some(otelLogsOracleSql)),
+
+    ("q_otel_logs_proto", (s: SparkSession, dir: String) => {
+      // the SAME logical log fixture on the binary protobuf wire form
+      val e = events(s, dir)
+      val enc = udf { (svc: String, timeNs: Long, obsNs: Long, sevNum: Int,
+          sevText: String, body: String, uid: Long, traceId: String,
+          spanId: String) =>
+        import graft.sources.OtlpProto._
+        encodeLogsRequest(LLogsRequest(Seq(LResourceLogs(
+          Some(PResource(Seq(PKV("service.name",
+            PAny(Some(svc), None, None, None))))),
+          Seq(LScopeLogs(Some(PScope(Some("graft"), None)),
+            Seq(LLogRecord(Some(timeNs.toString), Some(obsNs.toString),
+              Some(sevNum), Some(sevText),
+              Some(PAny(Some(body), None, None, None)),
+              Seq(PKV("uid", PAny(None, Some(uid.toString), None, None))),
+              None, None, Some(traceId), Some(spanId)))))))))
+      }
+      val timeNs = unix_micros(col("ts")) * 1000L
+      val bin = enc(
+        concat(lit("svc-"), col("event_type")),
+        timeNs, timeNs + 500000L,
+        (col("event_id") % 5 + 9).cast("int"),
+        when(col("event_id") % 2 === 0, lit("INFO")).otherwise(lit("WARN")),
+        concat(lit("evt "), col("event_type")),
+        col("user_id"),
+        lpad(lower(hex(col("user_id"))), 32, "0"),
+        lpad(lower(hex(col("event_id"))), 16, "0"))
+      graft.sources.OtelLogs.logsFromProto(
+          e.withColumn("otlp", bin).select("otlp"), "otlp")
+        .select(col("timeUnixNano"), col("observedTimeUnixNano"),
+          col("serviceName"), col("severityNumber"), col("severityText"),
+          col("body"), col("traceId"), col("spanId"),
+          element_at(col("attributes"), "log.attributes.uid").as("uid_attr"),
+          element_at(col("attributes"), "instrumentationScope.name").as("scope_name"))
+    }, Some(otelLogsOracleSql)),
 
     ("q_event_json", (s: SparkSession, dir: String) => {
       // reference event_json round-trip: events rows -> per-partition

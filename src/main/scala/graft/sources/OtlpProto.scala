@@ -78,6 +78,14 @@ object OtlpProto {
       r
     }
 
+    def readFixed32(): Int = {
+      var r = 0
+      var i = 0
+      while (i < 4) { r |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
+      pos += 4
+      r
+    }
+
     def readLen(): Int = {
       val n = readVarint().toInt
       require(n >= 0 && pos + n <= end, s"bad length $n")
@@ -265,6 +273,150 @@ object OtlpProto {
       }
     }
     PTraceRequest(rs.result())
+  }
+
+  // -------------------------------------------------------------- logs model
+  // Mirrors OtelLogs.LogsSchemaDdl (public opentelemetry-proto logs.proto).
+
+  final case class LLogRecord(timeUnixNano: Option[String],
+      observedTimeUnixNano: Option[String], severityNumber: Option[Int],
+      severityText: Option[String], body: Option[PAny], attributes: Seq[PKV],
+      droppedAttributesCount: Option[Int], flags: Option[Int],
+      traceId: Option[String], spanId: Option[String])
+  final case class LScopeLogs(scope: Option[PScope], logRecords: Seq[LLogRecord])
+  final case class LResourceLogs(resource: Option[PResource],
+      scopeLogs: Seq[LScopeLogs])
+  final case class LLogsRequest(resourceLogs: Seq[LResourceLogs])
+
+  private def decodeLogRecord(r: Reader): LLogRecord = {
+    var time, observed: Option[String] = None
+    var sevNum, dropped, flags: Option[Int] = None
+    var sevText, traceId, spanId: Option[String] = None
+    var body: Option[PAny] = None
+    val attrs = Seq.newBuilder[PKV]
+    while (r.hasMore) {
+      val tag = r.readVarint().toInt
+      (tag >> 3, tag & 7) match {
+        case (1, 1) => time = Some(u64s(r.readFixed64()))
+        case (11, 1) => observed = Some(u64s(r.readFixed64()))
+        case (2, 0) =>
+          val v = r.readVarint().toInt; sevNum = if (v != 0) Some(v) else None
+        case (3, 2) => sevText = strOrNone(r.readString())
+        case (5, 2) => body = Some(decodeAny(r.sub()))
+        case (6, 2) => attrs += decodeKv(r.sub())
+        case (7, 0) =>
+          val v = r.readVarint().toInt; dropped = if (v != 0) Some(v) else None
+        case (8, 5) =>
+          val v = r.readFixed32(); flags = if (v != 0) Some(v) else None
+        case (9, 2) => traceId = hexOrNone(r.readBytes())
+        case (10, 2) => spanId = hexOrNone(r.readBytes())
+        case (_, w) => r.skip(w)
+      }
+    }
+    LLogRecord(time, observed, sevNum, sevText, body, attrs.result(),
+      dropped, flags, traceId, spanId)
+  }
+
+  /** Decode an ExportLogsServiceRequest. Null/empty → empty request. */
+  def decodeLogsRequest(bytes: Array[Byte]): LLogsRequest = {
+    if (bytes == null || bytes.isEmpty) return LLogsRequest(Nil)
+    val r = new Reader(bytes, 0, bytes.length)
+    val rls = Seq.newBuilder[LResourceLogs]
+    while (r.hasMore) {
+      val tag = r.readVarint().toInt
+      (tag >> 3, tag & 7) match {
+        case (1, 2) =>
+          val rr = r.sub()
+          var resource: Option[PResource] = None
+          val sls = Seq.newBuilder[LScopeLogs]
+          while (rr.hasMore) {
+            val t = rr.readVarint().toInt
+            (t >> 3, t & 7) match {
+              case (1, 2) =>
+                val res = rr.sub()
+                val attrs = Seq.newBuilder[PKV]
+                while (res.hasMore) {
+                  val tt = res.readVarint().toInt
+                  if ((tt >> 3, tt & 7) == ((1, 2))) attrs += decodeKv(res.sub())
+                  else res.skip(tt & 7)
+                }
+                resource = Some(PResource(attrs.result()))
+              case (2, 2) =>
+                val sl = rr.sub()
+                var scope: Option[PScope] = None
+                val recs = Seq.newBuilder[LLogRecord]
+                while (sl.hasMore) {
+                  val tt = sl.readVarint().toInt
+                  (tt >> 3, tt & 7) match {
+                    case (1, 2) =>
+                      val sc = sl.sub()
+                      var n, v: Option[String] = None
+                      while (sc.hasMore) {
+                        val t3 = sc.readVarint().toInt
+                        (t3 >> 3, t3 & 7) match {
+                          case (1, 2) => n = strOrNone(sc.readString())
+                          case (2, 2) => v = strOrNone(sc.readString())
+                          case (_, w) => sc.skip(w)
+                        }
+                      }
+                      scope = Some(PScope(n, v))
+                    case (2, 2) => recs += decodeLogRecord(sl.sub())
+                    case (_, w) => sl.skip(w)
+                  }
+                }
+                sls += LScopeLogs(scope, recs.result())
+              case (_, w) => rr.skip(w)
+            }
+          }
+          rls += LResourceLogs(resource, sls.result())
+        case (_, w) => r.skip(w)
+      }
+    }
+    LLogsRequest(rls.result())
+  }
+
+  /** Encode a full ExportLogsServiceRequest. */
+  def encodeLogsRequest(req: LLogsRequest): Array[Byte] = {
+    def encodeRecord(l: LLogRecord): Writer = {
+      val w = new Writer
+      l.timeUnixNano.foreach(n => w.fixed64(1, java.lang.Long.parseUnsignedLong(n)))
+      l.severityNumber.foreach(v => w.varintField(2, v.toLong))
+      l.severityText.foreach(w.str(3, _))
+      l.body.foreach(b => w.msg(5, encodeAny(b)))
+      l.attributes.foreach(kv => w.msg(6, encodeKv(kv)))
+      l.droppedAttributesCount.foreach(v => w.varintField(7, v.toLong))
+      l.flags.foreach { v =>
+        w.tag(8, 5)
+        var i = 0
+        while (i < 4) { w.rawByte((v >>> (8 * i)) & 0xff); i += 1 }
+      }
+      l.traceId.foreach(h => w.bytesField(9, hexToBytes(h)))
+      l.spanId.foreach(h => w.bytesField(10, hexToBytes(h)))
+      l.observedTimeUnixNano.foreach(n => w.fixed64(11, java.lang.Long.parseUnsignedLong(n)))
+      w
+    }
+    val w = new Writer
+    req.resourceLogs.foreach { rl =>
+      val rw = new Writer
+      rl.resource.foreach { res =>
+        val resW = new Writer
+        res.attributes.foreach(kv => resW.msg(1, encodeKv(kv)))
+        rw.msg(1, resW)
+      }
+      rl.scopeLogs.foreach { sl =>
+        val slW = new Writer
+        sl.scope.foreach { sc =>
+          val scW = new Writer
+          sc.name.foreach(scW.str(1, _))
+          sc.version.foreach(scW.str(2, _))
+          slW.msg(1, scW)
+        }
+        sl.logRecords.foreach(rec => slW.msg(2, encodeRecord(rec)))
+        rw.msg(2, slW)
+      }
+      w.msg(1, rw)
+    }
+    w.bytes
   }
 
   // ----------------------------------------------------------- metrics model
@@ -623,6 +775,8 @@ object OtlpProto {
       while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
       this
     }
+    /** One raw byte (fixed32 assembly). */
+    def rawByte(b: Int): Writer = { out.write(b & 0xff); this }
     def str(field: Int, s: String): Writer = bytesField(field, s.getBytes(UTF_8))
     def varintField(field: Int, v: Long): Writer = { tag(field, 0).varint(v); this }
     def msg(field: Int, w: Writer): Writer = bytesField(field, w.bytes)

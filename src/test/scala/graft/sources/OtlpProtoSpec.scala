@@ -258,6 +258,86 @@ class OtlpProtoSpec extends AnyFunSuite {
     assert(dp.count.contains("12"))
   }
 
+  // ---------------------------------------------------------------- logs
+
+  private def logsFixture(i: Long): LLogsRequest = LLogsRequest(Seq(
+    LResourceLogs(
+      Some(PResource(Seq(
+        PKV("service.name", PAny(Some(s"svc-${i % 3}"), None, None, None)),
+        PKV("host.name", PAny(Some(s"h$i"), None, None, None))))),
+      Seq(LScopeLogs(Some(PScope(Some("graft"), Some("1.0"))), Seq(
+        LLogRecord(
+          timeUnixNano = Some((1700000000000000000L + i * 1000).toString),
+          observedTimeUnixNano = Some((1700000000000002000L + i * 1000).toString),
+          severityNumber = Some((9 + i % 5).toInt),
+          severityText = Some(if (i % 2 == 0) "INFO" else "WARN"),
+          body = Some(PAny(Some(s"message $i"), None, None, None)),
+          attributes = Seq(
+            PKV("uid", PAny(None, Some((i * 3).toString), None, None)),
+            PKV("a.dotted", PAny(Some("x"), None, None, None))),
+          droppedAttributesCount = None,
+          flags = if (i % 4 == 0) Some(1) else None,
+          traceId = Some(f"$i%032x"),
+          spanId = Some(f"${i + 1}%016x")),
+        LLogRecord(Some((1700000000000009000L + i).toString), None, None,
+          None, Some(PAny(None, Some(i.toString), None, None)), Nil,
+          None, None, None, None)))))))
+
+  private def logsJson(req: LLogsRequest): String = {
+    def attrs(as: Seq[PKV]): String = as.map { kv =>
+      val v = kv.value
+      val body = v.stringValue.map(x => s""""stringValue":"$x"""")
+        .orElse(v.intValue.map(x => s""""intValue":"$x""""))
+        .orElse(v.doubleValue.map(x => s""""doubleValue":$x"""))
+        .orElse(v.boolValue.map(x => s""""boolValue":$x""")).get
+      s"""{"key":"${kv.key}","value":{$body}}"""
+    }.mkString("[", ",", "]")
+    def rec(l: LLogRecord): String = {
+      val parts = Seq(
+        l.timeUnixNano.map(t => s""""timeUnixNano":"$t""""),
+        l.observedTimeUnixNano.map(t => s""""observedTimeUnixNano":"$t""""),
+        l.severityNumber.map(v => s""""severityNumber":$v"""),
+        l.severityText.map(v => s""""severityText":"$v""""),
+        l.body.map(b => s""""body":{${
+          b.stringValue.map(x => s""""stringValue":"$x"""")
+            .orElse(b.intValue.map(x => s""""intValue":"$x"""")).get}}"""),
+        if (l.attributes.nonEmpty) Some(s""""attributes":${attrs(l.attributes)}""") else None,
+        l.flags.map(v => s""""flags":$v"""),
+        l.traceId.map(v => s""""traceId":"$v""""),
+        l.spanId.map(v => s""""spanId":"$v""""))
+      parts.flatten.mkString("{", ",", "}")
+    }
+    val rl = req.resourceLogs.head
+    val sl = rl.scopeLogs.head
+    s"""{"resourceLogs":[{"resource":{"attributes":${attrs(rl.resource.get.attributes)}},""" +
+      s""""scopeLogs":[{"scope":{"name":"${sl.scope.get.name.get}","version":"${sl.scope.get.version.get}"},""" +
+      s""""logRecords":[${sl.logRecords.map(rec).mkString(",")}]}]}]}"""
+  }
+
+  test("logs: binary wire decode ≡ JSON wire decode") {
+    val ids = (0L until 30L).toSeq
+    val binDf = ids.map(i => Tuple1(encodeLogsRequest(logsFixture(i)))).toDF("otlp")
+    val jsonDf = ids.map(i => Tuple1(logsJson(logsFixture(i)))).toDF("otlp")
+    val fromProto = OtelLogs.logsFromProto(binDf, "otlp").collect().map(_.toSeq).toSet
+    val fromJson = OtelLogs.logs(jsonDf, "otlp").collect().map(_.toSeq).toSet
+    assert(fromProto == fromJson)
+    assert(fromProto.size == ids.size * 2)
+    // merged attribute map: log.attributes.* (dots -> @) + resource + scope
+    val row = OtelLogs.logsFromProto(binDf, "otlp")
+      .filter(col("severityText") === "INFO")
+      .select("attributes").head().getMap[String, String](0)
+    assert(row("log.attributes.a@dotted") == "x")
+    assert(row("resource.attributes.host@name").startsWith("h"))
+    assert(row("instrumentationScope.name") == "graft")
+  }
+
+  test("logs: encode/decode round-trips the model exactly") {
+    (0L until 6L).map(logsFixture).foreach { r =>
+      assert(decodeLogsRequest(encodeLogsRequest(r)) == r)
+    }
+    assert(decodeLogsRequest(null) == LLogsRequest(Nil))
+  }
+
   test("unsigned 64-bit timestamps survive the fixed64 path") {
     // a nanos value with the top bit set must round-trip as unsigned
     val big = java.lang.Long.parseUnsignedLong("18446744073709551615")
