@@ -1265,6 +1265,19 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }, None),
 
+    ("q_ann_ivf_fixed", (s: SparkSession, dir: String) => {
+      // IVF with a FIXED literal codebook: assignment is the pure
+      // projection ivfAssignTo (the at-scale path — the quantizer comes
+      // from a sampled fit), so the WHOLE query path (assign → probe →
+      // rank) is DuckDB-replayable; q_ann_ivf keeps the k-means-fit
+      // variant as the ML-runtime demonstration
+      val q = annQueryVec(64)
+      val cents = annCentroids(8, 64)
+      val assigned = Similarity.ivfAssignTo(embeddings(s, dir), "embedding", cents)
+      Similarity.ivfTopK(assigned, cents, "vec_id", "embedding", q, 10,
+        nprobe = 3, roundCosineTo = Some(4))
+    }, Some(annIvfFixedSql(annQueryVec(64), annCentroids(8, 64), 10, 3))),
+
     ("q_cosine_neardups", (s: SparkSession, dir: String) => {
       // random 64-d embeddings have cosine ~ N(0, 1/64); 0.3 ≈ +2.4σ picks
       // the near-dup tail without an empty result on synthetic data.
@@ -1721,6 +1734,42 @@ object SparkEntry {
        | round(1.0 / (1.0 + exp(-(list_dot_product(CAST(embedding AS DOUBLE[]), $vec)
        |   + $bias))), 4) AS prob
        | FROM embeddings""".stripMargin
+  }
+
+  /** Deterministic literal codebook for the fixed-IVF gate (same SplitMix
+    * recipe as [[annQueryVec]], different seed per centroid). */
+  private def annCentroids(k: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(k) { c =>
+      Array.tabulate(dim) { i =>
+        val r = graft.util.SplitMix64.stream(100L + c, i.toLong)
+        math.rint((r.nextDouble() * 2.0 - 1.0) * 1000.0) / 1000.0
+      }
+    }
+
+  /** Full IVF query-path replay: per-vector argmax assignment over the
+    * literal codebook (rounded cosine, lowest-index ties — exactly
+    * [[Similarity.ivfAssignTo]]), nprobe nearest centroids to the query,
+    * exact rounded-cosine ranking within the probed clusters. */
+  private def annIvfFixedSql(q: Seq[Double], cents: Array[Array[Double]],
+      k: Int, nprobe: Int): String = {
+    val qv = q.mkString("[", ", ", "]")
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(", ")
+    s"""WITH cents(ci, cv) AS (VALUES $rows),
+       | probes AS (SELECT ci FROM cents
+       |   ORDER BY list_cosine_similarity(cv, $qv) DESC, ci LIMIT $nprobe),
+       | scored AS (SELECT vec_id, embedding, ci,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY
+       |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), cv), 6) DESC,
+       |       ci) AS rn
+       |   FROM embeddings, cents),
+       | assigned AS (SELECT vec_id, embedding FROM scored
+       |   WHERE rn = 1 AND ci IN (SELECT ci FROM probes))
+       | SELECT vec_id, round(list_cosine_similarity(
+       |   CAST(embedding AS DOUBLE[]), $qv), 4) AS cosine
+       | FROM assigned
+       | ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
   }
 
   private def annBruteSql(q: Seq[Double], k: Int): String = {

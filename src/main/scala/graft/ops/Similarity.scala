@@ -121,11 +121,28 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Assign every vector to the nearest of FIXED centroids by rounded
+    * cosine (ties → lowest index) — the 100-TB assignment path once a
+    * quantizer exists (sampled k-means fit, or any external codebook): a
+    * pure codegen'd projection, no ML runtime, no shuffle; at write time
+    * `partitionBy("_cluster")` makes [[ivfTopK]]'s probe filter partition
+    * pruning. Rounding to 6 decimals pins the argmax across engines (the
+    * DuckDB oracle for q_ann_ivf_fixed replays this assignment exactly). */
+  def ivfAssignTo(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val scored = centroids.indices.map { i =>
+      struct(
+        round(cosine(col(vecCol), array(centroids(i).map(lit): _*)), 6).as("s"),
+        lit(-i).as("ni")) // struct max = lexicographic: best s, LOWEST index
+    }
+    df.withColumn("_cluster", (-array_max(array(scored: _*))("ni")).cast("int"))
+  }
+
   /** IVF query: exact cosine within the `nprobe` centroids nearest to the
     * query. With cluster-partitioned storage this is partition pruning. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
       idCol: String, vecCol: String, query: Seq[Double], k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, roundCosineTo: Option[Int] = None): DataFrame = {
     def cos(a: Array[Double], b: Seq[Double]): Double = {
       val d = a.zip(b).map { case (x, y) => x * y }.sum
       val na = math.sqrt(a.map(x => x * x).sum)
@@ -135,8 +152,12 @@ object Similarity {
     val probed = centroids.zipWithIndex
       .sortBy { case (c, i) => (-cos(c, query), i) }
       .take(nprobe).map(_._2.toLong)
+    val raw = cosine(col(vecCol), array(query.map(lit): _*))
+    // rank on the ROUNDED score when requested (cross-engine rank
+    // stability — sub-1e-k noise can't flip the oracle's ordering)
+    val scored = roundCosineTo.fold(raw)(d => round(raw, d))
     assigned.filter(col("_cluster").isin(probed: _*))
-      .select(col(idCol), cosine(col(vecCol), array(query.map(lit): _*)).as("cosine"))
+      .select(col(idCol), scored.as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
