@@ -233,15 +233,27 @@ object Bench {
     // estimate; each adjacent (1,4) pair also yields a SAME-NOISE-WINDOW
     // efficiency sample (BASELINE.md methodology).
     val CleanQ = 0.85
+    val NearMinLoop = 1.2
     def quality(r: TimedRun): Double = math.min(1.0, r.probe / probeRef)
     // ≥2 clean pairs before stopping: one clean-probed pair can still hide
     // a storm that hit strictly between its probes (observed in BOTH
     // directions — a slowed N side reads as superlinear), and the median
-    // over clean pairs rejects what a single pair cannot.
-    def cleanPairCount: Int = runs.grouped(2).count {
-      case scala.collection.mutable.ArrayBuffer(a, b) =>
-        a.cores == 1 && b.cores == 4 && quality(a) >= CleanQ && quality(b) >= CleanQ
-      case _ => false
+    // over clean pairs rejects what a single pair cannot. "Clean" here is
+    // the SAME definition the estimator uses — quiet probes AND both sides
+    // near their level's current minimum — otherwise the loop can stop on
+    // pairs the estimator will then discard.
+    def cleanPairCount: Int = {
+      def minAtNow(c: Int): Double = {
+        val xs = runs.filter(_.cores == c).map(_.sec)
+        if (xs.isEmpty) Double.MaxValue else xs.min
+      }
+      runs.grouped(2).count {
+        case scala.collection.mutable.ArrayBuffer(a, b) =>
+          a.cores == 1 && b.cores == 4 &&
+            quality(a) >= CleanQ && quality(b) >= CleanQ &&
+            a.sec <= NearMinLoop * minAtNow(1) && b.sec <= NearMinLoop * minAtNow(4)
+        case _ => false
+      }
     }
     (0 until 12).flatMap(r => Seq((1, r), (4, r))).foreach { case (c, r) =>
       val haveBoth = runs.exists(_.cores == 1) && runs.exists(_.cores == 4)
