@@ -127,9 +127,17 @@ object Similarity {
     * pure codegen'd projection, no ML runtime, no shuffle; at write time
     * `partitionBy("_cluster")` makes [[ivfTopK]]'s probe filter partition
     * pruning. Rounding to 6 decimals pins the argmax across engines (the
-    * DuckDB oracle for q_ann_ivf_fixed replays this assignment exactly). */
+    * DuckDB oracle for q_ann_ivf_fixed replays this assignment exactly).
+    *
+    * Codebook-size boundary: the argmax is one expression per centroid, so
+    * this path suits coarse quantizers up to a few hundred centroids
+    * (beyond that the generated code outgrows codegen limits); a
+    * thousands-wide codebook belongs behind the [[graft.ops.Inference]]
+    * `BatchModel`-style partition kernel with the codebook broadcast. */
   def ivfAssignTo(df: DataFrame, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty && centroids.length <= 512,
+      s"expression-path codebook must be 1..512 centroids, got ${centroids.length}")
     val scored = centroids.indices.map { i =>
       struct(
         round(cosine(col(vecCol), array(centroids(i).map(lit): _*)), 6).as("s"),

@@ -155,6 +155,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("k1", "k2", "k3"), s"got ${got.toSeq}")
   }
 
+  test("streaming OTLP-binary log ingest decodes identically to batch") {
+    // the push-source parity claim extended to the wire codecs: binary
+    // ExportLogsServiceRequest payloads arriving in micro-batches decode
+    // through the SAME projection as batch (logsFromProto is stateless, so
+    // streaming support is free — this pins it)
+    import graft.sources.OtlpProto._
+    val work = graft.TestSpark.tmpDir("graft-sotlp")
+    def payload(i: Long): Array[Byte] = encodeLogsRequest(LLogsRequest(Seq(
+      LResourceLogs(Some(PResource(Seq(PKV("service.name",
+        PAny(Some(s"svc-${i % 2}"), None, None, None))))),
+        Seq(LScopeLogs(Some(PScope(Some("graft"), None)),
+          Seq(LLogRecord(Some((1700000000000000000L + i).toString), None,
+            Some(9), Some("INFO"),
+            Some(PAny(Some(s"m$i"), None, None, None)),
+            Nil, None, None, None, None))))))))
+    Seq(Tuple1(payload(0)), Tuple1(payload(1))).toDF("otlp")
+      .coalesce(1).write.mode("append").parquet(s"$work/in")
+    Seq(Tuple1(payload(2)), Tuple1(payload(3))).toDF("otlp")
+      .coalesce(1).write.mode("append").parquet(s"$work/in")
+    val stream = spark.readStream.schema("otlp BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = graft.sources.OtelLogs.logsFromProto(stream, "otlp")
+      .select("timeUnixNano", "serviceName", "severityText", "body")
+      .writeStream.format("memory").queryName("sotlp_out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sotlp_out").collect().map(_.toSeq).toSet
+    val batch = graft.sources.OtelLogs.logsFromProto(
+        (0L until 4L).map(i => Tuple1(payload(i))).toDF("otlp"), "otlp")
+      .select("timeUnixNano", "serviceName", "severityText", "body")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == 4)
+  }
+
   test("sessionize via flatMapGroupsWithState (batch-mode state fn)") {
     val ts0 = 1700000000000L
     val d = Seq(
