@@ -49,6 +49,34 @@ object SparkEntry {
   private val tokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** OTLP/JSON span fixture from events: event_id → spanId, user_id →
+    * traceId, every 4th event a root span, duration from `value` (µs);
+    * decoded through the JSON wire path. Shared by q_otel_spans and
+    * q_otel_service_map. */
+  private def otelSpanFixture(e: DataFrame): DataFrame = {
+    val startNs = (unix_micros(col("ts")) * 1000L).cast("string")
+    val durNs = floor(abs(coalesce(col("value"), lit(0.0))) * 1000000.0) * 1000L
+    val endNs = (unix_micros(col("ts")) * 1000L + durNs).cast("string")
+    val spanId = lpad(lower(hex(col("event_id"))), 16, "0")
+    val parentId = when(col("event_id") % 4 === 0, lit(""))
+      .otherwise(lpad(lower(hex(
+        call_function("div", col("event_id"), lit(4L)))), 16, "0"))
+    val json = concat(
+      lit("""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-"""),
+      col("event_type"),
+      lit(""""}}]},"scopeSpans":[{"scope":{"name":"graft"},"spans":[{"traceId":""""),
+      lpad(lower(hex(col("user_id"))), 32, "0"),
+      lit("""","spanId":""""), spanId,
+      lit("""","parentSpanId":""""), parentId,
+      lit("""","name":""""), col("event_type"),
+      lit("""","kind":"SPAN_KIND_SERVER","startTimeUnixNano":""""), startNs,
+      lit("""","endTimeUnixNano":""""), endNs,
+      lit("""","attributes":[{"key":"uid","value":{"intValue":""""),
+      col("user_id").cast("string"),
+      lit(""""}}],"status":{"code":"STATUS_CODE_OK"}}]}]}]}"""))
+    graft.sources.OtelJson.spans(e.withColumn("otlp", json).select("otlp"), "otlp")
+  }
+
   /** Shared by q_otel_logs (JSON wire) and q_otel_logs_proto (protobuf
     * wire) — one oracle pins both decode paths equal. */
   private val otelLogsOracleSql: String =
@@ -393,30 +421,7 @@ object SparkEntry {
     }, Some("SELECT doc_id, lang AS xlang, source AS xsrc FROM documents")),
 
     ("q_otel_spans", (s: SparkSession, dir: String) => {
-      // OTLP/JSON fixture from events: event_id → spanId, user_id →
-      // traceId, every 4th event a root span, duration from `value` (µs)
-      val e = events(s, dir)
-      val startNs = (unix_micros(col("ts")) * 1000L).cast("string")
-      val durNs = floor(abs(coalesce(col("value"), lit(0.0))) * 1000000.0) * 1000L
-      val endNs = (unix_micros(col("ts")) * 1000L + durNs).cast("string")
-      val spanId = lpad(lower(hex(col("event_id"))), 16, "0")
-      val parentId = when(col("event_id") % 4 === 0, lit(""))
-        .otherwise(lpad(lower(hex(
-          call_function("div", col("event_id"), lit(4L)))), 16, "0"))
-      val json = concat(
-        lit("""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-"""),
-        col("event_type"),
-        lit(""""}}]},"scopeSpans":[{"scope":{"name":"graft"},"spans":[{"traceId":""""),
-        lpad(lower(hex(col("user_id"))), 32, "0"),
-        lit("""","spanId":""""), spanId,
-        lit("""","parentSpanId":""""), parentId,
-        lit("""","name":""""), col("event_type"),
-        lit("""","kind":"SPAN_KIND_SERVER","startTimeUnixNano":""""), startNs,
-        lit("""","endTimeUnixNano":""""), endNs,
-        lit("""","attributes":[{"key":"uid","value":{"intValue":""""),
-        col("user_id").cast("string"),
-        lit(""""}}],"status":{"code":"STATUS_CODE_OK"}}]}]}]}"""))
-      graft.sources.OtelJson.spans(e.withColumn("otlp", json).select("otlp"), "otlp")
+      otelSpanFixture(events(s, dir))
         .select(col("spanId"), col("traceId"), col("parentSpanId"),
           col("name"), col("kind"), col("serviceName"),
           col("startTimeUnixNano"), col("endTimeUnixNano"),
@@ -462,6 +467,37 @@ object SparkEntry {
           col("durationInNanos"), col("traceGroup"),
           element_at(col("attributes"), "uid").as("uid_attr"))
     }, Some(otelSpansOracleSql)),
+
+    ("q_otel_service_map", (s: SparkSession, dir: String) => {
+      // otel_apm_service_map / service-map-stateful: cross-service
+      // parent→child span pairs become destination+target relationship
+      // rows — one keyed self-join replaces the reference's 3-window
+      // stateful processor + peer forwarder
+      graft.pipeline.Aggregates.serviceMapRelationships(
+        otelSpanFixture(events(s, dir)))
+    }, Some("""WITH sp AS (SELECT event_id, user_id, event_type FROM events),
+              | pairs AS (
+              |   SELECT p.event_type AS ptype, c.event_type AS ctype,
+              |          c.user_id AS cuid
+              |   FROM sp c JOIN sp p ON p.event_id = c.event_id // 4
+              |   WHERE c.event_id % 4 <> 0 AND p.event_type <> c.event_type),
+              | roots AS (SELECT user_id, min(event_type) AS tg FROM events
+              |   WHERE event_id % 4 = 0 GROUP BY 1),
+              | j AS (SELECT pairs.*, roots.tg FROM pairs
+              |   LEFT JOIN roots ON roots.user_id = pairs.cuid),
+              | rels AS (
+              |   SELECT 'svc-' || ptype AS serviceName,
+              |     'SPAN_KIND_SERVER' AS kind,
+              |     'svc-' || ctype AS destinationDomain,
+              |     ctype AS destinationResource,
+              |     CAST(NULL AS VARCHAR) AS targetDomain,
+              |     CAST(NULL AS VARCHAR) AS targetResource,
+              |     tg AS traceGroupName, 'destination' AS relType FROM j
+              |   UNION ALL
+              |   SELECT 'svc-' || ctype, 'SPAN_KIND_SERVER',
+              |     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+              |     'svc-' || ctype, ctype, tg, 'target' FROM j)
+              | SELECT DISTINCT * FROM rels""".stripMargin)),
 
     ("q_otel_logs", (s: SparkSession, dir: String) => {
       // otel_logs_source decode path, JSON wire form: events → OTLP/JSON

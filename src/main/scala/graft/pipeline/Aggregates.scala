@@ -190,4 +190,46 @@ object Aggregates {
         fields.map(f => min_by(col(f), ord).as(s"tg_$f")): _*)
     df.join(roots, Seq(traceId), "left")
   }
+
+  /** Service-map relationship builder (service-map-stateful /
+    * otel_apm_service_map): for every CHILD span whose parent lives in a
+    * DIFFERENT service, emit the reference's two relationship rows
+    * (ServiceMapStatefulProcessor.java:236-259 +
+    * ServiceMapRelationship.newDestination/TargetRelationship) — a
+    * `destination` row from the parent's service pointing at
+    * (domain = child service, resource = child span name) and a `target`
+    * row anchoring the child service to that endpoint — both carrying the
+    * trace's group name, DEDUPLICATED (the reference's relationshipState
+    * hash set ≡ distinct).
+    *
+    * Input = the [[graft.sources.OtelJson]] span shape (traceId, spanId,
+    * parentSpanId, serviceName, name, kind). Scale shape: ONE keyed
+    * equi-join on parentSpanId=spanId (the reference needs a 3-window
+    * stateful processor + peer forwarder only because it streams row by
+    * row), one roots aggregate (min_by per traceId, like
+    * [[traceGroupFill]]), distinct on the tiny relationship set. */
+  def serviceMapRelationships(spans: DataFrame): DataFrame = {
+    val parents = spans.select(col("spanId").as("_pid"),
+      col("serviceName").as("_pservice"), col("kind").as("_pkind"))
+    val roots = spans
+      .filter(col("parentSpanId").isNull || col("parentSpanId") === "")
+      .groupBy(col("traceId")).agg(min(col("name")).as("_tg"))
+    val joined = spans
+      .filter(col("parentSpanId").isNotNull && col("parentSpanId") =!= "")
+      .join(parents, col("parentSpanId") === col("_pid"))
+      .filter(col("_pservice") =!= col("serviceName"))
+      .join(roots, Seq("traceId"), "left")
+    val ns = lit(null).cast("string")
+    val dest = joined.select(
+      col("_pservice").as("serviceName"), col("_pkind").as("kind"),
+      col("serviceName").as("destinationDomain"), col("name").as("destinationResource"),
+      ns.as("targetDomain"), ns.as("targetResource"),
+      col("_tg").as("traceGroupName"), lit("destination").as("relType"))
+    val target = joined.select(
+      col("serviceName"), col("kind"),
+      ns.as("destinationDomain"), ns.as("destinationResource"),
+      col("serviceName").as("targetDomain"), col("name").as("targetResource"),
+      col("_tg").as("traceGroupName"), lit("target").as("relType"))
+    dest.unionByName(target).distinct()
+  }
 }
