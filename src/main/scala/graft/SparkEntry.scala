@@ -1348,8 +1348,10 @@ object SparkEntry {
       val media = Multimodal.synthesize(s, 200)
       Multimodal.extractFeatures(media, featDim = 8).toDF()
         .select(col("media_id"), col("modality"), col("feat_dim"), col("ok"),
-          round(element_at(col("features"), 1), 4).as("f0"))
-    }, None),
+          // double-cast before rounding: the oracle replays the float
+          // pipeline then widens identically
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    }, Some(multimodalFeaturesSql(200))),
 
     ("q_multimodal_decode", (s: SparkSession, dir: String) => {
       // REAL decoders, oracle-checked: payloads are analytically
@@ -1479,6 +1481,71 @@ object SparkEntry {
        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
        | SELECT doc_id AS $idCol, round(sum(s), 4) AS score FROM scored GROUP BY 1
        | ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB re-implementation of the ENTIRE FakeDecoder feature path: the
+    * synthetic media generator's per-byte SplitMix64 draws (pure functions
+    * of (id, k) — see [[logGenGrokSql]]), the decoder's 31-ary hash fold
+    * (LINEAR: h = C·31^len + Σ b_i·31^(len-i) mod 2⁶⁴, so a recursive-CTE
+    * power table + one grouped sum replays it), and the seeded feature
+    * expansion with bit-exact float32 narrowing. Validated byte-level
+    * against the Scala output on all fixture rows before landing. */
+  private def multimodalFeaturesSql(n: Long): String = {
+    val G = "11400714819323198485"
+    val C1 = "13787848793156543929"
+    val C2 = "10723151780598845931"
+    val M = "18446744073709551616"
+    def m64(a: String, b: String): String =
+      s"(((($a) % 4294967296)::HUGEINT * $b % $M + " +
+        s"((($a) >> 32)::HUGEINT * $b % 4294967296) * 4294967296) % $M)::UBIGINT"
+    s"""WITH RECURSIVE pows(p, v) AS (
+       |  SELECT 0, 1::UBIGINT
+       |  UNION ALL SELECT p + 1, ${m64("v", "31")} FROM pows WHERE p < 520),
+       | ids AS (SELECT unnest(range(0, $n))::UBIGINT AS id),
+       | a0 AS (SELECT id, xor(42::UBIGINT, ${m64("id", G)}) AS z FROM ids),
+       | a1 AS (SELECT id, ${m64("xor(z, z>>30)", C1)} AS z FROM a0),
+       | a2 AS (SELECT id, ${m64("xor(z, z>>27)", C2)} AS z FROM a1),
+       | s0 AS (SELECT id, xor(z, z>>31) AS s0 FROM a2),
+       | hd AS (SELECT id, s0,
+       |   ((s0::HUGEINT + 1*$G::HUGEINT) % $M)::UBIGINT AS z1,
+       |   ((s0::HUGEINT + 2*$G::HUGEINT) % $M)::UBIGINT AS z2 FROM s0),
+       | h1 AS (SELECT id, s0, ${m64("xor(z1, z1>>30)", C1)} AS z1,
+       |                       ${m64("xor(z2, z2>>30)", C1)} AS z2 FROM hd),
+       | h2 AS (SELECT id, s0, ${m64("xor(z1, z1>>27)", C2)} AS z1,
+       |                       ${m64("xor(z2, z2>>27)", C2)} AS z2 FROM h1),
+       | hdr AS (SELECT id, s0,
+       |   list_extract(['image','audio','video'], ((xor(z1, z1>>31)>>1) % 3)::INT + 1) AS modality,
+       |   (64 + (xor(z2, z2>>31)>>1) % 448)::INT AS len FROM h2),
+       | series AS (SELECT id, s0, len, unnest(range(1, len + 1))::UBIGINT AS i FROM hdr),
+       | b0 AS (SELECT id, len, i,
+       |   ((s0::HUGEINT + (i+2)::HUGEINT*$G::HUGEINT) % $M)::UBIGINT AS z FROM series),
+       | b1 AS (SELECT id, len, i, ${m64("xor(z, z>>30)", C1)} AS z FROM b0),
+       | b2 AS (SELECT id, len, i, ${m64("xor(z, z>>27)", C2)} AS z FROM b1),
+       | bytes AS (SELECT id, len, i,
+       |   CASE WHEN (xor(z, z>>31) & 255) >= 128
+       |        THEN (xor(z, z>>31) & 255)::BIGINT - 256
+       |        ELSE (xor(z, z>>31) & 255)::BIGINT END AS b FROM b2),
+       | terms AS (SELECT bytes.id, bytes.len,
+       |   CASE WHEN b >= 0 THEN ${m64("b::UBIGINT", "v")}
+       |        ELSE ($M - ${m64("(-b)::UBIGINT", "v")}::HUGEINT)::UBIGINT % $M
+       |   END AS t
+       |   FROM bytes JOIN pows ON pows.p = bytes.len - bytes.i),
+       | folded AS (SELECT terms.id, (sum(t::HUGEINT) % $M)::UBIGINT AS acc
+       |   FROM terms GROUP BY 1),
+       | hval AS (SELECT folded.id,
+       |   ((${m64("1125899906842597::UBIGINT", "v")}::HUGEINT + acc::HUGEINT) % $M)::UBIGINT AS h
+       |   FROM folded JOIN hdr ON hdr.id = folded.id JOIN pows ON pows.p = hdr.len),
+       | m0 AS (SELECT id, ${m64("xor(h, h>>30)", C1)} AS z FROM hval),
+       | m1 AS (SELECT id, ${m64("xor(z, z>>27)", C2)} AS z FROM m0),
+       | m2 AS (SELECT id, ((xor(z, z>>31)::HUGEINT + $G::HUGEINT) % $M)::UBIGINT AS z FROM m1),
+       | m3 AS (SELECT id, ${m64("xor(z, z>>30)", C1)} AS z FROM m2),
+       | m4 AS (SELECT id, ${m64("xor(z, z>>27)", C2)} AS z FROM m3),
+       | fv AS (SELECT id, xor(z, z>>31) AS nl FROM m4)
+       | SELECT fv.id::BIGINT AS media_id, hdr.modality,
+       |   CAST(8 AS INTEGER) AS feat_dim, true AS ok,
+       |   round(CAST(CAST(((nl >> 11)::DOUBLE * 1.1102230246251565e-16)
+       |     * 2.0 - 1.0 AS FLOAT) AS DOUBLE), 4) AS f0
+       | FROM fv JOIN hdr ON hdr.id = fv.id""".stripMargin
   }
 
   /** DuckDB re-implementation of [[graft.util.SplitMix64]]: because the
