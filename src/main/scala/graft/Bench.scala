@@ -40,7 +40,8 @@ object Bench {
     "q_decontaminate", "q_gopher_filter", "q_pii_redact", "q_ml_inference",
     "q_pack_sequences",
     // round-3 operators
-    "q_otel_spans_proto", "q_parse_ion_binary", "q_corpus_bm25")
+    "q_otel_spans_proto", "q_parse_ion_binary", "q_corpus_bm25",
+    "q_otel_service_map")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.
