@@ -76,10 +76,16 @@ object Inference {
     * ≤ poolSize across many partitions, and > 1 batch per client. */
   final class PooledEndpointModel(weights: Array[Float], bias: Double,
       poolSize: Int = 2) extends BatchModel {
+    // Pool identity = the full client config. Two models with different
+    // weights (or pool sizes) must NEVER share clients — a shared
+    // singleton would hand model A's clients (which captured A's weights)
+    // to model B and silently return wrong scores.
+    private val key = PooledEndpointModel.PoolKey(
+      weights.toVector, bias, poolSize)
     def predict(batch: Array[Array[Float]]): Array[Float] = {
-      val client = PooledEndpointModel.acquire(poolSize, weights, bias)
+      val client = PooledEndpointModel.acquire(key)
       try client.call(batch)
-      finally PooledEndpointModel.release(client)
+      finally PooledEndpointModel.release(key, client)
     }
   }
 
@@ -94,33 +100,45 @@ object Inference {
       }
     }
 
-    // JVM-wide (per-executor) state: @transient-static by construction —
-    // each executor JVM builds its own pool lazily and keeps it for the
-    // executor's lifetime, exactly like a pooled HTTP/SDK client.
-    private val clientsCreated = new java.util.concurrent.atomic.AtomicInteger()
-    private var pool: java.util.concurrent.ArrayBlockingQueue[StubEndpoint] = _
+    private[Inference] final case class PoolKey(weights: Vector[Float],
+        bias: Double, poolSize: Int)
 
-    private def acquire(poolSize: Int, w: Array[Float], b: Double): StubEndpoint = {
-      val p = synchronized {
-        if (pool == null) pool = new java.util.concurrent.ArrayBlockingQueue(poolSize)
-        pool
-      }
-      p.poll() match {
+    private final class Pool(val size: Int) {
+      val created = new java.util.concurrent.atomic.AtomicInteger()
+      val idle = new java.util.concurrent.ArrayBlockingQueue[StubEndpoint](size)
+    }
+
+    // JVM-wide (per-executor) state, KEYED BY MODEL CONFIG: each executor
+    // JVM builds one pool per distinct (weights, bias, poolSize) lazily
+    // and keeps it for the executor's lifetime, exactly like a pooled
+    // HTTP/SDK client cache keyed by endpoint+credentials.
+    private val pools =
+      new java.util.concurrent.ConcurrentHashMap[PoolKey, Pool]()
+
+    private def acquire(key: PoolKey): StubEndpoint = {
+      val p = pools.computeIfAbsent(key, k => new Pool(k.poolSize))
+      p.idle.poll() match {
         case null =>
           // no idle client: claim a creation slot or wait for a release —
-          // never create past poolSize (blocking take, NOT lock-held)
-          if (clientsCreated.getAndIncrement() < poolSize) new StubEndpoint(w, b)
-          else { clientsCreated.decrementAndGet(); p.take() }
+          // never create past this pool's size (blocking take, NOT lock-held)
+          if (p.created.getAndIncrement() < p.size)
+            new StubEndpoint(key.weights.toArray, key.bias)
+          else { p.created.decrementAndGet(); p.idle.take() }
         case c => c
       }
     }
 
-    private def release(c: StubEndpoint): Unit = pool.put(c)
+    private def release(key: PoolKey, c: StubEndpoint): Unit =
+      pools.get(key).idle.put(c)
 
-    /** Test hooks (driver-side observability of the executor pool — valid
+    /** Test hooks (driver-side observability of the executor pools — valid
       * under local[*] where driver and executor share the JVM). */
-    def createdCount: Int = clientsCreated.get()
-    def resetForTest(): Unit = synchronized { clientsCreated.set(0); pool = null }
+    def createdCount: Int = {
+      var n = 0
+      pools.values().forEach(p => n += p.created.get())
+      n
+    }
+    def resetForTest(): Unit = pools.clear()
   }
 
   /** Opaque-model path: partition-local batches through [[BatchModel]].

@@ -122,12 +122,22 @@ object LogstashConf {
         s"expected '=>' at offset $i")
       i += 2
     }
+    /** Logstash strings carry regexes (grok match, gsub patterns) whose
+      * backslashes must survive conversion — the reference visitor
+      * (ModelConvertingLogstashVisitor.java:145) strips only the
+      * surrounding quotes. Unescape ONLY the enclosing quote char and
+      * `\\`; every other `\X` pair is kept verbatim so `"\d+"` stays
+      * `\d+`. */
     def string(): String = {
       val quote = s.charAt(i); i += 1
       val sb = new StringBuilder
       while (!eof && s.charAt(i) != quote) {
         val c = s.charAt(i)
-        if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+        if (c == '\\' && i + 1 < s.length) {
+          val n = s.charAt(i + 1)
+          if (n == quote || n == '\\') sb.append(n) else { sb.append(c); sb.append(n) }
+          i += 2
+        }
         else { sb.append(c); i += 1 }
       }
       require(!eof, "unterminated string")
@@ -335,7 +345,10 @@ object LogstashConf {
             Some(PluginDef("lowercase_string", Map("with_keys" -> vs.flatMap(keyList))))
           case "uppercase" =>
             Some(PluginDef("uppercase_string", Map("with_keys" -> vs.flatMap(keyList))))
-          case "trim" =>
+          // Logstash's actual mutate option is `strip`; the reference's
+          // MutateMapper matches `trim` (its own attribute name). Accept
+          // both so real configs convert.
+          case "strip" | "trim" =>
             Some(PluginDef("trim_string", Map("with_keys" -> vs.flatMap(keyList))))
           case "split" => Some(PluginDef("split_string", Map("entries" ->
             vs.flatMap(hashEntries).map { case (f, d) =>

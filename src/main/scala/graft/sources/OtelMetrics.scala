@@ -147,13 +147,18 @@ object OtelMetrics {
 
   /** createExponentialBuckets over one signed bucket list. Out-of-range
     * offsets yield null bounds (element_at past the boundary array is the
-    * reference's AIOOBE path — we degrade to null instead of failing). */
-  private def expBucketStructs(scale: Column, b: Column): Column =
+    * reference's AIOOBE path — we degrade to null instead of failing).
+    * `offset` is coalesced to 0: a spec-conformant JSON marshaller omits
+    * proto3-default fields (→ null in from_json) while the binary-wire
+    * decoder materializes 0 — both must bucket identically. */
+  private def expBucketStructs(scale: Column, b: Column): Column = {
+    val off = coalesce(b("offset"), lit(0))
     when(b.isNull || b("bucketCounts").isNull, emptyBuckets)
       .otherwise(transform(b("bucketCounts"), (c, i) => struct(
-        expBound(scale, b("offset") + i).as("min"),
-        expBound(scale, b("offset") + i + 1).as("max"),
+        expBound(scale, off + i).as("min"),
+        expBound(scale, off + i + 1).as("max"),
         c.cast("long").as("count"))))
+  }
 
   /** Flatten an OTLP/JSON metrics column into one row per datapoint.
     * Input columns other than `jsonCol` pass through. */
@@ -234,16 +239,20 @@ object OtelMetrics {
           else emptyBuckets,
           emptyQuantiles)))
 
+    // scale / quantile / value are proto3-default fields: a conformant
+    // JSON marshaller omits them (null here) while the binary decoder
+    // materializes 0 — coalesce so both wire forms score identically.
+    val dpScale = (dp: Column) => coalesce(dp("scale"), lit(0))
     val expHists = when(m("exponentialHistogram").isNull, array()).otherwise(
       transform(filter(m("exponentialHistogram")("dataPoints"),
-        dp => abs(dp("scale")) <= exponentialHistogramMaxAllowedScale), dp =>
+        dp => abs(dpScale(dp)) <= exponentialHistogramMaxAllowedScale), dp =>
         dpStruct("exponential_histogram", dp, noD, noB,
           m("exponentialHistogram")("aggregationTemporality"),
           dp("count").cast("long"), dp("sum"),
           noCounts, noBounds,
           if (calculateExponentialHistogramBuckets)
-            concat(expBucketStructs(dp("scale"), dp("positive")),
-              expBucketStructs(dp("scale"), dp("negative")))
+            concat(expBucketStructs(dpScale(dp), dp("positive")),
+              expBucketStructs(dpScale(dp), dp("negative")))
           else emptyBuckets,
           emptyQuantiles)))
 
@@ -252,7 +261,9 @@ object OtelMetrics {
         dpStruct("summary", dp, noD, noB, noS,
           dp("count").cast("long"), dp("sum"),
           noCounts, noBounds, emptyBuckets,
-          coalesce(dp("quantileValues"), emptyQuantiles))))
+          transform(coalesce(dp("quantileValues"), emptyQuantiles), q =>
+            struct(coalesce(q("quantile"), lit(0.0)).as("quantile"),
+              coalesce(q("value"), lit(0.0)).as("value"))))))
 
     val dp = col("_dp")
     parsed

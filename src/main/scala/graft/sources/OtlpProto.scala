@@ -58,10 +58,15 @@ object OtlpProto {
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
 
+    // Every primitive reader bounds-checks against `end`, not just
+    // buf.length: a corrupt length prefix must not let a sub-message read
+    // its SIBLING's bytes silently (which would misparse adjacent fields
+    // without ever throwing).
     def readVarint(): Long = {
       var shift = 0
       var r = 0L
       while (shift < 64) {
+        require(pos < end, "truncated varint")
         val b = buf(pos); pos += 1
         r |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return r
@@ -71,6 +76,7 @@ object OtlpProto {
     }
 
     def readFixed64(): Long = {
+      require(pos + 8 <= end, "truncated fixed64")
       var r = 0L
       var i = 0
       while (i < 8) { r |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
@@ -79,6 +85,7 @@ object OtlpProto {
     }
 
     def readFixed32(): Int = {
+      require(pos + 4 <= end, "truncated fixed32")
       var r = 0
       var i = 0
       while (i < 4) { r |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
@@ -111,13 +118,13 @@ object OtlpProto {
 
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
+      case 1 => require(pos + 8 <= end, "truncated fixed64"); pos += 8
       case 2 =>
         // readLen() itself advances pos past the length varint; compute it
         // FIRST (`pos += readLen()` reads the pre-varint pos — off by the
         // varint's width)
         val n = readLen(); pos += n
-      case 5 => pos += 4
+      case 5 => require(pos + 4 <= end, "truncated fixed32"); pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
   }
@@ -260,19 +267,23 @@ object OtlpProto {
   }
 
   /** Decode an ExportTraceServiceRequest (or a bare ResourceSpans-list
-    * message — same field number). Null/empty input → empty request. */
+    * message — same field number). Null/empty input → empty request.
+    * Corrupt/truncated input → empty request (quarantine contract, same
+    * as IonBinary.toJson: one bad payload must not fail the whole job). */
   def decodeTraceRequest(bytes: Array[Byte]): PTraceRequest = {
     if (bytes == null || bytes.isEmpty) return PTraceRequest(Nil)
-    val r = new Reader(bytes, 0, bytes.length)
-    val rs = Seq.newBuilder[PResourceSpans]
-    while (r.hasMore) {
-      val tag = r.readVarint().toInt
-      (tag >> 3, tag & 7) match {
-        case (1, 2) => rs += decodeResourceSpans(r.sub())
-        case (_, w) => r.skip(w)
+    try {
+      val r = new Reader(bytes, 0, bytes.length)
+      val rs = Seq.newBuilder[PResourceSpans]
+      while (r.hasMore) {
+        val tag = r.readVarint().toInt
+        (tag >> 3, tag & 7) match {
+          case (1, 2) => rs += decodeResourceSpans(r.sub())
+          case (_, w) => r.skip(w)
+        }
       }
-    }
-    PTraceRequest(rs.result())
+      PTraceRequest(rs.result())
+    } catch { case scala.util.control.NonFatal(_) => PTraceRequest(Nil) }
   }
 
   // -------------------------------------------------------------- logs model
@@ -317,9 +328,15 @@ object OtlpProto {
       dropped, flags, traceId, spanId)
   }
 
-  /** Decode an ExportLogsServiceRequest. Null/empty → empty request. */
+  /** Decode an ExportLogsServiceRequest. Null/empty → empty request;
+    * corrupt/truncated → empty request (quarantine contract). */
   def decodeLogsRequest(bytes: Array[Byte]): LLogsRequest = {
     if (bytes == null || bytes.isEmpty) return LLogsRequest(Nil)
+    try decodeLogsRequestStrict(bytes)
+    catch { case scala.util.control.NonFatal(_) => LLogsRequest(Nil) }
+  }
+
+  private def decodeLogsRequestStrict(bytes: Array[Byte]): LLogsRequest = {
     val r = new Reader(bytes, 0, bytes.length)
     val rls = Seq.newBuilder[LResourceLogs]
     while (r.hasMore) {
@@ -690,9 +707,15 @@ object OtlpProto {
     MMetric(name, desc, unit, gauge, msum, hist, exp, summ)
   }
 
-  /** Decode an ExportMetricsServiceRequest. Null/empty → empty request. */
+  /** Decode an ExportMetricsServiceRequest. Null/empty → empty request;
+    * corrupt/truncated → empty request (quarantine contract). */
   def decodeMetricsRequest(bytes: Array[Byte]): MMetricsRequest = {
     if (bytes == null || bytes.isEmpty) return MMetricsRequest(Nil)
+    try decodeMetricsRequestStrict(bytes)
+    catch { case scala.util.control.NonFatal(_) => MMetricsRequest(Nil) }
+  }
+
+  private def decodeMetricsRequestStrict(bytes: Array[Byte]): MMetricsRequest = {
     val r = new Reader(bytes, 0, bytes.length)
     val rms = Seq.newBuilder[MResourceMetrics]
     while (r.hasMore) {

@@ -68,4 +68,32 @@ class InferenceSpec extends AnyFunSuite {
       s"created ${Inference.PooledEndpointModel.createdCount} clients")
     assert(Inference.PooledEndpointModel.createdCount >= 1)
   }
+
+  test("two pooled models with different weights never share clients") {
+    Inference.PooledEndpointModel.resetForTest()
+    val wsA = Array(0.5f, -0.25f, 1.0f)
+    val wsB = Array(-1.0f, 2.0f, 0.0f)
+    val df = (0 until 100).map(i =>
+      (i.toLong, Array(i * 0.01f, -i * 0.02f, 1.0f))).toDF("vec_id", "embedding")
+      .repartition(4)
+    def run(ws: Array[Float], poolSize: Int) =
+      Inference.batchInfer(df, "vec_id", "embedding",
+        new Inference.PooledEndpointModel(ws, 0.1, poolSize), batchSize = 8)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toMap
+    def ref(ws: Array[Float]) =
+      Inference.batchInfer(df, "vec_id", "embedding",
+        Inference.LinearModel(ws, 0.1), batchSize = 8)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toMap
+    // model A populates its pool first; a later model B with DIFFERENT
+    // weights (and a larger pool) must get its own clients, not A's —
+    // otherwise B silently scores with A's weights
+    val a = run(wsA, poolSize = 2)
+    val b = run(wsB, poolSize = 4) // larger pool: must not dead-block either
+    assert(a == ref(wsA))
+    assert(b == ref(wsB))
+    // and re-running A reuses A's pool (no unbounded client growth)
+    val created = Inference.PooledEndpointModel.createdCount
+    assert(run(wsA, poolSize = 2) == ref(wsA))
+    assert(Inference.PooledEndpointModel.createdCount == created)
+  }
 }

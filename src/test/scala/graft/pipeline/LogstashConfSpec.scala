@@ -123,6 +123,45 @@ class LogstashConfSpec extends AnyFunSuite {
     assert(LogstashConf.convertGrokPattern("no captures") == "no captures")
   }
 
+  test("regex backslashes survive string parsing; only quote/backslash unescape") {
+    // grok match "\d+" must stay \d+ (the reference visitor strips only
+    // the surrounding quotes, ModelConvertingLogstashVisitor.java:145)
+    val d = LogstashConf.convert(
+      """input { stdin {} }
+        |filter {
+        |    grok { match => { "message" => "(?<num>\d+)\s+%{WORD:w}" } }
+        |    mutate { gsub => ["message", "\s+", " "] }
+        |}
+        |output { stdout {} }
+        |""".stripMargin)
+    val grok = d.processors.find(_.name == "grok").get
+    val m = grok.options("match").asInstanceOf[Map[String, Seq[String]]]
+    assert(m("message") == Seq("""(?<num>\d+)\s+%{WORD:w}"""))
+    val gsub = d.processors.find(_.name == "substitute_string").get
+    assert(gsub.options("entries") == Seq(
+      Map("source" -> "message", "from" -> """\s+""", "to" -> " ")))
+    // escaped quote and escaped backslash still unescape
+    val d2 = LogstashConf.convert(
+      "input { stdin {} } filter { mutate { add_field => " +
+        "{ \"a\" => \"say \\\"hi\\\"\" \"b\" => \"c:\\\\dir\" } } } " +
+        "output { stdout {} }")
+    val entries = d2.processors.find(_.name == "add_entries").get
+      .options("entries").asInstanceOf[Seq[Map[String, Any]]]
+      .map(e => e("key") -> e("value")).toMap
+    assert(entries("a") == "say \"hi\"")
+    assert(entries("b") == "c:\\dir")
+  }
+
+  test("mutate strip (real Logstash name) and trim (reference name) both map") {
+    for (opt <- Seq("strip", "trim")) {
+      val d = LogstashConf.convert(
+        s"input { stdin {} } filter { mutate { $opt => [\"f\"] } } " +
+          "output { stdout {} }")
+      val t = d.processors.find(_.name == "trim_string").get
+      assert(t.options("with_keys") == Seq("f"))
+    }
+  }
+
   test("conditionals and unknown filters are rejected, not silently dropped") {
     intercept[IllegalArgumentException] {
       LogstashConf.convert(

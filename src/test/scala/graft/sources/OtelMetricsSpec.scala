@@ -107,6 +107,51 @@ class OtelMetricsSpec extends AnyFunSuite {
     assert(b == Seq((2.0, 4.0, 4L))) // 2^(2^0)=2, 2^(2^1)=4
   }
 
+  test("JSON omitting proto3-default fields (offset/scale/quantile) " +
+      "matches binary wire output") {
+    // A spec-conformant JSON marshaller OMITS proto3-default fields
+    // (scale=0, offset=0, quantile=0.0) — the binary decoder materializes
+    // them as 0. Both wire forms must produce identical rows.
+    val omitting =
+      """{"resourceMetrics":[{"resource":{},"scopeMetrics":[{"scope":{"name":"g"},
+        |"metrics":[
+        | {"name":"e3","exponentialHistogram":{"dataPoints":[
+        |  {"timeUnixNano":"1","count":"3",
+        |   "positive":{"bucketCounts":["1","2"]}}]}},
+        | {"name":"q3","summary":{"dataPoints":[
+        |  {"timeUnixNano":"2","count":"1","sum":4.0,
+        |   "quantileValues":[{"value":4.0}]}]}}]}]}]}"""
+        .stripMargin.replaceAll("\n", "")
+    import spark.implicits._
+    val fromJson = OtelMetrics.metrics(Seq(omitting).toDF("otlp"), "otlp")
+      .collect().map(r => r.getAs[String]("kind") -> r).toMap
+    // scale omitted => 0 => bounds 2^i from offset 0: [1,2)x1, [2,4)x2
+    val b = fromJson("exponential_histogram")
+      .getAs[scala.collection.Seq[Row]]("buckets")
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(b == Seq((1.0, 2.0, 1L), (2.0, 4.0, 2L)))
+    // quantile omitted => 0.0 (the p0/min quantile), not null
+    val quants = fromJson("summary").getAs[scala.collection.Seq[Row]]("quantiles")
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(quants == Seq((0.0, 4.0)))
+
+    // and the binary wire form of the equivalent payload agrees exactly
+    import OtlpProto._
+    val binReq = MMetricsRequest(Seq(MResourceMetrics(None, Seq(MScopeMetrics(
+      Some(PScope(Some("g"), None)), Seq(
+        MMetric(Some("e3"), None, None, None, None, None,
+          Some(MExpHistogram(Seq(MExpDp(None, Some("1"), Some("3"), None,
+            Some(0), None, Some(MBuckets(Some(0), Seq("1", "2"))), None,
+            None, Nil)), None)), None),
+        MMetric(Some("q3"), None, None, None, None, None, None,
+          Some(MSummary(Seq(MSummDp(None, Some("2"), Some("1"), Some(4.0),
+            Seq(MQuantile(Some(0.0), Some(4.0))), None, Nil)))))))))))
+    val binDf = Seq(Tuple1(encodeMetricsRequest(binReq))).toDF("otlp")
+    val fromProto = OtelMetrics.metricsFromProto(binDf, "otlp")
+      .collect().map(_.toSeq).toSet
+    assert(fromProto == fromJson.values.map(_.toSeq).toSet)
+  }
+
   test("passthrough columns survive and plan stays shuffle-free") {
     import spark.implicits._
     val df = Seq((7L, fixture)).toDF("rid", "otlp")

@@ -90,6 +90,26 @@ class OtlpProtoSpec extends AnyFunSuite {
     assert(decodeTraceRequest(null) == PTraceRequest(Nil))
   }
 
+  test("corrupt/truncated payloads quarantine to an empty request, never throw") {
+    val trace = encodeTraceRequest(request(1L))
+    val logs = encodeLogsRequest(logsFixture(1L))
+    val metrics = encodeMetricsRequest(metricsFixture(1L))
+    // every strict prefix of each valid message must decode without
+    // throwing (quarantine contract — one bad payload must not fail a job)
+    for (n <- 1 until trace.length) decodeTraceRequest(trace.take(n))
+    for (n <- 1 until logs.length) decodeLogsRequest(logs.take(n))
+    for (n <- 1 until metrics.length) decodeMetricsRequest(metrics.take(n))
+    // a mid-message cut loses the whole request, not a misparsed sibling
+    assert(decodeTraceRequest(trace.take(trace.length / 2)) == PTraceRequest(Nil))
+    assert(decodeLogsRequest(logs.take(3)) == LLogsRequest(Nil))
+    assert(decodeMetricsRequest(Array.fill[Byte](64)(0x7f.toByte)) ==
+      MMetricsRequest(Nil))
+    // length prefix claiming more bytes than exist
+    val lying = new Writer
+    lying.tag(1, 2); lying.rawByte(120); lying.rawByte(1); lying.rawByte(2)
+    assert(decodeTraceRequest(lying.bytes) == PTraceRequest(Nil))
+  }
+
   test("encode/decode round-trips the model exactly") {
     val reqs = (0L until 20L).map(request)
     reqs.foreach { r =>
