@@ -133,25 +133,57 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
     * (shard, firstDocId) order IS the external multi-way merge into the
     * term's global posting list (no re-sort — SURVEY.md §7.5). Bounds are
     * precomputed here with the merged stats, once per cache load. Used for
-    * the p95 latency hot path (no job scheduling per query). */
-  def loadCache(terms: Seq[String]): Map[String, (Long, Array[SegBlock])] = {
-    segmentsFor(terms.distinct).collect()
-      .groupBy(_.term)
-      .map { case (t, rows) =>
-        val df = IndexReader.mergedDf(rows)
-        val idf = Bm25.idf(globals.n, df)
-        t -> (df, rows.sortBy(r => (r.shard, r.firstDocId))
-          .map(r => IndexReader.boundedBlock(r, idf, globals.avgdl)))
-      }
+    * the p95 latency hot path (no job scheduling per query).
+    *
+    * SCALE BOUND: at 10^12 docs a stopword's posting list is terabytes —
+    * collecting it to the driver is the one thing this serving path must
+    * never do. A metadata-only aggregation (term → Σ posting bytes, column-
+    * pruned so Parquet never reads the block payloads) sizes every term
+    * FIRST; only terms within `maxBytesPerTerm` have their blocks
+    * collected. Over-budget terms are recorded in
+    * [[ServingCache.overBudget]] and any query touching one routes through
+    * the exact distributed [[topKAgg]] inside [[topKLocal]] — same ranking,
+    * executor-resident memory. */
+  def loadCache(terms: Seq[String],
+      maxBytesPerTerm: Long = IndexReader.DefaultMaxBytesPerTerm): ServingCache = {
+    val distinctTerms = terms.distinct
+    val seg = segmentsFor(distinctTerms)
+    // job 1: per-term posting-byte totals — metadata columns only, the
+    // Parquet scan prunes the gaps/tfs/dls pages for rows it can skip and
+    // reads no other payload
+    val sizes = seg.toDF()
+      .select(col("term"),
+        (length(col("gaps")) + length(col("tfs")) + length(col("dls")))
+          .cast("long").as("bytes"))
+      .groupBy("term").agg(sum("bytes").as("bytes"))
+      .as[(String, Long)].collect().toMap
+    val over = sizes.filter(_._2 > maxBytesPerTerm).keySet
+    val residentTerms = distinctTerms.filterNot(over)
+    // job 2: collect blocks for resident terms ONLY (term predicate pushed
+    // into the Parquet scan; over-budget blocks never reach the driver)
+    val resident =
+      if (residentTerms.isEmpty) Map.empty[String, (Long, Array[SegBlock])]
+      else segmentsFor(residentTerms).collect()
+        .groupBy(_.term)
+        .map { case (t, rows) =>
+          val df = IndexReader.mergedDf(rows)
+          val idf = Bm25.idf(globals.n, df)
+          t -> (df, rows.sortBy(r => (r.shard, r.firstDocId))
+            .map(r => IndexReader.boundedBlock(r, idf, globals.avgdl)))
+        }
+    ServingCache(resident, over, maxBytesPerTerm)
   }
 
   /** Single global Block-Max WAND over merged posting lists — the
-    * serving-node hot path; threshold pruning spans the whole corpus. */
-  def topKLocal(cache: Map[String, (Long, Array[SegBlock])],
-      query: Seq[String], k: Int): Array[Scored] = {
+    * serving-node hot path; threshold pruning spans the whole corpus.
+    * Queries touching an over-budget term transparently fall back to the
+    * exact distributed [[topKAgg]] (rank-identical; the driver never holds
+    * the hot term's postings). */
+  def topKLocal(cache: ServingCache, query: Seq[String], k: Int): Array[Scored] = {
     val terms = query.distinct.sorted
+    if (terms.exists(cache.overBudget)) return topKAgg(query, k)
     val cursors = terms.flatMap { t =>
-      cache.get(t).map { case (df, blocks) =>
+      cache.resident.get(t).map { case (df, blocks) =>
         new TermCursor(t, Bm25.idf(globals.n, df), blocks, globals.avgdl)
       }
     }.toArray
@@ -160,7 +192,27 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
 
 }
 
+/** Driver-resident serving cache with a per-term byte bound. `resident`
+  * holds terms whose full merged posting lists fit `maxBytesPerTerm`;
+  * `overBudget` names terms whose lists stayed on the executors — queries
+  * touching them are served by the distributed top-k instead. */
+final case class ServingCache(
+    resident: Map[String, (Long, Array[SegBlock])],
+    overBudget: Set[String],
+    maxBytesPerTerm: Long) {
+  /** Total bytes actually held on the driver (compressed block payloads). */
+  def residentBytes: Long = resident.valuesIterator
+    .flatMap(_._2.iterator)
+    .map(b => b.gaps.length.toLong + b.tfs.length + b.dls.length).sum
+}
+
 object IndexReader {
+  /** Default per-term driver budget for [[IndexReader.loadCache]]: 64 MiB.
+    * Generous for every real query term (a 64 MiB vbyte+delta posting list
+    * is ~tens of millions of docs) while guaranteeing a stopword at
+    * 10^12-doc scale cannot take down the serving driver. */
+  val DefaultMaxBytesPerTerm: Long = 64L << 20
+
   /** Merged document frequency: each generation baked its own df into its
     * rows, generations are disjoint doc sets, so the true df is the sum of
     * one df per generation present. */
