@@ -1026,6 +1026,23 @@ object SparkEntry {
               | CASE WHEN user_id % 200 < 128 THEN 'net-low' ELSE 'net-high' END AS net
               | FROM events""".stripMargin)),
 
+    ("q_geoip_mmdb", (s: SparkSession, dir: String) => {
+      // same lookup served from a REAL MaxMind-format database file:
+      // synthesize the mmdb with the own-kernel writer, decode it with the
+      // own-kernel reader to the (cidr → record) dimension, same broadcast
+      // range join, same oracle as q_geoip_lookup
+      val mmdb = graft.pipeline.Mmdb.write(Seq(
+        "10.0.0.0/9" -> Map("net" -> Map("name" -> "net-low")),
+        "10.128.0.0/9" -> Map("net" -> Map("name" -> "net-high"))))
+      val withIp = events(s, dir).withColumn("ip",
+        concat(lit("10."), pmod(col("user_id"), lit(200)), lit(".0.1")))
+      graft.pipeline.Enrich.geoLookupMmdb(withIp, "ip", "net", mmdb,
+        Seq("net", "name"))
+        .select("event_id", "ip", "net")
+    }, Some("""SELECT event_id, '10.' || CAST(user_id % 200 AS VARCHAR) || '.0.1' AS ip,
+              | CASE WHEN user_id % 200 < 128 THEN 'net-low' ELSE 'net-high' END AS net
+              | FROM events""".stripMargin)),
+
     ("q_anomaly_zscore", (s: SparkSession, dir: String) => {
       graft.pipeline.Enrich.zScoreAnomalies(events(s, dir),
         Seq("event_type"), "value", threshold = 2.5)

@@ -43,6 +43,27 @@ object Enrich {
       .drop("_ip", "_lo", "_hi")
   }
 
+  /** `geoip` over a real MaxMind database file: decode the mmdb binary
+    * (own-kernel [[Mmdb]] reader — public MaxMind-DB spec) into the same
+    * (cidr → value) dimension table the inline path uses, then serve via
+    * the identical broadcast range join. The database decodes ONCE on the
+    * driver (dimension file, MBs); the fact side never touches the binary.
+    * `path` walks the record map to the enrichment field, e.g.
+    * Seq("country", "iso_code"). */
+  def geoLookupMmdb(df: DataFrame, ipCol: String, target: String,
+      mmdb: Array[Byte], path: Seq[String],
+      default: String = "unknown"): DataFrame = {
+    val db = Mmdb.read(mmdb)
+    val ranges = db.entries().flatMap { case (cidr, rec) =>
+      val v = path.foldLeft(rec: Any) {
+        case (m: Map[_, _], k) => m.asInstanceOf[Map[String, Any]].getOrElse(k, null)
+        case _ => null
+      }
+      Option(v).map(x => cidr -> String.valueOf(x))
+    }
+    geoLookup(df, ipCol, target, ranges, default)
+  }
+
   /** `anomaly_detector` parity (anomaly-detector-processor/.../
     * AnomalyDetectorProcessor.java:37): the reference trains a Random Cut
     * Forest per `identification_keys` group. The engine ships the
