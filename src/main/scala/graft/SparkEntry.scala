@@ -877,6 +877,37 @@ object SparkEntry {
               | 'Windows 10' AS os_full, 'Other' AS device
               | FROM documents""".stripMargin)),
 
+    ("q_user_agent_uap", (s: SparkSession, dir: String) => {
+      // long-tail agents (Chromium fork, HTTP library, Windows Phone,
+      // Chrome OS) through the uap-core-format expanded chain — each one
+      // an agent the fast subset mis-parses (UapCoreSpec differential)
+      val uas = Seq(
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+          "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Vivaldi/6.5.3206",
+        "python-requests/2.28.1",
+        "Mozilla/5.0 (Windows Phone 8.1; ARM; Trident/7.0; Touch; rv:11.0; " +
+          "IEMobile/11.0; NOKIA; Lumia 635) like Gecko",
+        "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 " +
+          "(KHTML, like Gecko) Chrome/120.0.6099.62 Safari/537.36")
+      val withUa = docs(s, dir).withColumn("ua", element_at(
+        array(uas.map(lit): _*), (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+      graft.pipeline.UserAgent("ua", db = Some(graft.pipeline.UapCore.lite))(withUa)
+        .select(col("doc_id"),
+          col("user_agent.name").as("browser"),
+          col("user_agent.version").as("bver"),
+          col("user_agent.os.full").as("os_full"),
+          col("user_agent.device.name").as("device"))
+    }, Some("""SELECT doc_id,
+              | CASE doc_id % 4 WHEN 0 THEN 'Vivaldi' WHEN 1 THEN 'python-requests'
+              |   WHEN 2 THEN 'IE' ELSE 'Chrome' END AS browser,
+              | CASE doc_id % 4 WHEN 0 THEN '6.5.3206' WHEN 1 THEN '2.28.1'
+              |   WHEN 2 THEN '11.0' ELSE '120.0.6099' END AS bver,
+              | CASE doc_id % 4 WHEN 0 THEN 'Windows 10' WHEN 1 THEN 'Other'
+              |   WHEN 2 THEN 'Windows Phone 8.1' ELSE 'Chrome OS 14541.0.0' END AS os_full,
+              | CASE doc_id % 4 WHEN 0 THEN 'Other' WHEN 1 THEN 'Other'
+              |   WHEN 2 THEN 'Generic Smartphone' ELSE 'Chromebook' END AS device
+              | FROM documents""".stripMargin)),
+
     ("q_avro_roundtrip", (s: SparkSession, dir: String) => {
       // avro container write → read (avro-core codec seam) round-trips
       // the documents slice byte-exactly vs the direct-table oracle
