@@ -996,6 +996,34 @@ object SparkEntry {
               |  CASE WHEN n_chars > 300 THEN 'longdoc' END) AS routes
               | FROM documents""".stripMargin)),
 
+    ("q_logstash_conditional", (s: SparkSession, dir: String) => {
+      // Logstash-conf front end WITH filter conditionals: if/else-if/else
+      // branches compile to per-processor gates (native *_when where the
+      // plugin has one, the generic row-local GateWhen otherwise)
+      val conf =
+        """input { stdin {} }
+          |filter {
+          |    if [event_type] == "error" {
+          |        mutate { add_field => { "sev" => "high" } uppercase => ["event_type"] }
+          |    } else if [value] >= 0.5 {
+          |        mutate { add_field => { "sev" => "mid" } }
+          |    } else {
+          |        drop {}
+          |    }
+          |}
+          |output { stdout {} }
+          |""".stripMargin
+      graft.pipeline.LogstashConf.compile(s, conf,
+        Map("logstash-converted-pipeline" ->
+          events(s, dir).select("event_id", "event_type", "value")))
+        .head.df.select("event_id", "event_type", "sev")
+    }, Some("""SELECT event_id,
+              | CASE WHEN event_type = 'error' THEN upper(event_type)
+              |      ELSE event_type END AS event_type,
+              | CASE WHEN event_type = 'error' THEN 'high' ELSE 'mid' END AS sev
+              | FROM events
+              | WHERE event_type = 'error' OR value >= 0.5""".stripMargin)),
+
     ("q_pipeline_yaml", (s: SparkSession, dir: String) => {
       // The reference's actual user surface: a pipelines.yaml definition
       // (data-prepper-pipeline-parser), compiled to a lazy DataFrame DAG —

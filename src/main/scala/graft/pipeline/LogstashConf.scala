@@ -19,7 +19,14 @@ import graft.pipeline.PipelineYaml.{PipelineDef, PluginDef, SinkDef}
   * lowercase/uppercase/strip/split); outputs `stdout`, `file`,
   * `opensearch`/`elasticsearch`/`amazon_es`. Logstash `[a][b]` field
   * references become `/a/b` pointers (`NestedSyntaxConverter.java:14`).
-  * Conditionals (`if`/`else`) are out of subset and rejected explicitly.
+  * Filter-section conditionals (`if` / `else if` / `else`, nesting
+  * included) compile to per-processor gates: the condition converts to
+  * the engine expression language ([[convertCondition]]) and lands on the
+  * plugin's native `*_when` option where one exists (`add_when`,
+  * `copy_when`, `date_when`, `drop_when`) or on the generic row-local
+  * [[Processors.GateWhen]] wrapper otherwise — the reference's converter
+  * rejects conditionals outright, and real migrating configs hit them
+  * first. Conditionals in input/output sections stay out of subset.
   *
   * Deviation from the reference, documented: the reference's
   * `GrokMatchUtil.convertGrokMatchPattern` (`GrokMatchUtil.java:20`)
@@ -31,16 +38,26 @@ import graft.pipeline.PipelineYaml.{PipelineDef, PluginDef, SinkDef}
   */
 object LogstashConf {
 
+  /** A section item: a plugin block or a conditional. */
+  sealed trait LsItem
+
   /** Attributes keep ORDER and DUPLICATES — Logstash allows repeated
     * attributes (`match => ...` twice in one grok, repeated
     * `remove_field`) and the reference merges them per-plugin
     * (GrokMatchAttributeHelper.mergeMatchAttributes, MutateMapper). */
-  final case class LsPlugin(name: String, attrs: Seq[(String, Any)]) {
+  final case class LsPlugin(name: String, attrs: Seq[(String, Any)]) extends LsItem {
     def first(k: String): Option[Any] = attrs.collectFirst { case (`k`, v) => v }
     def all(k: String): Seq[Any] = attrs.collect { case (`k`, v) => v }
     def lastWins: Map[String, Any] = attrs.toMap
   }
-  final case class LsConfig(input: Seq[LsPlugin], filter: Seq[LsPlugin],
+
+  /** `if cond { … } else if cond { … } else { … }`. Conditions are kept as
+    * raw Logstash text here; [[convertCondition]] turns each into engine
+    * expression-language text at mapping time. */
+  final case class LsIf(branches: Seq[(String, Seq[LsItem])],
+      elseItems: Seq[LsItem]) extends LsItem
+
+  final case class LsConfig(input: Seq[LsPlugin], filter: Seq[LsItem],
       output: Seq[LsPlugin])
 
   // --------------------------------------------------------------- parser
@@ -51,45 +68,118 @@ object LogstashConf {
     * `#` to end of line. */
   def parse(text: String): LsConfig = {
     val p = new Parser(text)
-    val sections = scala.collection.mutable.Map.empty[String, Seq[LsPlugin]]
+    val sections = scala.collection.mutable.Map.empty[String, Seq[LsItem]]
     p.ws()
     while (!p.eof) {
       val section = p.ident()
       require(Set("input", "filter", "output").contains(section),
-        s"unknown section '$section' (conditionals and unknown blocks are out of subset)")
+        s"unknown section '$section'")
       p.expect('{')
-      val plugins = Seq.newBuilder[LsPlugin]
-      p.ws()
-      while (p.peek != '}') {
-        val name = p.ident()
-        require(name != "if" && name != "else",
-          "logstash conditionals are out of the converter's subset")
-        p.expect('{')
-        val attrs = Seq.newBuilder[(String, Any)]
-        p.ws()
-        while (p.peek != '}') {
-          val k = p.attrName()
-          p.arrow()
-          attrs += (k -> p.value())
-          p.ws()
-        }
-        p.expect('}')
-        plugins += LsPlugin(name, attrs.result())
-        p.ws()
-      }
+      val items = p.items()
       p.expect('}')
-      sections(section) = sections.getOrElse(section, Seq.empty) ++ plugins.result()
+      sections(section) = sections.getOrElse(section, Seq.empty) ++ items
       p.ws()
     }
-    LsConfig(sections.getOrElse("input", Seq.empty),
+    def pluginsOnly(section: String): Seq[LsPlugin] =
+      sections.getOrElse(section, Seq.empty).map {
+        case pl: LsPlugin => pl
+        case _: LsIf => throw new IllegalArgumentException(
+          s"conditionals in the $section section are out of subset " +
+            "(filter-section conditionals are supported)")
+      }
+    LsConfig(pluginsOnly("input"),
       sections.getOrElse("filter", Seq.empty),
-      sections.getOrElse("output", Seq.empty))
+      pluginsOnly("output"))
   }
 
   private final class Parser(s: String) {
     private var i = 0
     def eof: Boolean = i >= s.length
     def peek: Char = if (eof) '\u0000' else s.charAt(i)
+    /** Items of one `{ … }` block: plugin blocks and conditionals. */
+    def items(): Seq[LsItem] = {
+      val out = Seq.newBuilder[LsItem]
+      ws()
+      while (peek != '}' && !eof) {
+        val name = ident()
+        if (name == "if") out += conditional()
+        else {
+          require(name != "else", "dangling 'else' without an 'if'")
+          expect('{')
+          val attrs = Seq.newBuilder[(String, Any)]
+          ws()
+          while (peek != '}') {
+            val k = attrName()
+            arrow()
+            attrs += (k -> value())
+            ws()
+          }
+          expect('}')
+          out += LsPlugin(name, attrs.result())
+        }
+        ws()
+      }
+      out.result()
+    }
+
+    private def conditional(): LsIf = {
+      val branches = Seq.newBuilder[(String, Seq[LsItem])]
+      var elseItems: Seq[LsItem] = Seq.empty
+      var more = true
+      var first = true
+      while (more) {
+        if (first || tryIdent("if")) {
+          val cond = conditionText()
+          expect('{')
+          branches += cond -> items()
+          expect('}')
+          more = tryIdent("else")
+        } else { // bare else { … }
+          expect('{')
+          elseItems = items()
+          expect('}')
+          more = false
+        }
+        first = false
+      }
+      LsIf(branches.result(), elseItems)
+    }
+
+    /** Consume `kw` if the next identifier is exactly it; rewind otherwise. */
+    private def tryIdent(kw: String): Boolean = {
+      ws()
+      val save = i
+      if (eof || !s.charAt(i).isLetter) return false
+      val id = ident()
+      if (id == kw) true else { i = save; false }
+    }
+
+    /** Raw condition text up to the block-opening '{', honoring quoted
+      * strings and /regex/ literals (whose bodies may contain braces). */
+    private def conditionText(): String = {
+      ws()
+      val start = i
+      var inStr: Char = ' '
+      var inRegex = false
+      while (!eof && !(s.charAt(i) == '{' && inStr == ' ' && !inRegex)) {
+        val c = s.charAt(i)
+        if (inStr != ' ') {
+          if (c == '\\') i += 1 else if (c == inStr) inStr = ' '
+        } else if (inRegex) {
+          if (c == '\\') i += 1 else if (c == '/') inRegex = false
+        } else c match {
+          case '"' | '\'' => inStr = c
+          case '/' => inRegex = true
+          case _ =>
+        }
+        i += 1
+      }
+      require(!eof, "unterminated condition (no '{')")
+      val t = s.substring(start, i).trim
+      require(t.nonEmpty, "empty condition")
+      t
+    }
+
     def ws(): Unit = {
       var go = true
       while (go && !eof) {
@@ -209,6 +299,260 @@ object LogstashConf {
       val body = (Seq(syntax) ++ semantic ++ typ).mkString(":")
       java.util.regex.Matcher.quoteReplacement(s"%{$body}")
     })
+
+  // -------------------------------------------------------- conditionals
+
+  /** Logstash condition → engine expression-language text (ExprCompiler
+    * grammar). Supported: `[a][b]` field refs (→ pointers), string/number/
+    * boolean literals, `== != < <= > >=`, `=~ !~` with /regex/ or string
+    * (Logstash matches unanchored, the engine anchors — the pattern is
+    * embedded in `.*(?:…).*`), `in` / `not in` over array literals (→ set
+    * literals), `and` / `or` / `not` / `!`, parens, and bare-field
+    * truthiness (converted to an existence check, `not (/f == null)`).
+    * `nand`/`xor` are rejected. */
+  def convertCondition(raw: String): String = new CondParser(raw).parse()
+
+  private final class CondParser(s: String) {
+    private var i = 0
+    private def eof = i >= s.length
+    private def ws(): Unit = while (!eof && s.charAt(i).isWhitespace) i += 1
+    private def peek: Char = if (eof) ' ' else s.charAt(i)
+    private def eat(tok: String): Boolean = {
+      ws()
+      if (s.startsWith(tok, i)) { i += tok.length; true } else false
+    }
+    private def eatKw(kw: String): Boolean = {
+      ws()
+      val save = i
+      if (!eof && s.charAt(i).isLetter) {
+        val st = i
+        while (!eof && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        if (s.substring(st, i) == kw) return true
+      }
+      i = save
+      false
+    }
+
+    def parse(): String = {
+      val r = or()
+      ws()
+      require(eof, s"trailing text in condition at offset $i: $s")
+      r
+    }
+    private def or(): String = {
+      var l = and()
+      var go = true
+      while (go) {
+        if (eatKw("or")) l = s"$l or ${and()}"
+        else if (eatKw("nand") || eatKw("xor")) throw new IllegalArgumentException(
+          "nand/xor conditionals are out of subset")
+        else go = false
+      }
+      l
+    }
+    private def and(): String = {
+      var l = unary()
+      while (eatKw("and")) l = s"$l and ${unary()}"
+      l
+    }
+    private def unary(): String = {
+      ws()
+      if (peek == '!' && i + 1 < s.length &&
+          s.charAt(i + 1) != '=' && s.charAt(i + 1) != '~') {
+        i += 1; s"not ${unary()}"
+      }
+      else if (eatKw("not")) s"not ${unary()}"
+      else if (peek == '(') {
+        i += 1
+        val r = or()
+        ws()
+        require(peek == ')', s"expected ) at offset $i"); i += 1
+        s"($r)"
+      }
+      else comparison()
+    }
+    private def comparison(): String = {
+      val l = operand()
+      ws()
+      if (eat("==")) s"$l == ${operand()}"
+      else if (eat("!=")) s"$l != ${operand()}"
+      else if (eat("=~")) s"$l =~ ${regexStr()}"
+      else if (eat("!~")) s"not ($l =~ ${regexStr()})"
+      else if (eat("<=")) s"$l <= ${operand()}"
+      else if (eat(">=")) s"$l >= ${operand()}"
+      else if (eat("<")) s"$l < ${operand()}"
+      else if (eat(">")) s"$l > ${operand()}"
+      else if (eatKw("in")) s"$l in ${setLit()}"
+      else if (eatKw("not")) {
+        require(eatKw("in"), s"expected 'in' after 'not' at offset $i")
+        s"$l not in ${setLit()}"
+      } else {
+        // bare field → existence (Logstash truthiness subset)
+        require(l.startsWith("/"),
+          s"bare operand '$l' is not a field reference")
+        s"not ($l == null)"
+      }
+    }
+    private def operand(): String = {
+      ws()
+      peek match {
+        case '[' => fieldRef()
+        case '"' | '\'' => quote(stringLit())
+        case c if c.isDigit || c == '-' => number()
+        case _ =>
+          if (eatKw("true")) "true"
+          else if (eatKw("false")) "false"
+          else if (eatKw("null")) "null"
+          else throw new IllegalArgumentException(
+            s"unsupported operand at offset $i in condition: $s")
+      }
+    }
+    private def fieldRef(): String = {
+      val parts = Seq.newBuilder[String]
+      while (peek == '[') {
+        i += 1
+        val st = i
+        while (!eof && s.charAt(i) != ']') i += 1
+        require(!eof, "unterminated field reference")
+        parts += s.substring(st, i)
+        i += 1
+      }
+      "/" + parts.result().mkString("/")
+    }
+    private def stringLit(): String = {
+      val q = s.charAt(i); i += 1
+      val sb = new StringBuilder
+      while (!eof && s.charAt(i) != q) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          val n = s.charAt(i + 1)
+          if (n == q || n == '\\') sb.append(n) else { sb.append(c); sb.append(n) }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      require(!eof, "unterminated string in condition")
+      i += 1
+      sb.toString
+    }
+    /** Engine string literals unescape every `\X` pair, so round-tripping
+      * arbitrary text (regex bodies included) requires escaping `\` and
+      * `"`. */
+    private def quote(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    private def number(): String = {
+      val st = i
+      if (peek == '-') i += 1
+      while (!eof && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      s.substring(st, i)
+    }
+    private def regexStr(): String = {
+      ws()
+      val body = peek match {
+        case '/' =>
+          i += 1
+          val sb = new StringBuilder
+          while (!eof && s.charAt(i) != '/') {
+            if (s.charAt(i) == '\\' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+              sb.append('/'); i += 2
+            } else { sb.append(s.charAt(i)); i += 1 }
+          }
+          require(!eof, "unterminated regex literal")
+          i += 1
+          sb.toString
+        case '"' | '\'' => stringLit()
+        case _ => throw new IllegalArgumentException(
+          s"expected regex after =~/!~ at offset $i")
+      }
+      quote(s".*(?:$body).*")
+    }
+    private def setLit(): String = {
+      ws()
+      require(peek == '[', s"expected list after in at offset $i"); i += 1
+      val items = Seq.newBuilder[String]
+      ws()
+      while (peek != ']') {
+        items += operand()
+        ws()
+        if (peek == ',') { i += 1; ws() }
+      }
+      i += 1
+      items.result().mkString("{", ", ", "}")
+    }
+  }
+
+  /** Gate one mapped processor on an (engine-syntax) condition: plugins
+    * with a native `*_when` option use it; everything else gets the
+    * converter-reserved `__gate_when`, which the pipeline compiler wraps
+    * in the generic row-local [[Processors.GateWhen]]. */
+  private def gatePlugin(d: PluginDef, cond: String): PluginDef = {
+    def gateEntries(whenKey: String): PluginDef = {
+      val entries = d.options("entries").asInstanceOf[Seq[Map[String, Any]]]
+      PluginDef(d.name, d.options +
+        ("entries" -> entries.map(_ + (whenKey -> cond))))
+    }
+    d.name match {
+      case "add_entries" => gateEntries("add_when")
+      case "copy_values" => gateEntries("copy_when")
+      case "date" => PluginDef(d.name, d.options + ("date_when" -> cond))
+      case "drop_events" =>
+        val orig = d.options.get("drop_when").map(String.valueOf)
+        val combined = orig match {
+          case Some(o) if o != "1 == 1" => s"($cond) and ($o)"
+          case _ => cond
+        }
+        PluginDef(d.name, d.options + ("drop_when" -> combined))
+      case _ => PluginDef(d.name, d.options + ("__gate_when" -> cond))
+    }
+  }
+
+  /** Flatten filter items into a processor list. Each conditional first
+    * MATERIALIZES its branch guards as hidden boolean columns (one
+    * add_entries with value_expression per branch: `not(c0) … and (ck)`,
+    * conjoined with the enclosing branch's column for nested ifs) — so
+    * conditions are evaluated BEFORE any branch body runs, exactly like
+    * Logstash, and a branch that mutates a field the condition reads
+    * cannot flip a sibling's gate. Body plugins then gate on the guard
+    * column pointer; the guards are deleted after the last body. */
+  private def flattenFilters(items: Seq[LsItem], gate: Option[String],
+      counter: java.util.concurrent.atomic.AtomicInteger): Seq[PluginDef] =
+    items.flatMap {
+      case p: LsPlugin =>
+        val defs = mapFilter(p)
+        gate match {
+          case Some(g) => defs.map(gatePlugin(_, g))
+          case None => defs
+        }
+      case LsIf(branches, els) =>
+        val n = counter.getAndIncrement()
+        val converted = branches.map { case (raw, its) =>
+          (convertCondition(raw), its)
+        }
+        val negs = converted.map { case (c, _) => s"not ($c)" }
+        def guardExpr(k: Int, own: Option[String]): String = {
+          val g = own match {
+            case Some(c) => (negs.take(k) :+ s"($c)").mkString(" and ")
+            case None => negs.mkString(" and ") // else branch
+          }
+          gate.map(p => s"$p and ($g)").getOrElse(g)
+        }
+        val branchTmps = converted.indices.map(k => s"__lsif_${n}_$k")
+        val elseTmp = if (els.nonEmpty) Seq(s"__lsif_${n}_else") else Nil
+        val tmps = branchTmps ++ elseTmp
+        val guards =
+          converted.indices.map(k => guardExpr(k, Some(converted(k)._1))) ++
+            (if (els.nonEmpty) Seq(guardExpr(converted.size, None)) else Nil)
+        val pre = PluginDef("add_entries", Map("entries" ->
+          tmps.zip(guards).map { case (t, v) =>
+            Map("key" -> t, "value_expression" -> v,
+              "overwrite_if_key_exists" -> true)
+          }))
+        val bodies = converted.zipWithIndex.flatMap { case ((_, its), k) =>
+          flattenFilters(its, Some("/" + branchTmps(k)), counter)
+        } ++ (if (els.nonEmpty)
+          flattenFilters(els, Some("/" + elseTmp.head), counter) else Nil)
+        val post = PluginDef("delete_entries", Map("with_keys" -> tmps))
+        (pre +: bodies) :+ post
+    }
 
   // ------------------------------------------------------------- mapping
 
@@ -391,7 +735,8 @@ object LogstashConf {
     val source = conf.input.headOption
       .map(in => PluginDef(in.name, in.lastWins))
       .getOrElse(PluginDef("stdin", Map.empty))
-    val processors = conf.filter.flatMap(mapFilter)
+    val processors = flattenFilters(conf.filter, None,
+      new java.util.concurrent.atomic.AtomicInteger())
     val sinks = conf.output.map(mapOutput)
     require(sinks.nonEmpty, "logstash config needs at least one output")
     PipelineDef(name, source, processors, routes = Seq.empty, sinks = sinks)

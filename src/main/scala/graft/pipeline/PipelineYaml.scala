@@ -159,6 +159,14 @@ object PipelineYaml {
     * names are the reference's (snake_case config fields from each
     * plugin's `*Config.java`). */
   def compileProcessor(p: PluginDef): Stage = {
+    // reserved converter-internal gate: wrap any row-local processor in a
+    // per-row conditional (LogstashConf `if` blocks compile to this when
+    // the target plugin has no native `*_when` option)
+    p.options.get("__gate_when") match {
+      case Some(expr) => return GateWhen(ExprCompiler.compile(expr.toString),
+        compileProcessor(PluginDef(p.name, p.options - "__gate_when")))
+      case None =>
+    }
     val o = p.options
     p.name match {
       case "grok" =>

@@ -99,6 +99,44 @@ object Processors {
     }
   }
 
+  /** Generic per-row conditional gate around a ROW-LOCAL stage (the
+    * engine form of the reference's per-processor `*_when` options and of
+    * Logstash `if` blocks): `inner` runs over all rows, but rows where
+    * `cond` is false keep their original values — columns `inner`
+    * modified revert, columns it added become null, columns it removed
+    * are restored. Original values ride along as pure column aliases, so
+    * Catalyst prunes any copy the final blend doesn't need; everything
+    * stays one codegen'd projection. NOT for row-count-changing stages
+    * (drop/split) — those gate natively on their own condition. */
+  final case class GateWhen(cond: Column, inner: Stage) extends Stage {
+    private val id = GateWhen.ids.getAndIncrement()
+    def apply(df: DataFrame): DataFrame = {
+      val gate = s"_gate_$id"
+      val origPrefix = s"_orig_${id}_"
+      val pre = df.columns.foldLeft(
+        df.withColumn(gate, coalesce(cond, lit(false)))) {
+        (d, c) => d.withColumn(origPrefix + c, col(c))
+      }
+      val out = inner(pre)
+      require(out.columns.contains(gate),
+        "GateWhen: inner stage dropped the gate column (not row-local)")
+      val inCols = df.columns.toSet
+      val outCols = out.columns
+        .filterNot(c => c == gate || c.startsWith(origPrefix))
+      val kept = outCols.map { c =>
+        if (inCols(c)) when(col(gate), col(c)).otherwise(col(origPrefix + c)).as(c)
+        else when(col(gate), col(c)).as(c)
+      }
+      val restored = df.columns.filterNot(outCols.contains).map { c =>
+        when(!col(gate), col(origPrefix + c)).as(c)
+      }
+      out.select((kept ++ restored).toSeq: _*)
+    }
+  }
+  object GateWhen {
+    private val ids = new java.util.concurrent.atomic.AtomicInteger()
+  }
+
   /** `drop_events` (drop-events-processor/.../DropEventsProcessor.java:26):
     * keep rows where dropWhen is false. */
   final case class DropEvents(dropWhen: Column) extends Stage {

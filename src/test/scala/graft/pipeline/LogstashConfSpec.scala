@@ -162,15 +162,90 @@ class LogstashConfSpec extends AnyFunSuite {
     }
   }
 
-  test("conditionals and unknown filters are rejected, not silently dropped") {
-    intercept[IllegalArgumentException] {
-      LogstashConf.convert(
-        "input { stdin {} } filter { if [x] { drop {} } } output { stdout {} }")
-    }
+  test("unknown filters and out-of-subset conditionals are rejected, not dropped") {
     intercept[IllegalArgumentException] {
       LogstashConf.convert(
         "input { stdin {} } filter { throttle {} } output { stdout {} }")
     }
+    // conditionals OUTSIDE the filter section stay out of subset
+    intercept[IllegalArgumentException] {
+      LogstashConf.convert(
+        "input { stdin {} } filter {} output { if [x] { stdout {} } }")
+    }
+    // nand/xor operators stay out of subset
+    intercept[IllegalArgumentException] {
+      LogstashConf.convert(
+        "input { stdin {} } filter { if [a] nand [b] { drop {} } } " +
+          "output { stdout {} }")
+    }
+  }
+
+  test("condition conversion: refs, literals, operators, regex, in, truthiness") {
+    import LogstashConf.convertCondition
+    assert(convertCondition("""[type] == "apache"""") == """/type == "apache"""")
+    assert(convertCondition("[a][b] != 404") == "/a/b != 404")
+    assert(convertCondition("[status] >= 500 and [env] != \"dev\"") ==
+      """/status >= 500 and /env != "dev"""")
+    assert(convertCondition("""[msg] =~ /\d{3}/""") ==
+      """/msg =~ ".*(?:\\d{3}).*"""")
+    assert(convertCondition("""[lvl] in ["warn", "error"]""") ==
+      """/lvl in {"warn", "error"}""")
+    assert(convertCondition("""[lvl] not in ["debug"]""") ==
+      """/lvl not in {"debug"}""")
+    assert(convertCondition("[f]") == "not (/f == null)")
+    assert(convertCondition("!([f]) or ([x] < 2 and [y] =~ \"ab+\")") ==
+      """not (not (/f == null)) or (/x < 2 and /y =~ ".*(?:ab+).*")""")
+  }
+
+  test("filter conditionals compile to gates and run end-to-end") {
+    // a real-world shape: type-dispatched grok / else-if mutate / else
+    // drop, plus a second numeric-threshold conditional over grok output
+    val conf =
+      """input { stdin {} }
+        |filter {
+        |    if [type] == "apache" {
+        |        grok { match => { "message" => "%{WORD:verb} %{NUMBER:code}" } }
+        |        if [type] =~ /apa/ {
+        |            mutate { add_field => { "nested" => "yes" } }
+        |        }
+        |    } else if [type] == "syslog" {
+        |        mutate { add_field => { "src" => "sys" } uppercase => ["message"] }
+        |    } else {
+        |        drop {}
+        |    }
+        |}
+        |output { stdout {} }
+        |""".stripMargin
+    val input = Seq(
+      ("apache", "get 200"),
+      ("syslog", "kernel oops"),
+      ("noise", "drop me")).toDF("type", "message")
+    val outs = LogstashConf.compile(spark, conf,
+      Map("logstash-converted-pipeline" -> input))
+    val rows = outs.head.df
+      .select("type", "message", "verb", "code", "nested", "src")
+      .collect().map(r => (0 until 6).map(i =>
+        Option(r.get(i)).map(String.valueOf).orNull).toList).toSet
+    assert(rows == Set(
+      // apache row: grok extracted + nested conditional added, src null
+      List("apache", "get 200", "get", "200", "yes", null),
+      // syslog row: uppercased message + src, grok fields null
+      List("syslog", "KERNEL OOPS", null, null, null, "sys")))
+    // noise row dropped by the else branch
+  }
+
+  test("branch bodies cannot flip sibling gates (guards pre-materialized)") {
+    // the if-branch rewrites the very field the condition reads; the else
+    // drop must still see the ORIGINAL value (Logstash evaluates the
+    // condition once, before any branch runs)
+    val conf = "input { stdin {} } filter { " +
+      "if [t] == \"a\" { mutate { uppercase => [\"t\"] } } else { drop {} } " +
+      "} output { stdout {} }"
+    val input = Seq("a", "b").toDF("t")
+    val outs = LogstashConf.compile(spark, conf,
+      Map("logstash-converted-pipeline" -> input))
+    assert(outs.head.df.as[String].collect().toSeq == Seq("A"))
+    assert(outs.head.df.columns.toSeq == Seq("t")) // guard columns cleaned up
   }
 
   test("converted pipeline runs end-to-end through the shared compiler") {
