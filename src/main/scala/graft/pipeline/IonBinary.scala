@@ -27,8 +27,15 @@ package graft.pipeline
   *    (offset 0 → `Z`, unknown offset → `-00:00`);
   *  - NOP padding skipped.
   *
-  * NOT covered (documented): shared symbol-table imports (only the inline
-  * `symbols` list is honored), ints beyond 64 bits, arbitrary-precision
+  * Shared symbol-table imports resolve against a caller-provided catalog
+  * (`toJson(bytes, catalog)` — the analog of ion-java's SimpleCatalog):
+  * each `imports` entry {name, version, max_id} pulls max_id symbol slots
+  * from the named shared table, null-padding slots the catalog cannot
+  * fill (unknown-symbol semantics per spec); `imports:
+  * $ion_symbol_table` keeps LST-append semantics; a local table WITH
+  * explicit imports resets to system + imports + inline symbols.
+  *
+  * NOT covered (documented): ints beyond 64 bits, arbitrary-precision
   * decimal coefficients (> 8 bytes).
   */
 object IonBinary {
@@ -38,7 +45,14 @@ object IonBinary {
     "$ion_symbol_table", "name", "version", "imports", "symbols", "max_id",
     "$ion_shared_symbol_table")
 
-  def toJson(bytes: Array[Byte]): String = {
+  /** A shared symbol table as a catalog entry (keyed by name; the caller
+    * supplies the version it published). */
+  final case class SharedTable(name: String, version: Int,
+      symbols: IndexedSeq[String])
+
+  def toJson(bytes: Array[Byte]): String = toJson(bytes, Map.empty)
+
+  def toJson(bytes: Array[Byte], catalog: Map[String, SharedTable]): String = {
     if (bytes == null || bytes.length < 4) return null
     if (!(bytes(0) == 0xE0.toByte && bytes(1) == 0x01.toByte &&
         bytes(2) == 0x00.toByte && bytes(3) == 0xEA.toByte)) return null
@@ -63,7 +77,7 @@ object IonBinary {
             if (r.pos < annEnd) firstAnn = r.varUInt()
             r.pos = annEnd
             if (firstAnn == 3L) { // $ion_symbol_table
-              symbols = readSymbolTable(r, end, symbols)
+              symbols = readSymbolTable(r, end, symbols, catalog)
               r.pos = end
             } else {
               values += value(r, symbols) // annotations stripped
@@ -130,18 +144,25 @@ object IonBinary {
     }
   }
 
-  /** Read the body of a $ion_symbol_table struct: `symbols` (SID 7) list
-    * of strings appended to (or with `imports: $ion_symbol_table`,
-    * appended to the CURRENT table — both give append semantics here). */
-  private def readSymbolTable(r: Cursor, end: Int,
-      current: Vector[String]): Vector[String] = {
+  /** Read the body of a $ion_symbol_table struct. Per spec, `imports`
+    * (SID 6) resolves FIRST regardless of field order: the symbol
+    * `$ion_symbol_table` (SID 3) keeps the current table (append
+    * semantics); a list of {name, version, max_id} structs pulls slots
+    * from the catalog's shared tables, null-padding what the catalog
+    * can't supply; then the inline `symbols` (SID 7) list appends. A
+    * table with NO `imports: $ion_symbol_table` resets to system +
+    * imports + inline. */
+  private def readSymbolTable(r: Cursor, end: Int, current: Vector[String],
+      catalog: Map[String, SharedTable]): Vector[String] = {
     val td = r.u8()
     require(td >> 4 == 13, "symbol table must be a struct")
     val l = td & 0xF
     val structEnd =
       if (l == 14 || l == 1) { val n = r.varUInt().toInt; r.pos + n }
       else r.pos + l
-    var out = current
+    var appendMode = false
+    var imported = Vector.empty[String]
+    var inline = Vector.empty[String]
     while (r.pos < structEnd) {
       val fieldSid = r.varUInt()
       val ftd = r.u8()
@@ -157,15 +178,66 @@ object IonBinary {
           val (st, sl) = (std >> 4, std & 0xF)
           val slen = if (sl == 14) r.varUInt().toInt else if (sl == 15) 0 else sl
           if (st == 8 && sl != 15) {
-            out = out :+ new String(r.buf, r.pos, slen,
+            inline = inline :+ new String(r.buf, r.pos, slen,
               java.nio.charset.StandardCharsets.UTF_8)
-          } else out = out :+ null // non-string entry still takes a SID slot
+          } else inline = inline :+ null // non-string entry still takes a SID slot
           r.pos += slen
+        }
+      } else if (fieldSid == 6L && t == 7) { // imports: symbol
+        // $ion_symbol_table (SID 3) → append to the current table
+        if (flen > 0 && r.uIntN(flen) == 3L) appendMode = true
+      } else if (fieldSid == 6L && t == 11) { // imports: list of structs
+        while (r.pos < fend) {
+          val itd = r.u8()
+          val (it, il) = (itd >> 4, itd & 0xF)
+          val ilen =
+            if (il == 14 || (it == 13 && il == 1)) r.varUInt().toInt
+            else if (il == 15) 0
+            else il
+          val iend = r.pos + ilen
+          if (it == 13) imported = imported ++ readImport(r, iend, catalog)
+          r.pos = iend
         }
       }
       r.pos = fend
     }
-    out
+    if (appendMode) current ++ inline
+    else SystemSymbols.toVector ++ imported ++ inline
+  }
+
+  /** One import struct {name: SID 4, version: SID 5, max_id: SID 8} →
+    * the symbol slots it contributes. */
+  private def readImport(r: Cursor, end: Int,
+      catalog: Map[String, SharedTable]): Vector[String] = {
+    var name: String = null
+    var maxId: Long = -1L
+    while (r.pos < end) {
+      val sid = r.varUInt()
+      val ftd = r.u8()
+      val (t, fl) = (ftd >> 4, ftd & 0xF)
+      val flen = if (fl == 14) r.varUInt().toInt else if (fl == 15) 0 else fl
+      val fend = r.pos + flen
+      sid match {
+        case 4L if t == 8 => name = new String(r.buf, r.pos, flen,
+          java.nio.charset.StandardCharsets.UTF_8)
+        case 8L if t == 2 => maxId = r.uIntN(flen)
+        case _ => // version (SID 5) read lenient: name-keyed catalog
+      }
+      r.pos = fend
+    }
+    require(name != null, "import without name")
+    catalog.get(name) match {
+      case Some(t) =>
+        val syms = t.symbols.toVector
+        if (maxId < 0) syms
+        else if (maxId <= syms.length) syms.take(maxId.toInt)
+        else syms ++ Vector.fill((maxId - syms.length).toInt)(null: String)
+      case None =>
+        // unknown table: max_id null slots (spec's unknown-symbol
+        // semantics); without max_id the stream is undecodable
+        require(maxId >= 0, s"import of unknown shared table '$name' without max_id")
+        Vector.fill(maxId.toInt)(null: String)
+    }
   }
 
   private def esc(raw: String): String = raw.flatMap {

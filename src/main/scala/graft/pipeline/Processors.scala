@@ -513,11 +513,15 @@ object Processors {
   /** `parse_ion` over the BINARY wire form (the codec layer's half —
     * reference ion-java reads both forms transparently): binary Ion
     * payloads convert to JSON via the [[IonBinary]] own kernel (local
-    * symbol tables honored, annotations stripped, same JSON conventions
-    * as [[IonText]]), then parse with the same `from_json` shape. */
+    * symbol tables honored, shared-table imports resolved against
+    * `catalog`, annotations stripped, same JSON conventions as
+    * [[IonText]]), then parse with the same `from_json` shape. The
+    * catalog is a small driver-side map captured into the kernel closure
+    * — the analog of ion-java's SimpleCatalog. */
   final case class ParseIonBinary(source: String, schemaDdl: String,
-      destination: String = "parsed") extends Stage {
-    private val conv = udf((b: Array[Byte]) => IonBinary.toJson(b))
+      destination: String = "parsed",
+      catalog: Map[String, IonBinary.SharedTable] = Map.empty) extends Stage {
+    private val conv = udf((b: Array[Byte]) => IonBinary.toJson(b, catalog))
     def apply(df: DataFrame): DataFrame =
       df.withColumn(destination,
         from_json(conv(col(source)),

@@ -52,6 +52,70 @@ class IonBinarySpec extends AnyFunSuite {
     assert(IonText.toJson("{k: sym}") == "{\"k\":\"sym\"}")
   }
 
+  // ---- binary assembly helpers for symbol-table fixtures ----
+  private def vu(n: Int): Seq[Int] =
+    if (n < 128) Seq(0x80 | n) else Seq(n >> 7, 0x80 | (n & 0x7f))
+  private def td(t: Int, len: Int): Seq[Int] =
+    if (len < 14) Seq((t << 4) | len) else Seq((t << 4) | 14) ++ vu(len)
+  private def istr(s: String): Seq[Int] =
+    td(8, s.length) ++ s.getBytes("UTF-8").map(_ & 0xff)
+  private def ifield(sid: Int, body: Seq[Int]): Seq[Int] = vu(sid) ++ body
+  private def istruct(fields: Seq[Int]*): Seq[Int] = {
+    val body = fields.flatten
+    require(body.size != 1) // L=1 means sorted-struct w/ varUInt length
+    td(13, body.size) ++ body
+  }
+  private def ilist(items: Seq[Int]*): Seq[Int] =
+    td(11, items.map(_.size).sum) ++ items.flatten
+  private def iint(v: Int): Seq[Int] = if (v == 0) Seq(0x20) else Seq(0x21, v)
+  private def isym(sid: Int): Seq[Int] = Seq(0x71, sid)
+  private def iannot(sids: Seq[Int], value: Seq[Int]): Seq[Int] = {
+    val ann = sids.flatMap(vu)
+    td(14, vu(ann.size).size + ann.size + value.size) ++ vu(ann.size) ++ ann ++ value
+  }
+
+  test("shared symbol-table imports resolve through the catalog; text ≡ binary") {
+    // LST: imports: [{name: "com.example.app", version: 1, max_id: 3}],
+    //      symbols: ["extra"]  →  SIDs 10..12 from the shared table, 13 inline
+    val lst = iannot(Seq(3), istruct(
+      ifield(6, ilist(istruct(
+        ifield(4, istr("com.example.app")),
+        ifield(5, iint(1)),
+        ifield(8, iint(3))))),
+      ifield(7, ilist(istr("extra")))))
+    // {status(10): ok(12), code(11): 7, extra(13): "x"}
+    val value = istruct(ifield(10, isym(12)), ifield(11, iint(7)),
+      ifield(13, istr("x")))
+    val bytes = bin((lst ++ value): _*)
+    val catalog = Map("com.example.app" ->
+      IonBinary.SharedTable("com.example.app", 1, Vector("status", "code", "ok")))
+    val viaBinary = IonBinary.toJson(bytes, catalog)
+    val viaText = IonText.toJson("""{status: ok, code: 7, extra: "x"}""")
+    assert(viaBinary == viaText)
+    assert(viaBinary == """{"status":"ok","code":7,"extra":"x"}""")
+    // without the catalog, the import's max_id slots are unknown symbols
+    assert(IonBinary.toJson(bytes) == """{"$10":"$12","$11":7,"extra":"x"}""")
+    // short shared table + larger max_id → null-padded tail slots
+    val shortCat = Map("com.example.app" ->
+      IonBinary.SharedTable("com.example.app", 1, Vector("status")))
+    assert(IonBinary.toJson(bytes, shortCat) == """{"status":"$12","$11":7,"extra":"x"}""")
+  }
+
+  test("imports: $ion_symbol_table appends; a table without it resets") {
+    // LST1 {symbols:["a"]} → SID 10 = a
+    val lst1 = iannot(Seq(3), istruct(ifield(7, ilist(istr("a")))))
+    // LST2 with imports: $ion_symbol_table (SID 3), symbols:["b"] → append: 11 = b
+    val lstAppend = iannot(Seq(3), istruct(
+      ifield(6, isym(3)), ifield(7, ilist(istr("b")))))
+    val appended = bin((lst1 ++ Seq(0x71, 0x0A) ++ lstAppend ++
+      Seq(0x71, 0x0A, 0x71, 0x0B)): _*)
+    assert(IonBinary.toJson(appended) == """["a","a","b"]""")
+    // LST2 WITHOUT imports → reset: SID 10 = b, old "a" gone
+    val lstReset = iannot(Seq(3), istruct(ifield(7, ilist(istr("b")))))
+    val reset = bin((lst1 ++ Seq(0x71, 0x0A) ++ lstReset ++ Seq(0x71, 0x0A)): _*)
+    assert(IonBinary.toJson(reset) == """["a","b"]""")
+  }
+
   test("annotations stripped; NOP padding skipped; unknown SIDs render as $n") {
     // ann::42 : wrapper T=14 L=4 (annLen 1, SID 4 "name", int 42)
     assert(IonBinary.toJson(bin(0xE4, 0x81, 0x84, 0x21, 0x2A)) == "42")
