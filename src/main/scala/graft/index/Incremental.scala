@@ -35,9 +35,19 @@ import graft.corpus.Page
   *
   * At 100 TB: appends touch only the new batch (the base corpus is never
   * re-read); each append costs the batch's own 3 shuffles. Generations
-  * add per-query file-listing overhead, so [[compact]] folds them back
-  * into one (the LSM-style merge) — run it when generation count hurts
-  * scan planning, e.g. nightly.
+  * add per-query cost LINEARLY — every query unions one bucket-pruned
+  * postings scan per generation and the reader sums per-generation
+  * metadata — so generation count must be BOUNDED, not just compactable:
+  * [[maybeCompact]] enforces a threshold (`maxGenerations`; the streaming
+  * appender triggers it automatically) by folding all visible generations
+  * into one new generation IN PLACE. The compacted generation records the
+  * ones it folded in a `supersedes.json` tombstone; [[genDirs]] hides
+  * superseded generations once the compacted one commits, so readers see
+  * either the old set or the new single generation — never both, never
+  * neither — and the folded dirs are garbage-collected best-effort after
+  * the commit. A killed compaction resumes through the same stage
+  * manifests; appends landing while a compaction is pending stay visible
+  * (they are not in the tombstone).
   */
 object IncrementalIndex {
 
@@ -59,7 +69,18 @@ object IncrementalIndex {
   private def isGenCommitted(genDir: String): Boolean =
     Manifest.read(genDir, "postings").exists(_.status == "committed")
 
-  /** Committed (gen, dir) pairs sorted by generation; `(0, indexDir)` when
+  /** Generations folded into `genDir` by a compaction ([[maybeCompact]]);
+    * present from the moment the compaction target is allocated, binding
+    * only once the target commits. */
+  private def supersededBy(genDir: String): Seq[Int] =
+    IndexIO.readString(s"$genDir/supersedes.json") match {
+      case Some(s) => s.trim.stripPrefix("[").stripSuffix("]").split(",")
+        .toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      case None => Seq.empty
+    }
+
+  /** Committed (gen, dir) pairs sorted by generation, with generations
+    * superseded by a COMMITTED compaction hidden; `(0, indexDir)` when
     * the index is standalone (no gen-* children). */
   def genDirs(spark: SparkSession, indexDir: String): Seq[(Int, String)] = {
     val root = new Path(indexDir)
@@ -74,7 +95,9 @@ object IncrementalIndex {
             case _ => None
           }
       }.flatten
-    if (found.isEmpty) Seq(0 -> indexDir) else found.sortBy(_._1)
+    val superseded = found.flatMap { case (_, d) => supersededBy(d) }.toSet
+    val visible = found.filterNot { case (k, _) => superseded(k) }
+    if (visible.isEmpty) Seq(0 -> indexDir) else visible.sortBy(_._1)
   }
 
   /** Total docs across committed generations = the next idOffset. */
@@ -125,10 +148,14 @@ object IncrementalIndex {
             case _ => None
           }
       }.flatten
-    val committed = genDirs(spark, indexDir).collect {
-      case (k, d) if d != indexDir => k
-    }.toSet
-    val gen = existing.filterNot(committed).sorted.headOption
+    // resume-eligible = uncommitted ON DISK (not via genDirs, which hides
+    // superseded gens — a GC-surviving superseded dir must never be
+    // "resumed") and not a pending compaction target (supersedes.json)
+    val committedOnDisk = existing.filter(k =>
+      isGenCommitted(s"$indexDir/gen-$k")).toSet
+    val gen = existing.filterNot(committedOnDisk)
+      .filterNot(k => supersededBy(s"$indexDir/gen-$k").nonEmpty)
+      .sorted.headOption
       .getOrElse(if (existing.isEmpty) 0 else existing.max + 1)
     val offset = genDirs(spark, indexDir)
       .collect { case (k, d) if d != indexDir => Globals.read(d).n }.sum
@@ -138,10 +165,86 @@ object IncrementalIndex {
     gen
   }
 
+  /** Enforce the generation bound: when more than `maxGenerations`
+    * generations are visible, fold them all into one new generation via
+    * [[compactGenerations]]. The threshold trades append amortization
+    * against per-query cost — each visible generation adds one
+    * bucket-pruned postings scan and one metadata row per query term, so
+    * cost grows linearly in generation count and the bound keeps query
+    * plans FLAT no matter how many batches ever streamed in. Returns the
+    * compacted generation number when a compaction ran. */
+  def maybeCompact(spark: SparkSession, indexDir: String,
+      params: IndexParams, maxGenerations: Int): Option[Int] = {
+    val gens = genDirs(spark, indexDir).filter(_._2 != indexDir)
+    if (gens.size > maxGenerations) compactGenerations(spark, indexDir, params)
+    else None
+  }
+
+  /** In-place LSM compaction: fold every visible generation into the next
+    * generation number. The target records its inputs in a
+    * `supersedes.json` tombstone BEFORE building; visibility flips
+    * atomically with the target's postings-manifest commit ([[genDirs]]
+    * hides superseded gens only once the target is committed), and the
+    * folded dirs are deleted best-effort afterwards. Resumable: a rerun
+    * re-enters the pending target, reuses its tombstone (never re-listing
+    * gens — an append that landed meanwhile must stay visible), and skips
+    * committed stages. docIds are already dense and globally ordered
+    * across generations, so only tf/stats/postings re-run over the merged
+    * docs table — extraction and id assignment never repeat. */
+  def compactGenerations(spark: SparkSession, indexDir: String,
+      params: IndexParams): Option[Int] = {
+    val f = fs(spark, indexDir)
+    val onDisk =
+      if (!f.exists(new Path(indexDir))) Seq.empty[Int]
+      else f.listStatus(new Path(indexDir)).toSeq.collect {
+        case st if st.isDirectory => st.getPath.getName match {
+          case GenRe(k) => Some(k.toInt)
+          case _ => None
+        }
+      }.flatten
+    // resume a pending target first: uncommitted dir carrying a tombstone
+    val pending = onDisk
+      .filterNot(k => isGenCommitted(s"$indexDir/gen-$k"))
+      .filter(k => supersededBy(s"$indexDir/gen-$k").nonEmpty)
+      .sorted.headOption
+    val target = pending match {
+      case Some(t) => t
+      case None =>
+        val gens = genDirs(spark, indexDir)
+        if (gens.size <= 1 || gens.exists(_._2 == indexDir)) return None
+        val t = onDisk.max + 1
+        IndexIO.writeString(s"$indexDir/gen-$t/supersedes.json",
+          gens.map(_._1).mkString("[", ",", "]"))
+        t
+    }
+    val genDir = s"$indexDir/gen-$target"
+    val superseded = supersededBy(genDir)
+    val srcDirs = superseded.map(k => s"$indexDir/gen-$k")
+    val b = new IndexBuilder(spark, genDir, params)
+    def committed(stage: String): Boolean =
+      Manifest.read(genDir, stage).exists(_.status == "committed")
+    if (!committed("docs")) {
+      val docs = srcDirs.map(d => spark.read.parquet(s"$d/docs"))
+        .reduce(_.unionByName(_))
+      docs.write.mode(SaveMode.Overwrite).parquet(b.docsPath)
+      val n = srcDirs.map(d => Globals.read(d).n).sum
+      b.commitDocs(n, s"compact(gens ${superseded.mkString(",")})")
+    }
+    if (!committed("tf")) b.stageTf()
+    if (!committed("stats")) b.stageStats()
+    if (!committed("postings")) b.stagePostings()
+    // the commit flipped visibility; superseded dirs are dead weight now
+    srcDirs.foreach { d =>
+      try { f.delete(new Path(d), true); () } catch { case _: Exception => () }
+    }
+    Some(target)
+  }
+
   /** Fold all generations into one standalone index at `outDir` (the
-    * LSM-style major compaction): docIds are already dense and globally
-    * ordered across generations, so the merged docs table re-runs only the
-    * tf/stats/postings stages — extraction and id assignment never repeat. */
+    * LSM-style major compaction to a NEW location): docIds are already
+    * dense and globally ordered across generations, so the merged docs
+    * table re-runs only the tf/stats/postings stages — extraction and id
+    * assignment never repeat. */
   def compact(spark: SparkSession, indexDir: String, outDir: String,
       params: IndexParams): Unit = {
     val gens = genDirs(spark, indexDir)

@@ -51,11 +51,19 @@ object Streaming {
     * catch-up; a continuous deployment uses ProcessingTime and the same
     * foreachBatch. Exactly-once across restarts: the checkpoint replays a
     * failed batch and append re-enters the half-built generation instead
-    * of skipping or duplicating it (IncrementalSpec). */
+    * of skipping or duplicating it (IncrementalSpec).
+    *
+    * Generation count is BOUNDED: after each appended batch, more than
+    * `maxGenerations` visible generations auto-triggers the in-place LSM
+    * compaction ([[graft.index.IncrementalIndex.maybeCompact]]) — each
+    * generation adds one postings scan + one metadata row per query term,
+    * so an unbounded stream would otherwise grow every query's plan
+    * linearly forever. */
   def indexAppendStream(spark: SparkSession, pagesDir: String,
       indexDir: String, checkpointDir: String,
       params: graft.index.IndexParams,
-      maxFilesPerTrigger: Int = 4): Unit = {
+      maxFilesPerTrigger: Int = 4,
+      maxGenerations: Int = 8): Unit = {
     import spark.implicits._
     val schema = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
     val pages = spark.readStream.schema(schema)
@@ -64,7 +72,9 @@ object Streaming {
     val q = pages.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.index.IncrementalIndex.append(spark, indexDir,
-          batch.as[graft.corpus.Page], params, s"microbatch-$id"): Unit
+          batch.as[graft.corpus.Page], params, s"microbatch-$id")
+        graft.index.IncrementalIndex.maybeCompact(spark, indexDir, params,
+          maxGenerations): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -155,6 +155,71 @@ class IncrementalSpec extends AnyFunSuite {
     assert(minId == offset, "resumed generation must not shift its docIds")
   }
 
+  test("auto-compaction bounds generations; plans stay flat; results identical") {
+    val d = s"$work/auto"
+    val slices = Seq((0L, 60L), (60L, 120L), (120L, 160L), (160L, 200L), (200L, 240L))
+    def slice(lo: Long, hi: Long) =
+      SyntheticCorpus.generate(spark, Total, seed = 11L).filter { (p: Page) =>
+        val rid = p.url.substring(p.url.lastIndexOf('/') + 1).toLong
+        rid >= lo && rid < hi
+      }
+    val maxGens = 2
+    slices.foreach { case (lo, hi) =>
+      IncrementalIndex.append(spark, d, slice(lo, hi), params, s"b$lo")
+      IncrementalIndex.maybeCompact(spark, d, params, maxGens)
+      // the bound holds after EVERY batch — five batches never mean five
+      // postings scans per query
+      assert(IncrementalIndex.genDirs(spark, d).size <= maxGens)
+    }
+    val inc = new IndexReader(spark, d)
+    val full = new IndexReader(spark, fullDir)
+    assert(inc.globals == full.globals) // no batch lost or double-counted
+    // plans flat: one bucket-pruned scan per VISIBLE generation
+    val q0 = SyntheticCorpus.querySet().head
+    val leaves = inc.segmentsFor(q0).queryExecution.optimizedPlan
+      .collectLeaves().size
+    assert(leaves == IncrementalIndex.genDirs(spark, d).size && leaves <= maxGens)
+    val (iu, fu) = (urlOf(d), urlOf(fullDir))
+    val queries = SyntheticCorpus.querySet().take(12)
+    val ic = inc.loadCache(queries.flatten.distinct)
+    val fc = full.loadCache(queries.flatten.distinct)
+    queries.foreach { q =>
+      assertSameRanking(inc.topKLocal(ic, q, 10), iu,
+        full.topKLocal(fc, q, 10), fu, s"q=$q")
+    }
+  }
+
+  test("a killed compaction resumes; appends landing meanwhile stay visible") {
+    val d = s"$work/resume"
+    assert(IncrementalIndex.append(spark, d, batch(0), params, "b0") == 0)
+    assert(IncrementalIndex.append(spark, d, batch(1), params, "b1") == 1)
+    // simulate a kill right after compaction-target allocation: the
+    // tombstone exists, nothing is built
+    IndexIO.writeString(s"$d/gen-2/supersedes.json", "[0,1]")
+    // gens 0 and 1 stay visible (tombstone binds only on commit)...
+    assert(IncrementalIndex.genDirs(spark, d).map(_._1) == Seq(0, 1))
+    // ...and a new append skips the pending target rather than resuming it
+    assert(IncrementalIndex.append(spark, d, batch(2), params, "b2") == 3)
+    // resume completes the fold of EXACTLY gens 0 and 1 (not the new 3)
+    assert(IncrementalIndex.compactGenerations(spark, d, params).contains(2))
+    assert(IncrementalIndex.genDirs(spark, d).map(_._1) == Seq(2, 3))
+    // superseded dirs garbage-collected
+    assert(!new java.io.File(s"$d/gen-0").exists())
+    assert(!new java.io.File(s"$d/gen-1").exists())
+    // nothing lost: totals and rankings match the full rebuild
+    val inc = new IndexReader(spark, d)
+    val full = new IndexReader(spark, fullDir)
+    assert(inc.globals == full.globals)
+    val (iu, fu) = (urlOf(d), urlOf(fullDir))
+    val queries = SyntheticCorpus.querySet().take(10)
+    val ic = inc.loadCache(queries.flatten.distinct)
+    val fc = full.loadCache(queries.flatten.distinct)
+    queries.foreach { q =>
+      assertSameRanking(inc.topKLocal(ic, q, 10), iu,
+        full.topKLocal(fc, q, 10), fu, s"q=$q")
+    }
+  }
+
   test("append with mismatched founding params fails fast") {
     incDir
     intercept[IllegalArgumentException] {
