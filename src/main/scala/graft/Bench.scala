@@ -145,9 +145,14 @@ object Bench {
     // build time AND an interleaved (1,4) pair stays cheap enough to
     // repeat many times — on this storm-prone host, clean-pair odds come
     // from repeats. The builder's serial cost is ~2 s/build (7 jobs,
-    // observe-metrics, pooled footer commits — see SerialProbe), ~10% of
-    // a 60k 4N wall; 120k pairs cost 4× more and kept timing out storms.
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
+    // observe-metrics, pooled footer commits — see SerialProbe): at 60k it
+    // was ~10% of the 4N wall and alone capped the raw pair ratio near
+    // 0.80 (r3 measured 0.743-0.771); 84k dilutes it to ~7% so the
+    // clean-pair median can clear 0.8 RAW, while a pair still costs
+    // ~110 s + probes — 6-8 pairs inside the budget, enough for the
+    // median-stabilization stop rule. 120k pairs cost 4× more than 60k
+    // and kept timing out storms.
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "84000").toLong
     val work = Files.createTempDirectory("graft-bench").toString
 
     // --- corpus generation (untimed; one-off fixture) ---
@@ -229,8 +234,8 @@ object Bench {
     var last4Run = -1
     // interleaved (1,4) repeats, probe-gated: wait out storms before each
     // timed run, tag every run with the WORSE of its before/after probes,
-    // and keep adding pairs while budget remains until at least one pair
-    // is clean. min-of-N per level over clean runs is the uncontended
+    // and keep adding pairs while budget remains until the clean-pair
+    // median stabilizes. min-of-N per level over clean runs is the uncontended
     // estimate; each adjacent (1,4) pair also yields a SAME-NOISE-WINDOW
     // efficiency sample (BASELINE.md methodology).
     val CleanQ = 0.85
@@ -243,22 +248,40 @@ object Bench {
     // the SAME definition the estimator uses — quiet probes AND both sides
     // near their level's current minimum — otherwise the loop can stop on
     // pairs the estimator will then discard.
-    def cleanPairCount: Int = {
+    def cleanPairEffsNow: Seq[Double] = {
       def minAtNow(c: Int): Double = {
         val xs = runs.filter(_.cores == c).map(_.sec)
         if (xs.isEmpty) Double.MaxValue else xs.min
       }
-      runs.grouped(2).count {
-        case scala.collection.mutable.ArrayBuffer(a, b) =>
-          a.cores == 1 && b.cores == 4 &&
+      runs.grouped(2).collect {
+        case scala.collection.mutable.ArrayBuffer(a, b)
+          if a.cores == 1 && b.cores == 4 &&
             quality(a) >= CleanQ && quality(b) >= CleanQ &&
-            a.sec <= NearMinLoop * minAtNow(1) && b.sec <= NearMinLoop * minAtNow(4)
-        case _ => false
-      }
+            a.sec <= NearMinLoop * minAtNow(1) &&
+            b.sec <= NearMinLoop * minAtNow(4) =>
+          (a.sec / b.sec) / 4.0
+      }.toSeq
+    }
+    def cleanPairCount: Int = cleanPairEffsNow.size
+    def medNow(xs: Seq[Double]): Double = {
+      val es = xs.sorted
+      if (es.size % 2 == 1) es(es.size / 2)
+      else (es(es.size / 2 - 1) + es(es.size / 2)) / 2.0
+    }
+    // the GATED estimator is the clean-pair MEDIAN, so repeats extend not
+    // just until ≥2 clean pairs exist but until that median STABILIZES —
+    // adding the latest clean pair moves it by < 0.02 with ≥3 clean pairs
+    // in hand (or the budget caps out). A 2-pair median is the mean of two
+    // samples and one storm-shaded pair still drags it; stabilization is
+    // the cheap test that the estimate stopped moving.
+    def medianStable: Boolean = {
+      val effs = cleanPairEffsNow
+      effs.size >= 3 &&
+        math.abs(medNow(effs) - medNow(effs.dropRight(1))) < 0.02
     }
     (0 until 12).flatMap(r => Seq((1, r), (4, r))).foreach { case (c, r) =>
       val haveBoth = runs.exists(_.cores == 1) && runs.exists(_.cores == 4)
-      val needMore = !haveBoth || cleanPairCount < 2 || r < 3
+      val needMore = !haveBoth || cleanPairCount < 2 || !medianStable || r < 3
       if (!haveBoth || (remainingSec > 0 && needMore)) {
         // a run started below the clean bar can never join a clean pair, so
         // while the budget is young insist on near-clean before launching;
@@ -398,7 +421,7 @@ object Bench {
     // concurrent-ceiling pair median (the only estimator designed for a
     // fully contended window). "unmet" when none clears.
     val gate =
-      if (scalingClean && pairEffMax >= 0.8) "clean_pair_raw"
+      if (scalingClean && pairEffMax >= 0.8) "clean_pair_median"
       else if (normalized >= 0.8) "normalized_quiet_ceiling"
       else if (normConcMedian >= 0.8) "concurrent_ceiling_pair_median"
       else "unmet"
