@@ -996,6 +996,23 @@ object SparkEntry {
               |  CASE WHEN n_chars > 300 THEN 'longdoc' END) AS routes
               | FROM documents""".stripMargin)),
 
+    ("q_iceberg_scan", (s: SparkSession, dir: String) => {
+      // the north rule's corpus input shape: an Iceberg table — written
+      // here by the fixture writer, read back through the own-kernel
+      // table-format reader (metadata.json → manifest-list avro →
+      // manifest avro → live parquet files), with the partition predicate
+      // pruning manifest entries BEFORE any parquet footer opens
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("graft-iceberg-gate").toString
+      graft.sources.Iceberg.write(s, docs(s, dir), tableDir,
+        partitionCol = Some("lang"))
+      graft.sources.Iceberg.read(s, tableDir,
+        partitionPredicate = p => p("lang") == "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }, Some("""SELECT source, count(*) AS n, sum(n_chars) AS chars
+              | FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin)),
+
     ("q_logstash_conditional", (s: SparkSession, dir: String) => {
       // Logstash-conf front end WITH filter conditionals: if/else-if/else
       // branches compile to per-processor gates (native *_when where the
