@@ -228,7 +228,13 @@ object IncrementalIndex {
         .reduce(_.unionByName(_))
       docs.write.mode(SaveMode.Overwrite).parquet(b.docsPath)
       val n = srcDirs.map(d => Globals.read(d).n).sum
-      b.commitDocs(n, s"compact(gens ${superseded.mkString(",")})")
+      // carry the folded generations' SOURCE descriptors forward: source
+      // cursors (e.g. consumed Iceberg snapshot ids) are derived from
+      // committed generations' docs manifests and must survive compaction
+      val srcInputs = srcDirs.flatMap(d =>
+        Manifest.read(d, "docs").toSeq.flatMap(_.inputs))
+      b.commitDocs(n, s"compact(gens ${superseded.mkString(",")}); " +
+        s"sources: ${srcInputs.mkString("; ")}")
     }
     if (!committed("tf")) b.stageTf()
     if (!committed("stats")) b.stageStats()

@@ -146,6 +146,39 @@ object Iceberg {
     }
   }
 
+  /** Data files ADDED by one specific snapshot (manifest entries with
+    * status=ADDED and that snapshot_id) — the incremental-consumption
+    * unit: each snapshot's delta, not the table's full state. */
+  def addedFiles(spark: SparkSession, dir: String,
+      snapshotId: Long): Seq[DataFileRef] = {
+    val meta = readMeta(spark, dir)
+    val snap = meta.snapshots.find(_.id == snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $snapshotId not in $dir"))
+    readAvro(spark, snap.manifestList)
+      .map(r => anyOf(r.get("manifest_path")).asInstanceOf[String])
+      .flatMap { m =>
+        readAvro(spark, m).flatMap { e =>
+          val status = e.get("status").asInstanceOf[Int]
+          val sid = opt(e, "snapshot_id").map(_.asInstanceOf[Long])
+          if (status != 1 || !sid.contains(snapshotId)) None
+          else {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            Some(DataFileRef(anyOf(df.get("file_path")).asInstanceOf[String],
+              anyOf(df.get("file_format")).asInstanceOf[String],
+              df.get("record_count").asInstanceOf[Long], Map.empty))
+          }
+        }
+      }
+  }
+
+  /** One snapshot's appended rows as a DataFrame (empty schema-less frame
+    * when the snapshot added nothing). */
+  def readAdded(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
+    val files = addedFiles(spark, dir, snapshotId)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(_.path): _*)
+  }
+
   /** Read an Iceberg table as a DataFrame. `partitionPredicate` prunes on
     * manifest partition values BEFORE any Parquet footer opens (identity
     * partitions; the source column is present in the data files, so no

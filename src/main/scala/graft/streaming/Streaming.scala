@@ -82,6 +82,39 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Reference iceberg-source parity ("consume the snapshot then stop",
+    * data-prepper-plugins/iceberg-source): consume an Iceberg PAGES table
+    * into index generations — each unconsumed snapshot's APPENDED files
+    * become one generation, in snapshot order. The consumption cursor is
+    * NOT a separate file: consumed snapshot ids are derived from
+    * committed generations' docs manifests (`iceberg-snap-<id>` tokens),
+    * so a kill between generation commit and any cursor write cannot
+    * double-ingest, and in-place compaction carries the tokens forward.
+    * Returns the snapshot ids ingested this call (empty = caught up). */
+  def indexAppendFromIceberg(spark: SparkSession, tableDir: String,
+      indexDir: String, params: graft.index.IndexParams,
+      maxGenerations: Int = 8): Seq[Long] = {
+    import spark.implicits._
+    val SnapTok = "iceberg-snap-(\\d+)".r
+    val consumed: Set[Long] = graft.index.IncrementalIndex
+      .genDirs(spark, indexDir)
+      .filter(_._2 != indexDir)
+      .flatMap { case (_, d) =>
+        graft.index.Manifest.read(d, "docs").toSeq.flatMap(_.inputs)
+          .flatMap(in => SnapTok.findAllMatchIn(in).map(_.group(1).toLong))
+      }.toSet
+    val meta = graft.sources.Iceberg.readMeta(spark, tableDir)
+    val todo = meta.snapshots.map(_.id).filterNot(consumed).sorted
+    todo.foreach { sid =>
+      val rows = graft.sources.Iceberg.readAdded(spark, tableDir, sid)
+      graft.index.IncrementalIndex.append(spark, indexDir,
+        rows.as[graft.corpus.Page], params, s"iceberg-snap-$sid")
+      graft.index.IncrementalIndex.maybeCompact(spark, indexDir, params,
+        maxGenerations)
+    }
+    todo
+  }
+
   /** `aggregate` count action, streaming form: event-time tumbling window
     * + watermark (strictly stronger than the reference's wall-clock
     * group_duration, AggregateProcessorConfig.java:59). */
