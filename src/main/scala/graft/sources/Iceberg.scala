@@ -108,6 +108,17 @@ object Iceberg {
   private def opt(r: GenericRecord, name: String): Option[Any] =
     Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
 
+  /** flatMap `items` on a bounded driver-side pool, preserving order. */
+  private def parallelFlat[A, B](items: Seq[A])(f: A => Seq[B]): Seq[B] = {
+    if (items.size <= 1) return items.flatMap(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, items.size))
+    try items.map(i => pool.submit(
+        new java.util.concurrent.Callable[Seq[B]] { def call(): Seq[B] = f(i) }))
+      .flatMap(_.get())
+    finally pool.shutdown()
+  }
+
   /** Live data files of a snapshot (default: current): manifest-list →
     * manifests → entries with status ≠ DELETED(2). */
   def liveFiles(spark: SparkSession, dir: String,
@@ -119,7 +130,11 @@ object Iceberg {
       throw new IllegalArgumentException(s"snapshot $snapId not in $dir"))
     val manifests = readAvro(spark, snap.manifestList)
       .map(r => anyOf(r.get("manifest_path")).asInstanceOf[String])
-    manifests.flatMap { m =>
+    // manifests are independent metadata files — open them on a small
+    // driver-side pool (same pattern as the index's footer lineage reads);
+    // a 10^12-doc snapshot carries many manifests and serial opens would
+    // be the driver's fixed cost
+    parallelFlat(manifests) { m =>
       readAvro(spark, m).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED
@@ -154,9 +169,9 @@ object Iceberg {
     val meta = readMeta(spark, dir)
     val snap = meta.snapshots.find(_.id == snapshotId).getOrElse(
       throw new IllegalArgumentException(s"snapshot $snapshotId not in $dir"))
-    readAvro(spark, snap.manifestList)
+    val manifests = readAvro(spark, snap.manifestList)
       .map(r => anyOf(r.get("manifest_path")).asInstanceOf[String])
-      .flatMap { m =>
+    parallelFlat(manifests) { m =>
         readAvro(spark, m).flatMap { e =>
           val status = e.get("status").asInstanceOf[Int]
           val sid = opt(e, "snapshot_id").map(_.asInstanceOf[Long])
