@@ -34,7 +34,16 @@ object SparkEntry {
     * enforced by the corpus contract), tokenize, score BM25, top-10. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val pages = graft.corpus.SyntheticCorpus.generate(spark, 300, seed = 42L)
+    // the north-rule input shape, literally: synthesized pages land in an
+    // ICEBERG table (own-kernel fixture writer) and the pipeline reads
+    // them back through the own-kernel table-format reader before
+    // extract → BM25
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-entry-iceberg").toString
+    graft.sources.Iceberg.write(spark,
+      graft.corpus.SyntheticCorpus.generate(spark, 300, seed = 42L).toDF(),
+      tableDir)
+    val pages = graft.sources.Iceberg.read(spark, tableDir)
     val extractUdf = udf((h: Array[Byte]) => graft.extract.HtmlText.extract(h))
     val extracted = pages.withColumn("etext", extractUdf($"html"))
     BruteForce.topK(extracted.select($"url", $"etext"), "url", "etext",
