@@ -26,7 +26,10 @@ import graft.pipeline.PipelineYaml.{PipelineDef, PluginDef, SinkDef}
   * `copy_when`, `date_when`, `drop_when`) or on the generic row-local
   * [[Processors.GateWhen]] wrapper otherwise — the reference's converter
   * rejects conditionals outright, and real migrating configs hit them
-  * first. Conditionals in input/output sections stay out of subset.
+  * first. Output-section conditionals map onto the engine's ROUTE system
+  * (one synthesized route per conditional sink, guard = the branch's full
+  * condition chain). Conditionals in the input section stay out of
+  * subset.
   *
   * Deviation from the reference, documented: the reference's
   * `GrokMatchUtil.convertGrokMatchPattern` (`GrokMatchUtil.java:20`)
@@ -58,7 +61,7 @@ object LogstashConf {
       elseItems: Seq[LsItem]) extends LsItem
 
   final case class LsConfig(input: Seq[LsPlugin], filter: Seq[LsItem],
-      output: Seq[LsPlugin])
+      output: Seq[LsItem])
 
   // --------------------------------------------------------------- parser
 
@@ -80,16 +83,15 @@ object LogstashConf {
       sections(section) = sections.getOrElse(section, Seq.empty) ++ items
       p.ws()
     }
-    def pluginsOnly(section: String): Seq[LsPlugin] =
-      sections.getOrElse(section, Seq.empty).map {
-        case pl: LsPlugin => pl
-        case _: LsIf => throw new IllegalArgumentException(
-          s"conditionals in the $section section are out of subset " +
-            "(filter-section conditionals are supported)")
-      }
-    LsConfig(pluginsOnly("input"),
+    val input = sections.getOrElse("input", Seq.empty).map {
+      case pl: LsPlugin => pl
+      case _: LsIf => throw new IllegalArgumentException(
+        "conditionals in the input section are out of subset " +
+          "(filter and output conditionals are supported)")
+    }
+    LsConfig(input,
       sections.getOrElse("filter", Seq.empty),
-      pluginsOnly("output"))
+      sections.getOrElse("output", Seq.empty))
   }
 
   private final class Parser(s: String) {
@@ -706,6 +708,37 @@ object LogstashConf {
         s"logstash filter '$other' has no mapping (reference maps grok, date, kv, csv, drop, mutate)")
   }
 
+  /** Flatten output items into sinks, mapping conditionals onto the
+    * engine's ROUTE system: each conditional sink gets a synthesized
+    * route whose expression is its full branch guard (`not(c0) … and
+    * (ck)`, conjoined with any enclosing guard). Unlike the filter
+    * section, no guard materialization is needed — routes evaluate once
+    * on the final post-processor frame and sinks cannot mutate events. */
+  private def flattenOutputs(items: Seq[LsItem], enclosing: Option[String],
+      routes: scala.collection.mutable.ArrayBuffer[(String, String)]): Seq[SinkDef] =
+    items.flatMap {
+      case p: LsPlugin =>
+        val sink = mapOutput(p)
+        enclosing match {
+          case Some(c) =>
+            val rname = s"__lsout_${routes.size}"
+            routes += rname -> c
+            Seq(SinkDef(sink.plugin, sink.routes :+ rname))
+          case None => Seq(sink)
+        }
+      case LsIf(branches, els) =>
+        val conds = branches.map { case (raw, _) => convertCondition(raw) }
+        val negs = conds.map(c => s"not ($c)")
+        def conj(own: String): String =
+          enclosing.map(p => s"($p) and $own").getOrElse(own)
+        branches.zipWithIndex.flatMap { case ((_, its), k) =>
+          flattenOutputs(its,
+            Some(conj((negs.take(k) :+ s"(${conds(k)})").mkString(" and "))),
+            routes)
+        } ++ (if (els.isEmpty) Seq.empty
+        else flattenOutputs(els, Some(conj(negs.mkString(" and "))), routes))
+    }
+
   private def mapOutput(p: LsPlugin): SinkDef = p.name match {
     case "opensearch" | "elasticsearch" | "amazon_es" =>
       // opensearch.mapping.yaml: user→username, ssl_certificate_verification
@@ -737,9 +770,10 @@ object LogstashConf {
       .getOrElse(PluginDef("stdin", Map.empty))
     val processors = flattenFilters(conf.filter, None,
       new java.util.concurrent.atomic.AtomicInteger())
-    val sinks = conf.output.map(mapOutput)
+    val routes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val sinks = flattenOutputs(conf.output, None, routes)
     require(sinks.nonEmpty, "logstash config needs at least one output")
-    PipelineDef(name, source, processors, routes = Seq.empty, sinks = sinks)
+    PipelineDef(name, source, processors, routes = routes.toSeq, sinks = sinks)
   }
 
   /** Convert + compile through the shared YAML pipeline compiler. */

@@ -167,10 +167,10 @@ class LogstashConfSpec extends AnyFunSuite {
       LogstashConf.convert(
         "input { stdin {} } filter { throttle {} } output { stdout {} }")
     }
-    // conditionals OUTSIDE the filter section stay out of subset
+    // conditionals in the INPUT section stay out of subset
     intercept[IllegalArgumentException] {
       LogstashConf.convert(
-        "input { stdin {} } filter {} output { if [x] { stdout {} } }")
+        "input { if [x] { stdin {} } } filter {} output { stdout {} }")
     }
     // nand/xor operators stay out of subset
     intercept[IllegalArgumentException] {
@@ -246,6 +246,39 @@ class LogstashConfSpec extends AnyFunSuite {
       Map("logstash-converted-pipeline" -> input))
     assert(outs.head.df.as[String].collect().toSeq == Seq("A"))
     assert(outs.head.df.columns.toSeq == Seq("t")) // guard columns cleaned up
+  }
+
+  test("output conditionals route events to the matching sinks") {
+    // the classic type-dispatched output: errors to one sink, everything
+    // hot to another, the rest to a third; a plain sink sees all events
+    val conf =
+      """input { stdin {} }
+        |output {
+        |    if [level] == "error" {
+        |        file { path => "errors" }
+        |    } else if [value] >= 10 {
+        |        file { path => "hot" }
+        |    } else {
+        |        file { path => "rest" }
+        |    }
+        |    stdout {}
+        |}
+        |""".stripMargin
+    val d = LogstashConf.convert(conf)
+    assert(d.routes.size == 3) // one synthesized route per conditional sink
+    val input = Seq(("error", 3), ("info", 25), ("info", 1), ("error", 50))
+      .toDF("level", "value")
+    val outs = LogstashConf.compile(spark, conf,
+      Map("logstash-converted-pipeline" -> input))
+    def rowsOf(path: String) = outs
+      .find(_.plugin.options.get("path").contains(path)).get.df
+      .as[(String, Int)].collect().toSet
+    assert(rowsOf("errors") == Set(("error", 3), ("error", 50)))
+    assert(rowsOf("hot") == Set(("info", 25)))
+    assert(rowsOf("rest") == Set(("info", 1)))
+    // the unconditional stdout sink receives every event
+    val all = outs.find(_.plugin.name == "stdout").get.df.count()
+    assert(all == 4)
   }
 
   test("converted pipeline runs end-to-end through the shared compiler") {
