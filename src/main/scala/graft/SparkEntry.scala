@@ -714,6 +714,23 @@ object SparkEntry {
         Processors.SelectEntries("event_id", "fmt"))(events(s, dir))
     }, Some("SELECT event_id, 'json' AS fmt FROM events")),
 
+    ("q_translate_regex", (s: SparkSession, dir: String) => {
+      // regex-pattern flavor: first matching pattern wins in config order
+      // (exact=false → unanchored find, like the reference's find mode)
+      graft.pipeline.Pipeline(
+        Processors.TranslateRegex("event_type", "category", Seq(
+          "^(error|warn)" -> "problem",
+          "(click|view)$" -> "engagement",
+          "^(sign|purch)" -> "conversion"),
+          exact = false, default = Some("other")),
+        Processors.SelectEntries("event_id", "event_type", "category"))(events(s, dir))
+    }, Some("""SELECT event_id, event_type,
+              | CASE WHEN regexp_matches(event_type, '^(error|warn)') THEN 'problem'
+              |      WHEN regexp_matches(event_type, '(click|view)$') THEN 'engagement'
+              |      WHEN regexp_matches(event_type, '^(sign|purch)') THEN 'conversion'
+              |      ELSE 'other' END AS category
+              | FROM events""".stripMargin)),
+
     ("q_translate", (s: SparkSession, dir: String) => {
       graft.pipeline.Pipeline(
         Processors.Translate("lang", "lang_name", Seq(

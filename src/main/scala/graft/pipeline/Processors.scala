@@ -574,6 +574,26 @@ object Processors {
     }
   }
 
+  /** `translate` regex flavor (translate-processor/.../
+    * RegexParameterConfiguration.java:13-23): first matching pattern wins
+    * in config order; `exact=true` (reference default) anchors the
+    * pattern to the whole value, `false` is an unanchored find. One
+    * codegen'd when-chain — patterns are a config-sized dimension, not
+    * data. */
+  final case class TranslateRegex(source: String, target: String,
+      patterns: Seq[(String, String)], exact: Boolean = true,
+      default: Option[String] = None) extends Stage {
+    def apply(df: DataFrame): DataFrame = {
+      val chain = patterns.foldRight[Column](
+        default.map(lit).getOrElse(lit(null).cast("string"))) {
+        case ((p, v), rest) =>
+          val re = if (exact) s"\\A(?:$p)\\z" else p
+          when(col(source).rlike(re), lit(v)).otherwise(rest)
+      }
+      df.withColumn(target, chain)
+    }
+  }
+
   /** `detect_format` (detect-format-processor/.../DetectFormatProcessor.java:24). */
   final case class DetectFormat(source: String, destination: String = "format") extends Stage {
     def apply(df: DataFrame): DataFrame =

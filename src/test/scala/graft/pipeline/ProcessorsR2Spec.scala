@@ -309,4 +309,18 @@ class GatedMetaSpec extends AnyFunSuite {
     val r = out.select(col("`s/items/n`"), col("`s/excl`.a")).collect().head
     assert(r.getSeq[Int](0) == Seq(10, 20) && r.getString(1) == "keepme")
   }
+
+  test("translate regex: exact anchors the whole value, find does not; first match wins") {
+    val df = Seq("error", "error-page", "view", "preview").toDF("t")
+    def run(exact: Boolean) = Processors.TranslateRegex("t", "cat", Seq(
+      "error" -> "problem", "view" -> "engagement"),
+      exact = exact, default = Some("other"))(df)
+      .select("t", "cat").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val find = run(exact = false)
+    assert(find == Map("error" -> "problem", "error-page" -> "problem",
+      "view" -> "engagement", "preview" -> "engagement"))
+    val exact = run(exact = true)
+    assert(exact == Map("error" -> "problem", "error-page" -> "other",
+      "view" -> "engagement", "preview" -> "other"))
+  }
 }
