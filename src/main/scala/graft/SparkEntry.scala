@@ -661,6 +661,65 @@ object SparkEntry {
               | 'h' || (event_id % 4)
               | FROM events""".stripMargin)),
 
+    ("q_prom_remote_write", (s: SparkSession, dir: String) => {
+      // prometheus-sink fan-out over the q_otel_metrics fixture: each
+      // event yields one gauge (unit ms -> _milliseconds, dp attr e.id)
+      // and one delta histogram (3 buckets, bounds [10, 20]); the oracle
+      // replays name expansion, label sanitize + sort, and the
+      // count/sum/bucket fan-out row-for-row
+      val e = events(s, dir)
+      val tNs = (unix_micros(col("ts")) * 1000L).cast("string")
+      val c1 = (col("event_id") % 5).cast("string")
+      val c2 = (col("event_id") % 7).cast("string")
+      val c3 = (col("event_id") % 3).cast("string")
+      val json = concat(
+        lit("""{"resourceMetrics":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-"""),
+        col("event_type"),
+        lit(""""}},{"key":"host.name","value":{"stringValue":"h"""),
+        (col("event_id") % 4).cast("string"),
+        lit(""""}}]},"scopeMetrics":[{"scope":{"name":"graft","version":"1"},"metrics":[""" +
+          """{"name":"lat","unit":"ms","gauge":{"dataPoints":[{"timeUnixNano":""""),
+        tNs,
+        lit("""","asDouble":"""), coalesce(col("value"), lit(0.0)).cast("string"),
+        lit(""","attributes":[{"key":"e.id","value":{"intValue":""""),
+        col("event_id").cast("string"),
+        lit(""""}}]}]}},{"name":"lat_hist","histogram":{"aggregationTemporality":"AGGREGATION_TEMPORALITY_DELTA","dataPoints":[{"timeUnixNano":""""),
+        tNs,
+        lit("""","count":""""), (col("event_id") % 5 + col("event_id") % 7 + col("event_id") % 3).cast("string"),
+        lit("""","sum":"""), (col("event_id") % 100).cast("string"),
+        lit(""".0,"bucketCounts":[""""), c1, lit("""",""""), c2, lit("""",""""), c3,
+        lit(""""],"explicitBounds":[10.0,20.0]}]}}]}]}]}"""))
+      graft.sinks.PromRemoteWrite.timeSeries(
+          graft.sources.OtelMetrics.metrics(
+            e.withColumn("otlp", json).select("otlp"), "otlp"))
+        .select(col("metric_name"), col("labels"), col("ts_ms"), col("value"))
+    }, Some("""WITH base AS (
+              |  SELECT CAST(event_id AS VARCHAR) AS eid,
+              |         'h' || (event_id % 4) AS host,
+              |         'svc-' || event_type AS svc,
+              |         epoch_us(ts) // 1000 AS ts_ms,
+              |         coalesce(value, 0.0) AS gval,
+              |         CAST(event_id % 5 AS DOUBLE) AS c1,
+              |         CAST(event_id % 7 AS DOUBLE) AS c2,
+              |         CAST(event_id % 3 AS DOUBLE) AS c3,
+              |         CAST(event_id % 100 AS DOUBLE) AS hsum
+              |  FROM events),
+              |rsuf AS (SELECT *, ',resource_host_name=' || host ||
+              |         ',resource_service_name=' || svc AS res FROM base)
+              |SELECT 'lat_milliseconds' AS metric_name,
+              |  '__name__=lat_milliseconds,e_id=' || eid || res AS labels,
+              |  ts_ms, gval AS value FROM rsuf
+              |UNION ALL SELECT 'lat_hist_count',
+              |  '__name__=lat_hist_count' || res, ts_ms, c1 + c2 + c3 FROM rsuf
+              |UNION ALL SELECT 'lat_hist_sum',
+              |  '__name__=lat_hist_sum' || res, ts_ms, hsum FROM rsuf
+              |UNION ALL SELECT 'lat_hist_bucket',
+              |  '__name__=lat_hist_bucket,le=10.0' || res, ts_ms, c1 FROM rsuf
+              |UNION ALL SELECT 'lat_hist_bucket',
+              |  '__name__=lat_hist_bucket,le=20.0' || res, ts_ms, c2 FROM rsuf
+              |UNION ALL SELECT 'lat_hist_bucket',
+              |  '__name__=lat_hist_bucket,le=+Inf' || res, ts_ms, c3 FROM rsuf""".stripMargin)),
+
     ("q_prometheus_text", (s: SparkSession, dir: String) => {
       // one exposition page per event (comment + sample + trailing blank)
       val page = concat(
