@@ -113,7 +113,8 @@ object IncrementalIndex {
 
   /** Append one batch of pages as the next generation. Returns the
     * generation number. Founding `params` (buckets/shardSize/blockSize/
-    * idBuckets) are VERIFIED against the committed generations' manifests
+    * idBuckets/codec) are VERIFIED against the committed generations'
+    * manifests
     * before any work runs: a mismatched shardSize or blockSize would
     * silently break the disjoint-shard / docId-sorted posting-
     * concatenation invariant (wrong WAND rankings, no error), so it must
@@ -126,7 +127,7 @@ object IncrementalIndex {
       s"$indexDir holds a standalone index; a generational index starts " +
         "from an empty dir (compact the standalone build into gen-0 first)")
     // founding-param agreement with every already-committed generation
-    val Founding = Seq("buckets", "shardSize", "blockSize", "idBuckets")
+    val Founding = Seq("buckets", "shardSize", "blockSize", "idBuckets", "codec")
     genDirs(spark, indexDir).foreach { case (k, d) =>
       if (d != indexDir) Manifest.read(d, "postings").foreach { m =>
         val want = params.asMap.view.filterKeys(Founding.contains).toMap

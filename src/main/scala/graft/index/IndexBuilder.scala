@@ -47,11 +47,14 @@ final case class IndexParams(
   def asMap: Map[String, String] = Map(
     "buckets" -> buckets.toString, "shardSize" -> shardSize.toString,
     "blockSize" -> blockSize.toString, "idOffset" -> idOffset.toString,
-    "idBuckets" -> idBuckets.toString)
+    "idBuckets" -> idBuckets.toString,
+    // posting-block codec identity: an append onto an index whose blocks
+    // were written by a different codec must refuse, not misread
+    "codec" -> "pfor1")
 }
 
 /** One compressed posting block for (term, shard): `n` postings whose
-  * docIds/tfs/doclens are VarByte-compressed (docIds delta-gap vs
+  * docIds/tfs/doclens are PForDelta-compressed (docIds delta-gap vs
   * `firstDocId`). The Block-Max WAND skip bound is NOT stored: the block
   * keeps its score-MONOTONE extrema (`maxTf`, `minDl`) and the reader
   * computes `bound = Bm25.score(idf, maxTf, minDl, avgdl) >= max member
@@ -111,7 +114,7 @@ final class InjectedFailure(stage: String)
   *   stats     termstats(term, df), globals(N, sumDl).
   *   postings  tf ⋈ termstats(broadcast) → repartition by (bucket, shard) →
   *             sortWithinPartitions(term, docId) → mapPartitions packs
-  *             VarByte blocks with per-block max BM25 score (SPIMI: each
+  *             PForDelta blocks with per-block max BM25 score (SPIMI: each
   *             partition writes its own sorted run; because shard = docId
   *             range, the per-shard runs of one term concatenate in shard
   *             order into the globally docId-sorted posting list — the
@@ -435,9 +438,9 @@ final class BlockPacker(
     blockId = blockOrdinal(term, shard, ids(0))
     SegmentRow(term, df, shard, blockId,
       ids(0), ids(k - 1), k, maxTf, minDl,
-      VarByte.encodeGaps(java.util.Arrays.copyOf(ids, k), ids(0)),
-      VarByte.encode(java.util.Arrays.copyOf(tfs, k)),
-      VarByte.encode(java.util.Arrays.copyOf(dls, k)),
+      PForDelta.encodeGaps(java.util.Arrays.copyOf(ids, k), ids(0)),
+      PForDelta.encode(java.util.Arrays.copyOf(tfs, k)),
+      PForDelta.encode(java.util.Arrays.copyOf(dls, k)),
       bucket)
   }
 

@@ -38,9 +38,9 @@ object SegmentMerger {
     * global posting list — the materialized view of the merge. */
   def decodeGlobal(blocks: Seq[SegmentRow]): Iterator[Posting] =
     blocks.sortBy(b => (b.shard, b.firstDocId)).iterator.flatMap { b =>
-      val ids = VarByte.decodeGaps(b.gaps, b.n, b.firstDocId)
-      val tfs = VarByte.decode(b.tfs, b.n)
-      val dls = VarByte.decode(b.dls, b.n)
+      val ids = PForDelta.decodeGaps(b.gaps, b.n, b.firstDocId)
+      val tfs = PForDelta.decode(b.tfs, b.n)
+      val dls = PForDelta.decode(b.dls, b.n)
       ids.indices.iterator.map(i => Posting(ids(i), tfs(i), dls(i)))
     }
 }

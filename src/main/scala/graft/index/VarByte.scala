@@ -2,12 +2,13 @@ package graft.index
 
 import java.io.ByteArrayOutputStream
 
-/** Variable-byte integer codec for posting-list blocks.
+/** Variable-byte integer codec.
   *
-  * Postings store docId *gaps* (delta from the previous docId in the list,
-  * first entry is a delta from `firstDocId - 1`'s successor, i.e. the raw
-  * offset from the block's base) and term frequencies. Gaps of dense docIds
-  * are small, so VByte gives ~1-2 bytes per posting.
+  * Historically the posting-block codec (docId gaps + term frequencies at
+  * ~1-2 bytes per posting); postings now use [[PForDelta]], whose
+  * bit-packed frames break VByte's 8-bit-per-value floor. VByte remains
+  * the patch codec inside PForDelta frames and the size baseline in
+  * PForDeltaSpec's compression gates.
   *
   * Encoding: little-endian base-128; the high bit of each byte is a
   * continuation flag (1 = more bytes follow). Values must be >= 0.

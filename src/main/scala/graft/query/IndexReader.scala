@@ -208,7 +208,7 @@ final case class ServingCache(
 
 object IndexReader {
   /** Default per-term driver budget for [[IndexReader.loadCache]]: 64 MiB.
-    * Generous for every real query term (a 64 MiB vbyte+delta posting list
+    * Generous for every real query term (a 64 MiB PForDelta posting list
     * is ~tens of millions of docs) while guaranteeing a stopword at
     * 10^12-doc scale cannot take down the serving driver. */
   val DefaultMaxBytesPerTerm: Long = 64L << 20

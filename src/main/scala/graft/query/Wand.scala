@@ -1,6 +1,6 @@
 package graft.query
 
-import graft.index.VarByte
+import graft.index.PForDelta
 
 /** One posting block as read from the segment store (term/shard implied by
   * the owning cursor). */
@@ -37,9 +37,9 @@ final class TermCursor(val term: String, val idf: Double,
   private def decodeIfNeeded(): Unit = {
     if (bi < blocks.length && ids == null) {
       val b = blocks(bi)
-      ids = VarByte.decodeGaps(b.gaps, b.n, b.firstDocId)
-      tfs = VarByte.decode(b.tfs, b.n)
-      dls = VarByte.decode(b.dls, b.n)
+      ids = PForDelta.decodeGaps(b.gaps, b.n, b.firstDocId)
+      tfs = PForDelta.decode(b.tfs, b.n)
+      dls = PForDelta.decode(b.dls, b.n)
       i = 0
     }
   }

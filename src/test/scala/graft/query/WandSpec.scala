@@ -2,7 +2,7 @@ package graft.query
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.index.VarByte
+import graft.index.PForDelta
 import graft.util.SplitMix64
 
 /** Property-style differential test of the Block-Max WAND executor against
@@ -19,7 +19,7 @@ class WandSpec extends AnyFunSuite {
       val dls = blk.map(_._3).toArray
       val maxScore = blk.map(p => Bm25.score(idf, p._2.toDouble, p._3.toDouble, avgdl)).max
       SegBlock(ids.head, ids.last, ids.length, maxScore,
-        VarByte.encodeGaps(ids, ids.head), VarByte.encode(tfs), VarByte.encode(dls))
+        PForDelta.encodeGaps(ids, ids.head), PForDelta.encode(tfs), PForDelta.encode(dls))
     }.toArray
     new TermCursor(term, idf, blocks, avgdl)
   }
