@@ -124,19 +124,24 @@ object PForDelta {
       i += 1
     }
     // exact minimal-cost width: packed bytes + patch bytes (posDelta is
-    // always 1 VarByte byte since positions are < 128)
+    // always 1 VarByte byte since positions are < 128). Between histogram
+    // breakpoints the cost is increasing in b (packed grows, exceptions
+    // fixed), so only b = 0 and the distinct bit-lengths present are
+    // candidates.
     var bestB = maxBits
     var bestCost = Long.MaxValue
     var b = 0
     while (b <= maxBits) {
-      var cost = 2L + ((k.toLong * b + 7) >> 3)
-      var w = b + 1
-      while (w <= maxBits) {
-        // highBits of a w-bit value after >>> b has (w - b) bits
-        cost += cnt(w).toLong * (1 + ((w - b) + 6) / 7)
-        w += 1
+      if (b == 0 || cnt(b) > 0) {
+        var cost = 2L + ((k.toLong * b + 7) >> 3)
+        var w = b + 1
+        while (w <= maxBits) {
+          // highBits of a w-bit value after >>> b has (w - b) bits
+          if (cnt(w) > 0) cost += cnt(w).toLong * (1 + ((w - b) + 6) / 7)
+          w += 1
+        }
+        if (cost < bestCost) { bestCost = cost; bestB = b }
       }
-      if (cost < bestCost) { bestCost = cost; bestB = b }
       b += 1
     }
     val width = bestB
@@ -152,21 +157,42 @@ object PForDelta {
     out.write(exc)
     // packed low bits
     val packed = new Array[Byte](((k * width) + 7) >> 3)
-    var bit = 0
-    i = 0
-    while (i < k) {
-      val low = values(off + i) & mask
-      var rem = width
-      var vOff = 0
-      while (rem > 0) {
-        val byteIdx = bit >>> 3
-        val bitInByte = bit & 7
-        val take = math.min(8 - bitInByte, rem)
-        val chunk = ((low >>> vOff) & ((1L << take) - 1)).toInt
-        packed(byteIdx) = (packed(byteIdx) | (chunk << bitInByte)).toByte
-        bit += take; vOff += take; rem -= take
+    if (width > 0 && width <= 56) {
+      // accumulator pack (mirror of the decode fast path): the flush keeps
+      // accBits < 8 before each add, so accBits + width <= 63 never spills
+      var acc = 0L
+      var accBits = 0
+      var op = 0
+      i = 0
+      while (i < k) {
+        acc |= (values(off + i) & mask) << accBits
+        accBits += width
+        while (accBits >= 8) {
+          packed(op) = acc.toByte
+          op += 1
+          acc >>>= 8
+          accBits -= 8
+        }
+        i += 1
       }
-      i += 1
+      if (accBits > 0) packed(op) = acc.toByte
+    } else if (width > 56) {
+      var bit = 0
+      i = 0
+      while (i < k) {
+        val low = values(off + i) & mask
+        var rem = width
+        var vOff = 0
+        while (rem > 0) {
+          val byteIdx = bit >>> 3
+          val bitInByte = bit & 7
+          val take = math.min(8 - bitInByte, rem)
+          val chunk = ((low >>> vOff) & ((1L << take) - 1)).toInt
+          packed(byteIdx) = (packed(byteIdx) | (chunk << bitInByte)).toByte
+          bit += take; vOff += take; rem -= take
+        }
+        i += 1
+      }
     }
     out.write(packed, 0, packed.length)
     // patches

@@ -27,8 +27,10 @@ object CodecBench {
       }
       val tv = time(VarByte.decodeGaps(vb, ids.length, ids(0)))
       val tp = time(PForDelta.decodeGaps(pf, ids.length, ids(0)))
+      val ev = time(VarByte.encodeGaps(ids, ids(0)))
+      val ep = time(PForDelta.encodeGaps(ids, ids(0)))
       assert(PForDelta.decodeGaps(pf, ids.length, ids(0)).sameElements(ids))
-      println(f"$name%-26s n=${ids.length}%8d  vbyte=${vb.length}%9dB  pfor=${pf.length}%9dB  ratio=${pf.length.toDouble / vb.length}%.3f  dec: vb=$tv%.1fms pf=$tp%.1fms  bits/post=${pf.length * 8.0 / ids.length}%.2f")
+      println(f"$name%-26s n=${ids.length}%8d  vbyte=${vb.length}%9dB  pfor=${pf.length}%9dB  ratio=${pf.length.toDouble / vb.length}%.3f  dec: vb=$tv%.1fms pf=$tp%.1fms  enc: vb=$ev%.1fms pf=$ep%.1fms  bits/post=${pf.length * 8.0 / ids.length}%.2f")
     }
   }
 }
