@@ -1347,6 +1347,57 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
     }, Some(repetitionSignalsSql())),
 
+    ("q_lm_perplexity", (s: SparkSession, dir: String) => {
+      // CCNet-style curation: train a bigram LM on a trusted slice (every
+      // 10th doc stands in for the curated reference), score the whole
+      // corpus's perplexity under it, band into head/middle/tail
+      val d = docs(s, dir)
+      val lm = graft.ops.LangModel.trainBigrams(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      graft.ops.LangModel.perplexityBuckets(
+        graft.ops.LangModel.perplexity(d, "doc_id", "text", lm),
+        headMax = 30.0, middleMax = 50.0)
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
+         | big AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+         |         FROM toks, unnest(generate_series(1, len(l)-1)) t(i)),
+         | bc AS (SELECT w1, w2, count(*) AS c FROM big
+         |        WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+         | ctx AS (SELECT w1, sum(c) AS cw1 FROM bc GROUP BY 1),
+         | v AS (SELECT count(DISTINCT w2) AS v FROM bc),
+         | scored AS (SELECT big.doc_id,
+         |    ln((coalesce(bc.c, 0) + 0.1) / (coalesce(ctx.cw1, 0) + 0.1 * (v.v + 1))) AS logp
+         |  FROM big LEFT JOIN bc USING (w1, w2)
+         |  LEFT JOIN ctx USING (w1) CROSS JOIN v),
+         | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |         round(-avg(logp), 6) AS nll,
+         |         round(exp(-avg(logp)), 3) AS ppl FROM scored GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.nll, a.ppl,
+         | CASE WHEN a.ppl IS NULL THEN 'tail' WHEN a.ppl <= 30.0 THEN 'head'
+         |      WHEN a.ppl <= 50.0 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    ("q_hashed_classifier", (s: SparkSession, dir: String) => {
+      // fastText-style hashed linear quality head, md5 bucket mode so the
+      // oracle replays bucket assignment; weights from an integer formula
+      // both engines evaluate exactly: w[b] = ((b*37) % 21 - 10) / 10
+      val dim = 64
+      val w = (0 until dim).map(i => ((i * 37) % 21 - 10) / 10.0)
+      graft.ops.Inference.hashedTextScore(docs(s, dir), "doc_id", "text",
+        dim, w, bias = -0.1, tokenHash = "md5")
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
+         | t AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+         | h AS (SELECT doc_id,
+         |   (('0x' || substr(md5(tok), 1, 15))::UBIGINT % 64)::BIGINT AS b FROM t),
+         | a AS (SELECT doc_id, sum(((b * 37) % 21 - 10) / 10.0) AS dot,
+         |       count(*) AS nt FROM h GROUP BY 1),
+         | l AS (SELECT d.doc_id,
+         |   coalesce(a.dot, 0) / greatest(coalesce(a.nt, 0), 1) - 0.1 AS logit
+         |  FROM documents d LEFT JOIN a USING (doc_id))
+         |SELECT doc_id, round(logit, 6) AS logit,
+         | round(1.0 / (1.0 + exp(-logit)), 6) AS prob FROM l""".stripMargin)),
+
     ("q_sample_stratified", (s: SparkSession, dir: String) => {
       graft.ops.Sampling.stratified(docs(s, dir), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.0), defaultRate = 0.1)

@@ -56,6 +56,43 @@ object Inference {
       (lit(1.0) / (lit(1.0) + exp(-logit))).as("prob"))
   }
 
+  /** fastText-style hashed bag-of-words linear head over RAW TEXT (Joulin
+    * et al. 2016, "Bag of Tricks for Efficient Text Classification"):
+    * tokens hash into `dim` feature buckets, the document representation
+    * is the MEAN of the bucket weights, plus bias, through a sigmoid.
+    * This is the cheap quality-classifier shape big corpus filters use
+    * (e.g. a wiki-vs-crawl classifier gating a pretraining corpus).
+    *
+    * Entirely one codegen'd projection — the hash, the `aggregate` fold
+    * over the token array, and the sigmoid are all Column algebra with the
+    * weight table as a folded array literal. Zero shuffles: a 100 TB
+    * scoring pass never leaves the scan task.
+    *
+    * `tokenHash = "xxh64"` (default) is the fast path; `"md5"` uses the
+    * first 15 hex chars of md5 (60 bits) so a SQL engine can replay
+    * bucket assignment exactly — same dual-mode convention as
+    * [[Dedup.simHashNearDups]] / [[TextAnalysis.fingerprints]]. */
+  def hashedTextScore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int, weights: Seq[Double], bias: Double,
+      tokenHash: String = "xxh64"): DataFrame = {
+    require(weights.length == dim, s"weights.length ${weights.length} != dim $dim")
+    require(tokenHash == "xxh64" || tokenHash == "md5",
+      s"unknown tokenHash $tokenHash")
+    val toks = graft.analyze.Analyzer.tokensCol(col(textCol))
+    val w = array(weights.map(lit): _*)
+    def bucket(t: Column): Column = tokenHash match {
+      case "xxh64" => pmod(xxhash64(t), lit(dim.toLong)).cast("int")
+      case "md5" => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("bigint"),
+        lit(dim.toLong)).cast("int")
+    }
+    val dot = aggregate(toks, lit(0.0),
+      (acc, t) => acc + element_at(w, bucket(t) + 1))
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val logit = dot / n + lit(bias)
+    df.select(col(idCol), round(logit, 6).as("logit"),
+      round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("prob"))
+  }
+
   /** Demo endpoint-backed scorer — the wiring the reference's `aws_lambda`
     * / `s3_enrich` / external-`ml_inference` clients need, with running
     * code at the seam (the sandbox has no egress, so the "endpoint" is an

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analyzer
+
+/** Count-based n-gram language-model scoring for corpus curation — the
+  * CCNet recipe (Wenzek et al. 2020, "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data"): train a small LM on a
+  * trusted reference slice, score every candidate document's perplexity
+  * under it, and keep/bucket documents by perplexity band. CCNet uses a
+  * 5-gram KenLM; this is a bigram model with add-k smoothing — the same
+  * pipeline shape with every step expressible as Catalyst relational
+  * algebra (and therefore DuckDB-replayable for the oracle gate).
+  *
+  * Model: p(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·(V+1)) where V is the
+  * number of distinct successor types in the reference — both the context
+  * totals and V derive from the single bigram-count table, so the trained
+  * artifact is ONE small DataFrame.
+  *
+  * Scale shape (100 TB corpus, bounded reference):
+  *  - train: one groupBy over the REFERENCE slice only (bounded by
+  *    construction — a curated wiki-sized corpus, not the crawl).
+  *  - score: explode candidate bigrams (narrow) → BROADCAST join the LM
+  *    (reference vocab is small by definition) → one keyed groupBy on
+  *    docId with map-side partial aggregation. No shuffle carries more
+  *    than (docId, partial-sum) rows out of a partition.
+  */
+object LangModel {
+
+  /** (w1, w2) bigram rows of a corpus, via one narrow projection:
+    * arrays_zip of the token array against itself shifted by one. */
+  def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Analyzer.tokensCol(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairs = arrays_zip(
+      slice(toks, lit(1), n1).as("w1"),
+      slice(toks, lit(2), n1).as("w2"))
+    df.select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** Train: bigram counts over the reference corpus. One shuffle, sized by
+    * the reference vocabulary. The returned table IS the model. */
+  def trainBigrams(ref: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigrams(ref, idCol, textCol).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+
+  /** Score: per-document negative log likelihood and perplexity under the
+    * trained bigram table. Documents with < 2 tokens keep a row with
+    * n_bigrams = 0 and null nll/ppl. */
+  def perplexity(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, k: Double = 0.1): DataFrame = {
+    val ctx = lm.groupBy("w1").agg(sum("c").as("cw1"))
+    val v = lm.select("w2").distinct().count() // driver scalar over the small LM
+    val b = bigrams(df, idCol, textCol)
+    val logp = log(
+      (coalesce(col("c"), lit(0L)).cast("double") + lit(k)) /
+        (coalesce(col("cw1"), lit(0L)).cast("double") + lit(k * (v + 1))))
+    val agg = b
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .select(col(idCol), logp.as("logp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg("logp"), 6).as("nll"),
+        round(exp(-avg("logp")), 3).as("ppl"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
+  /** Zero-shuffle scoring: the trained table (small by contract — it is
+    * the REFERENCE corpus's bigram vocabulary) is collected and broadcast
+    * as lookup maps, and each document scores inside its own scan task —
+    * no explode, no join, no groupBy. This is the 100 TB path; the
+    * relational [[perplexity]] is the oracle-replayable form, and
+    * LangModelSpec pins the two bit-identical. */
+  def perplexityBroadcast(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, k: Double = 0.1): DataFrame = {
+    val rows = lm.select("w1", "w2", "c").collect()
+    val bc = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cw1 = rows.groupBy(_.getString(0))
+      .map { case (w1, rs) => w1 -> rs.map(_.getLong(2)).sum }
+    val v = rows.iterator.map(_.getString(1)).toSet.size
+    val b = df.sparkSession.sparkContext.broadcast((bc, cw1))
+    val denomK = k * (v + 1)
+    val score = udf { (toks: Seq[String]) =>
+      val (bcm, cw1m) = b.value
+      if (toks == null || toks.length < 2) (0L, None: Option[Double], None: Option[Double])
+      else {
+        var sum = 0.0
+        var i = 0
+        while (i < toks.length - 1) {
+          val w1 = toks(i)
+          val c = bcm.getOrElse((w1, toks(i + 1)), 0L)
+          sum += math.log((c + k) / (cw1m.getOrElse(w1, 0L) + denomK))
+          i += 1
+        }
+        val nll = -sum / (toks.length - 1)
+        (toks.length - 1L,
+          Some(math.rint(nll * 1e6) / 1e6),
+          Some(math.rint(math.exp(nll) * 1e3) / 1e3))
+      }
+    }
+    df.select(col(idCol),
+        score(Analyzer.tokensCol(col(textCol))).as("s"))
+      .select(col(idCol), col("s._1").as("n_bigrams"),
+        col("s._2").as("nll"), col("s._3").as("ppl"))
+  }
+
+  /** Perplexity-band bucketing — CCNet's head/middle/tail split. Bounds
+    * are (headMax, middleMax]: ppl <= headMax → "head", <= middleMax →
+    * "middle", else "tail"; docs with no bigrams → "tail". */
+  def perplexityBuckets(scored: DataFrame, headMax: Double,
+      middleMax: Double, out: String = "ppl_bucket"): DataFrame =
+    scored.withColumn(out,
+      when(col("ppl").isNull, lit("tail"))
+        .when(col("ppl") <= headMax, lit("head"))
+        .when(col("ppl") <= middleMax, lit("middle"))
+        .otherwise(lit("tail")))
+}

@@ -96,4 +96,48 @@ class InferenceSpec extends AnyFunSuite {
     assert(run(wsA, poolSize = 2) == ref(wsA))
     assert(Inference.PooledEndpointModel.createdCount == created)
   }
+
+  test("hashedTextScore: hand-computed fastText-style head, both hash modes") {
+    import spark.implicits._
+    val dim = 8
+    val w = (0 until dim).map(_.toDouble / 10.0) // w[b] = b/10
+    val df = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "Gamma, GAMMA!"))
+      .toDF("doc_id", "text")
+    for (mode <- Seq("xxh64", "md5")) {
+      // naive replay with the same per-mode bucket function
+      def bucket(t: String): Int = mode match {
+        case "xxh64" => (math.floorMod(
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t),
+            org.apache.spark.sql.types.StringType, 42L), dim.toLong)).toInt
+        case "md5" =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+          (java.lang.Long.parseLong(hex, 16) % dim).toInt
+      }
+      def naive(text: String): (Double, Double) = {
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val dot = toks.map(t => w(bucket(t))).sum
+        val logit = dot / math.max(toks.length, 1) + 0.25
+        (math.rint(logit * 1e6) / 1e6,
+          math.rint(1.0 / (1.0 + math.exp(-logit)) * 1e6) / 1e6)
+      }
+      val got = Inference.hashedTextScore(df, "doc_id", "text", dim, w, 0.25, mode)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      for ((id, text) <- Seq(1L -> "alpha beta alpha", 2L -> "", 3L -> "Gamma, GAMMA!")) {
+        val (el, ep) = naive(text)
+        val (gl, gp) = got(id)
+        assert(math.abs(gl - el) < 1e-9, s"mode=$mode doc=$id logit $gl vs $el")
+        assert(math.abs(gp - ep) < 1e-9, s"mode=$mode doc=$id prob $gp vs $ep")
+      }
+    }
+  }
+
+  test("hashedTextScore plan: one projection, no shuffle, no join") {
+    import spark.implicits._
+    val df = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val plan = Inference.hashedTextScore(df, "doc_id", "text", 16,
+      (0 until 16).map(_ * 0.01), 0.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
 }

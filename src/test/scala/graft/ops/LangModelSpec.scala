@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LangModelSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ref = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat ate the fish"),
+    (3L, "a dog sat on a log"))
+  private val cand = Seq(
+    (10L, "the cat sat"),    // all bigrams seen in ref
+    (11L, "the zebra flew"), // unseen bigrams
+    (12L, "word"),           // 1 token → no bigrams
+    (13L, ""))               // empty
+
+  /** Naive reimplementation of the documented model. */
+  private def naive(): Map[Long, (Long, Double, Double)] = {
+    def toks(s: String) = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    def bgs(s: String) = toks(s).sliding(2).filter(_.length == 2)
+      .map(a => (a(0), a(1))).toSeq
+    val bc = ref.flatMap(r => bgs(r._2)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cw1 = bc.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = bc.keys.map(_._2).toSet.size
+    val k = 0.1
+    cand.map { case (id, text) =>
+      val bs = bgs(text)
+      if (bs.isEmpty) id -> ((0L, Double.NaN, Double.NaN))
+      else {
+        val lps = bs.map { b =>
+          math.log((bc.getOrElse(b, 0L) + k) / (cw1.getOrElse(b._1, 0L) + k * (v + 1)))
+        }
+        val nll = -lps.sum / lps.length
+        id -> ((bs.length.toLong,
+          math.rint(nll * 1e6) / 1e6, math.rint(math.exp(nll) * 1e3) / 1e3))
+      }
+    }.toMap
+  }
+
+  test("perplexity matches the naive model, including smoothing of unseen bigrams") {
+    val lm = LangModel.trainBigrams(ref.toDF("doc_id", "text"), "doc_id", "text")
+    val got = LangModel.perplexity(cand.toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    val want = naive()
+    assert(got.keySet == want.keySet)
+    for (id <- want.keys) {
+      val (gn, gnll, gppl) = got(id)
+      val (wn, wnll, wppl) = want(id)
+      assert(gn == wn, s"doc $id n_bigrams")
+      if (wnll.isNaN) assert(gnll.isNaN, s"doc $id nll should be null")
+      else {
+        assert(math.abs(gnll - wnll) < 1e-9, s"doc $id nll $gnll vs $wnll")
+        assert(math.abs(gppl - wppl) < 1e-9, s"doc $id ppl $gppl vs $wppl")
+      }
+    }
+  }
+
+  test("seen-bigram docs score lower perplexity than unseen-bigram docs") {
+    val lm = LangModel.trainBigrams(ref.toDF("doc_id", "text"), "doc_id", "text")
+    val m = LangModel.perplexity(cand.toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(m(10L) < m(11L), s"in-domain ${m(10L)} should beat out-of-domain ${m(11L)}")
+  }
+
+  test("perplexity buckets: head/middle/tail + no-bigram docs land in tail") {
+    val lm = LangModel.trainBigrams(ref.toDF("doc_id", "text"), "doc_id", "text")
+    val scored = LangModel.perplexity(cand.toDF("doc_id", "text"), "doc_id", "text", lm)
+    val head = scored.where($"doc_id" === 10L).select("ppl").head().getDouble(0)
+    val b = LangModel.perplexityBuckets(scored, headMax = head, middleMax = head * 100)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(b(10L) == "head")
+    assert(b(12L) == "tail" && b(13L) == "tail") // null ppl
+  }
+
+  test("perplexityBroadcast ≡ relational perplexity (zero-shuffle fast path)") {
+    val corpus = graft.corpus.SyntheticCorpus.generate(spark, 120, seed = 7L)
+      .toDF().select($"url".as("doc_id"), $"text")
+    val lm = LangModel.trainBigrams(
+      corpus.where(crc32($"doc_id") % 4 === 0), "doc_id", "text")
+    val rel = LangModel.perplexity(corpus, "doc_id", "text", lm)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val fast = LangModel.perplexityBroadcast(corpus, "doc_id", "text", lm)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(rel.keySet == fast.keySet)
+    val diffs = rel.keys.filter(k => rel(k) != fast(k))
+    assert(diffs.isEmpty, s"diverged: ${diffs.take(3).map(k => (k, rel(k), fast(k)))}")
+    // and the fast path's physical plan has no exchange at all
+    val plan = LangModel.perplexityBroadcast(corpus, "doc_id", "text", lm)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fast path must not shuffle:\n$plan")
+  }
+
+  test("broadcast plan: scoring joins are BroadcastHashJoin, no sort-merge") {
+    val lm = LangModel.trainBigrams(ref.toDF("doc_id", "text"), "doc_id", "text")
+    val plan = LangModel.perplexity(cand.toDF("doc_id", "text"), "doc_id", "text", lm)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
