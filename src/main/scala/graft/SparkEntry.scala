@@ -150,6 +150,14 @@ object SparkEntry {
       bm25TopK(docs(s, dir), Seq("the", "data", "query"), 20)
     }, Some(bm25Sql(Seq("the", "data", "query"), 20))),
 
+    ("q_phrase_topk", (s: SparkSession, dir: String) => {
+      phraseTopKRounded(docs(s, dir), Seq("table", "hash"), 20)
+    }, Some(phraseSql(Seq("table", "hash"), 20))),
+
+    ("q_phrase_topk_trigram", (s: SparkSession, dir: String) => {
+      phraseTopKRounded(docs(s, dir), Seq("row", "column", "sort"), 10)
+    }, Some(phraseSql(Seq("row", "column", "sort"), 10))),
+
     // ---------- mutate algebra (SURVEY §2.4) ----------
     ("q_add_entries", (s: SparkSession, dir: String) => {
       graft.pipeline.Pipeline(
@@ -1687,6 +1695,49 @@ object SparkEntry {
       .orderBy(desc("score"), col("docId"))
       .limit(k)
       .withColumnRenamed("docId", "doc_id")
+  }
+
+  /** Phrase top-k with rounded scores and rounded-score ordering (rank
+    * stability across engines' last-ulp noise), bm25TopK's convention. */
+  private def phraseTopKRounded(d: DataFrame, phrase: Seq[String], k: Int): DataFrame =
+    BruteForce.phraseScoreAll(d, "doc_id", "text", phrase)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", "doc_id")
+
+  /** DuckDB replay of [[BruteForce.phraseScoreAll]]: same tokenizer, same
+    * consecutive-position match (list_filter over candidate starts), same
+    * slot-summed idf and BM25 operand order. */
+  private def phraseSql(phrase: Seq[String], k: Int): String = {
+    val m = phrase.length
+    val dfSelects = phrase.distinct.zipWithIndex.map { case (t, i) =>
+      s"(SELECT count(*) FROM dl WHERE list_contains(l, '$t')) AS df$i"
+    }.mkString(",\n |   ")
+    val dfIdx = phrase.distinct.zipWithIndex.toMap
+    val idfTerms = phrase.map { t =>
+      val i = dfIdx(t)
+      s"ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(dfs.df$i AS DOUBLE)) + 0.5) / (CAST(dfs.df$i AS DOUBLE) + 0.5))"
+    }.mkString(" + ")
+    val slotEq = phrase.zipWithIndex.map { case (t, j) =>
+      if (j == 0) s"l[i] = '$t'" else s"l[i+$j] = '$t'"
+    }.mkString(" AND ")
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | dl AS (SELECT doc_id, len(l) AS dl, l FROM toks),
+       | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       | dfs AS (SELECT
+       |   $dfSelects),
+       | stats AS (SELECT $idfTerms AS idfsum,
+       |   CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE) AS avgdl
+       |   FROM g, dfs),
+       | ptfs AS (SELECT doc_id, dl,
+       |   len(list_filter(generate_series(1, len(l) - ${m - 1}),
+       |       i -> $slotEq)) AS ptf FROM dl)
+       |SELECT doc_id, ptf AS phrase_tf,
+       | round(stats.idfsum * ((CAST(ptf AS DOUBLE) * 2.2) /
+       |   (CAST(ptf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / stats.avgdl)))), 4) AS score
+       |FROM ptfs, stats WHERE ptf > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
   private def bm25Sql(terms0: Seq[String], k: Int,

@@ -78,6 +78,22 @@ object Analyzer {
     (counts, toks.size().toLong)
   }
 
+  /** Per-doc term → ascending token positions (0-based), plus dl — the
+    * positional variant of [[termFreqsLocal]] for `positions = true`
+    * index builds (tf = positions.size, so one map serves both). */
+  def termPositionsLocal(text: String): (java.util.HashMap[String, java.util.ArrayList[Integer]], Long) = {
+    val posMap = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
+    if (text == null) return (posMap, 0L)
+    val toks = tokenizeLocal(text)
+    var i = 0
+    while (i < toks.size()) {
+      posMap.computeIfAbsent(toks.get(i), _ => new java.util.ArrayList[Integer]())
+        .add(Integer.valueOf(i))
+      i += 1
+    }
+    (posMap, toks.size().toLong)
+  }
+
   /** THE one JVM-side tokenizer scanner — every local kernel
     * (termFreqsLocal, Dedup.shingles) builds on this so the tokenizer
     * spec can never drift between them (it's the invariant the four-way

@@ -127,7 +127,8 @@ object IncrementalIndex {
       s"$indexDir holds a standalone index; a generational index starts " +
         "from an empty dir (compact the standalone build into gen-0 first)")
     // founding-param agreement with every already-committed generation
-    val Founding = Seq("buckets", "shardSize", "blockSize", "idBuckets", "codec")
+    val Founding =
+      Seq("buckets", "shardSize", "blockSize", "idBuckets", "codec", "positions")
     genDirs(spark, indexDir).foreach { case (k, d) =>
       if (d != indexDir) Manifest.read(d, "postings").foreach { m =>
         val want = params.asMap.view.filterKeys(Founding.contains).toMap

@@ -41,13 +41,20 @@ final case class IndexParams(
       * corpus yields the same ids on 1 executor or 1000 — without the
       * range-partitioner sampling pass that re-reads the whole corpus.
       * Part of the index identity → recorded in the manifest params. */
-    idBuckets: Int = 1024) {
+    idBuckets: Int = 1024,
+    /** Store per-posting token positions (delta + PForDelta inside each
+      * block, boundaries implied by tfs) — enables exact phrase top-k
+      * ([[graft.query.IndexReader.phraseTopK]]) at ~sumTf extra packed
+      * ints per block. A founding param: phrase queries refuse an index
+      * built without positions, and appends refuse to mix. */
+    positions: Boolean = false) {
   def resolvedPartitions(spark: SparkSession): Int =
     if (buildPartitions > 0) buildPartitions else spark.sparkContext.defaultParallelism
   def asMap: Map[String, String] = Map(
     "buckets" -> buckets.toString, "shardSize" -> shardSize.toString,
     "blockSize" -> blockSize.toString, "idOffset" -> idOffset.toString,
     "idBuckets" -> idBuckets.toString,
+    "positions" -> positions.toString,
     // posting-block codec identity: an append onto an index whose blocks
     // were written by a different codec must refuse, not misread
     "codec" -> "pfor1")
@@ -67,13 +74,20 @@ final case class IndexParams(
 final case class SegmentRow(
     term: String, df: Long, shard: Long, blockId: Int,
     firstDocId: Long, lastDocId: Long, n: Int, maxTf: Long, minDl: Long,
-    gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte], bucket: Int)
+    gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte],
+    /** Concatenated per-posting token positions (delta within a posting,
+      * PForDelta over the concatenation; boundaries = running tf sums).
+      * Null when the index was built with `positions = false`. */
+    pos: Array[Byte], bucket: Int)
 
 final case class DocRow(docId: Long, url: String, text: String, lang: String)
 
 /** One distinct (doc, term) pair with its in-doc frequency and the doc's
-  * total token count (denormalized — saves the doclen join downstream). */
-final case class TfRow(docId: Long, term: String, tf: Long, dl: Long)
+  * total token count (denormalized — saves the doclen join downstream).
+  * `pos` carries the term's ascending 0-based token positions when the
+  * build stores positions; null otherwise. */
+final case class TfRow(docId: Long, term: String, tf: Long, dl: Long,
+    pos: Array[Int])
 
 final case class Globals(n: Long, sumDl: Long) {
   /** Deterministic across parallelism: long/long division in double —
@@ -309,17 +323,34 @@ final class IndexBuilder(
     * distinct (doc, term) pairs and never exchanges them. Carrying `dl` on
     * each row also deletes the doclen join from the postings stage. */
   def stageTf(): Unit = {
+    val withPositions = params.positions
     spark.read.schema(docSchema).parquet(docsPath).select($"docId", $"text")
       .as[(Long, String)]
       .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
+        if (withPositions) it.flatMap { case (id, text) =>
+          val (posMap, dl) = Analyzer.termPositionsLocal(text)
+          val out = new Array[TfRow](posMap.size)
+          val e = posMap.entrySet().iterator()
+          var i = 0
+          while (e.hasNext) {
+            val kv = e.next()
+            val ps = kv.getValue
+            val arr = new Array[Int](ps.size())
+            var j = 0
+            while (j < arr.length) { arr(j) = ps.get(j); j += 1 }
+            out(i) = TfRow(id, kv.getKey, arr.length.toLong, dl, arr)
+            i += 1
+          }
+          out
+        }
+        else it.flatMap { case (id, text) =>
           val (counts, dl) = Analyzer.termFreqsLocal(text)
           val out = new Array[TfRow](counts.size)
           val e = counts.entrySet().iterator()
           var i = 0
           while (e.hasNext) {
             val kv = e.next()
-            out(i) = TfRow(id, kv.getKey, kv.getValue, dl)
+            out(i) = TfRow(id, kv.getKey, kv.getValue, dl, null)
             i += 1
           }
           out
@@ -376,15 +407,15 @@ final class IndexBuilder(
       else tf.join(ts, "term")
 
     val joined = withDf
-      .select($"term", $"docId", $"tf", $"dl", $"df")
+      .select($"term", $"docId", $"tf", $"dl", $"df", $"pos")
       .withColumn("bucket", pmod(xxhash64($"term"), lit(nBuckets.toLong)).cast("int"))
       .withColumn("shard", expr(s"docId DIV $shardSize"))
 
     val packed = joined
       .repartition(parts, $"bucket", $"shard")
       .sortWithinPartitions($"term", $"docId")
-      .select($"term", $"docId", $"tf", $"dl", $"df", $"bucket", $"shard")
-      .as[(String, Long, Long, Long, Long, Int, Long)]
+      .select($"term", $"docId", $"tf", $"dl", $"df", $"bucket", $"shard", $"pos")
+      .as[(String, Long, Long, Long, Long, Int, Long, Array[Int])]
       .mapPartitions { it =>
         new BlockPacker(it, shardSize, blockSize, nBuckets)
       }
@@ -404,7 +435,7 @@ final class IndexBuilder(
   * see [[SegmentRow]].
   */
 final class BlockPacker(
-    rows: Iterator[(String, Long, Long, Long, Long, Int, Long)],
+    rows: Iterator[(String, Long, Long, Long, Long, Int, Long, Array[Int])],
     shardSize: Long, blockSize: Int, nBuckets: Int)
   extends Iterator[SegmentRow] {
 
@@ -412,13 +443,14 @@ final class BlockPacker(
   private val ids = new Array[Long](blockSize)
   private val tfs = new Array[Long](blockSize)
   private val dls = new Array[Long](blockSize)
+  private val poss = new Array[Array[Int]](blockSize)
 
   override def hasNext: Boolean = in.hasNext
 
   override def next(): SegmentRow = {
-    val (term, d0, tf0, dl0, df, bucket, shard) = in.next()
+    val (term, d0, tf0, dl0, df, bucket, shard, p0) = in.next()
     var k = 0
-    ids(0) = d0; tfs(0) = tf0; dls(0) = dl0
+    ids(0) = d0; tfs(0) = tf0; dls(0) = dl0; poss(0) = p0
     var maxTf = tf0
     var minDl = dl0
     k = 1
@@ -427,8 +459,8 @@ final class BlockPacker(
         val h = in.head
         h._1 == term && (h._2 / shardSize) == shard
       }) {
-      val (_, d, t, l, _, _, _) = in.next()
-      ids(k) = d; tfs(k) = t; dls(k) = l
+      val (_, d, t, l, _, _, _, p) = in.next()
+      ids(k) = d; tfs(k) = t; dls(k) = l; poss(k) = p
       if (t > maxTf) maxTf = t
       if (l < minDl) minDl = l
       k += 1
@@ -441,7 +473,34 @@ final class BlockPacker(
       PForDelta.encodeGaps(java.util.Arrays.copyOf(ids, k), ids(0)),
       PForDelta.encode(java.util.Arrays.copyOf(tfs, k)),
       PForDelta.encode(java.util.Arrays.copyOf(dls, k)),
+      packPositions(k),
       bucket)
+  }
+
+  /** Positions blob: per posting, delta-code its ascending position list
+    * (first absolute), concatenate, PForDelta the lot. Boundaries need no
+    * storage — they are the block's running tf sums. Null when the build
+    * carries no positions. */
+  private def packPositions(k: Int): Array[Byte] = {
+    if (poss(0) == null) return null
+    var total = 0
+    var i = 0
+    while (i < k) { total += poss(i).length; i += 1 }
+    val flat = new Array[Long](total)
+    var o = 0
+    i = 0
+    while (i < k) {
+      val p = poss(i)
+      var j = 0
+      var prev = 0
+      while (j < p.length) {
+        flat(o) = if (j == 0) p(0).toLong else (p(j) - prev).toLong
+        prev = p(j)
+        o += 1; j += 1
+      }
+      i += 1
+    }
+    PForDelta.encode(flat)
   }
 
   // Blocks of a (term, shard) cell are strictly increasing in firstDocId;

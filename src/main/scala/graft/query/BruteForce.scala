@@ -74,4 +74,65 @@ object BruteForce {
     scoreAll(docs, idCol, textCol, query)
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
+
+  /** Brute-force EXACT PHRASE scorer — the oracle [[graft.query.Phrase]]
+    * must match rank-identically, and itself the DuckDB-replayable gate
+    * surface (q_phrase_topk). Semantics documented on [[Phrase]]: a match
+    * is a strictly consecutive token run; `phrase_tf` = match starts;
+    * score = BM25(tf = phrase_tf, idf = Σ slot idfs — duplicate slot terms
+    * count per slot).
+    *
+    * Per-doc matching is one narrow Column fold (`filter` over candidate
+    * start positions with `element_at` equality per slot); the only
+    * aggregates are the corpus stats and the per-distinct-term dfs —
+    * a 100 TB phrase scan never shuffles match rows. */
+  def phraseScoreAll(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val m = phrase.length
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val withDl = docs.select(col(idCol).as("docId"),
+      Analyzer.tokensCol(col(textCol)).as("toks"))
+      .select(col("docId"), col("toks"), size(col("toks")).cast("long").as("dl"))
+
+    val (n, sumDl) =
+      withDl.agg(count(lit(1)), sum(col("dl"))).as[(Long, Long)].head()
+    val avgdl = sumDl.toDouble / n.toDouble
+
+    val distinctTerms = phrase.distinct
+    val dfMap = withDl
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .where(col("term").isin(distinctTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    // slot order fold — identical to IndexReader.phraseTopK's
+    val idfSum = phrase.map(t => Bm25.idf(n, dfMap.getOrElse(t, 0L))).sum
+
+    val starts = when(size(col("toks")) >= m,
+      sequence(lit(1), size(col("toks")) - (m - 1)))
+      .otherwise(array().cast("array<int>"))
+    val matched = filter(starts, i =>
+      phrase.zipWithIndex.map { case (t, j) =>
+        element_at(col("toks"), i + lit(j)) === lit(t)
+      }.reduceLeft(_ && _))
+    val ptf = size(matched).cast("long")
+
+    withDl.select(col("docId"), ptf.as("phrase_tf"), col("dl"))
+      .where(col("phrase_tf") > 0)
+      .select(col("docId"), col("phrase_tf"),
+        (lit(idfSum) * ((col("phrase_tf").cast("double") * lit(2.2)) /
+          (col("phrase_tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))))
+          .as("score"))
+  }
+
+  /** Phrase top-k: (docId, phrase_tf, score), ordered (score desc,
+    * docId asc), k rows. */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], k: Int): DataFrame =
+    phraseScoreAll(docs, idCol, textCol, phrase)
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
 }

@@ -12,8 +12,8 @@ import graft.index.{Globals, IncrementalIndex}
 final case class SegmentRead(
     term: String, df: Long, shard: Long, blockId: Int,
     firstDocId: Long, lastDocId: Long, n: Int, maxTf: Long, minDl: Long,
-    gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte], bucket: Int,
-    gen: Int)
+    gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte],
+    pos: Array[Byte], bucket: Int, gen: Int)
 
 /** Query-side executor over a built index — standalone or generational
   * ([[IncrementalIndex]]: `gen-k` subdirectories, disjoint docId ranges).
@@ -125,6 +125,35 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
       .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
         IndexReader.shardTopK(n, avgdl, kk, dfByTerm.value)(shard, rows))
     perShard.select(new TopKAggregator(k).toColumn).head()
+  }
+
+  /** Exact phrase top-k (consecutive-position match; see [[Phrase]]).
+    * Requires an index built with `IndexParams(positions = true)` — every
+    * generation's manifest is checked and a positions-less index refuses
+    * loudly rather than returning silently-empty matches. Result is
+    * (docId, score), k rows, ordered (score desc, docId asc). */
+  def phraseTopK(phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    gens.foreach { case (g, d) =>
+      val p = graft.index.Manifest.read(d, "postings")
+        .flatMap(_.params.get("positions"))
+      require(p.contains("true"),
+        s"gen-$g at $d was built without positions — rebuild/append with " +
+          "IndexParams(positions = true) to serve phrase queries")
+    }
+    val seg = segmentsFor(phrase.distinct)
+    val dfByTerm = mergedDfMap(seg)
+    // slot-summed idf from GLOBAL dfs (duplicated slot terms count per
+    // slot) — same fold order as BruteForce.phraseScoreAll
+    val idfSum = phrase
+      .map(t => Bm25.idf(globals.n, dfByTerm.getOrElse(t, 0L))).sum
+    val (avgdl, kk, ph) = (globals.avgdl, k, phrase)
+    val perShard = seg.groupByKey(_.shard)
+      .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
+        Phrase.shardTopK(avgdl, kk, ph, idfSum)(shard, rows))
+    perShard.toDF("docId", "score")
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
   }
 
   /** Driver-local serving cache: term -> (merged df, globally docId-sorted

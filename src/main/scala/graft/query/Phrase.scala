@@ -1,0 +1,175 @@
+package graft.query
+
+import graft.index.PForDelta
+
+/** Exact phrase top-k over a POSITIONAL index (built with
+  * `IndexParams(positions = true)`).
+  *
+  * Semantics (documented, and mirrored by [[BruteForce.phraseScoreAll]] and
+  * the q_phrase_topk DuckDB oracle): a document matches when the phrase's
+  * tokens occur at strictly consecutive positions; `phrase_tf` = number of
+  * match start positions; score = BM25 with tf = phrase_tf and
+  * idf = Σ over phrase SLOTS of the member term's idf (a duplicated term
+  * contributes once per slot — the multi-term weighting Lucene's
+  * PhraseQuery uses). Replaces the reference's delegation of `match_phrase`
+  * to OpenSearch/Lucene.
+  *
+  * Execution per shard: leapfrog document-at-a-time intersection over one
+  * positional cursor per phrase slot — `advanceTo` skips whole blocks via
+  * (firstDocId, lastDocId) metadata without decoding, and a block's
+  * position payload is decoded only when a document actually aligns on all
+  * slots. Cost is driven by the rarest term, like every conjunctive
+  * executor; the shard fan-out is the same structural skew story as WAND
+  * (a hot term's postings are spread over all docId shards).
+  */
+object Phrase {
+
+  /** Positional cursor over one phrase slot's blocks within one shard
+    * (blocks docId-disjoint, sorted by firstDocId). Ids/tfs/dls decode
+    * per block on entry; the position payload decodes lazily on first
+    * [[positions]] call for the block. */
+  final class PosCursor(blocks: Array[SegmentRead]) {
+    private var bi = 0
+    private var i = 0
+    private var ids: Array[Long] = null
+    private var tfs: Array[Long] = null
+    private var dls: Array[Long] = null
+    private var posOff: Array[Int] = null
+    private var posAll: Array[Long] = null
+
+    decodeIfNeeded()
+
+    private def decodeIfNeeded(): Unit = {
+      if (bi < blocks.length && ids == null) {
+        val b = blocks(bi)
+        ids = PForDelta.decodeGaps(b.gaps, b.n, b.firstDocId)
+        tfs = PForDelta.decode(b.tfs, b.n)
+        dls = PForDelta.decode(b.dls, b.n)
+        posOff = null
+        posAll = null
+        i = 0
+      }
+    }
+
+    def exhausted: Boolean = bi >= blocks.length
+    def curDoc: Long = if (exhausted) Long.MaxValue else ids(i)
+    def dl: Long = dls(i)
+
+    /** Absolute ascending positions of the current posting, as
+      * (array, from, until) into the block's decoded payload. */
+    def positions(): (Array[Long], Int, Int) = {
+      if (posAll == null) {
+        val b = blocks(bi)
+        require(b.pos != null,
+          "no positional payload in segment — index built with positions=false")
+        posOff = new Array[Int](b.n + 1)
+        var t = 0
+        var j = 0
+        while (j < b.n) { t += tfs(j).toInt; posOff(j + 1) = t; j += 1 }
+        posAll = PForDelta.decode(b.pos, t)
+        // un-delta within each posting (first value is absolute)
+        j = 0
+        while (j < b.n) {
+          var p = posOff(j) + 1
+          while (p < posOff(j + 1)) { posAll(p) += posAll(p - 1); p += 1 }
+          j += 1
+        }
+      }
+      (posAll, posOff(i), posOff(i + 1))
+    }
+
+    def advance(): Unit = {
+      i += 1
+      if (i >= blocks(bi).n) { bi += 1; ids = null; decodeIfNeeded() }
+    }
+
+    /** First posting with docId >= target; whole-block skips never decode
+      * the skipped payloads. */
+    def advanceTo(target: Long): Unit = {
+      if (exhausted || curDoc >= target) return
+      while (bi < blocks.length && blocks(bi).lastDocId < target) {
+        bi += 1; ids = null
+      }
+      if (bi >= blocks.length) return
+      decodeIfNeeded()
+      var lo = i
+      var hi = blocks(bi).n - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ids(mid) < target) lo = mid + 1 else hi = mid
+      }
+      i = lo
+    }
+  }
+
+  /** Match-start count for the aligned document: for each occurrence p of
+    * slot 0, every later slot j must contain p + j. Positions ascend and
+    * starts ascend, so each slot keeps a monotone pointer — O(Σ tf). */
+  private def phraseTf(cursors: Array[PosCursor]): Long = {
+    val m = cursors.length
+    val arrs = new Array[(Array[Long], Int, Int)](m)
+    var j = 0
+    while (j < m) { arrs(j) = cursors(j).positions(); j += 1 }
+    val (p0, f0, u0) = arrs(0)
+    val ptr = Array.tabulate(m)(j => arrs(j)._2)
+    var count = 0L
+    var a = f0
+    while (a < u0) {
+      val want0 = p0(a)
+      var ok = true
+      j = 1
+      while (ok && j < m) {
+        val (pj, _, uj) = arrs(j)
+        val want = want0 + j
+        var q = ptr(j)
+        while (q < uj && pj(q) < want) q += 1
+        ptr(j) = q
+        ok = q < uj && pj(q) == want
+        j += 1
+      }
+      if (ok) count += 1
+      a += 1
+    }
+    count
+  }
+
+  /** Executor-side per-shard phrase top-k — top-level so the Spark closure
+    * captures only scalars + the phrase. `idfSum` is computed driver-side
+    * from the GLOBAL merged dfs (a shard only sees its own generations). */
+  def shardTopK(avgdl: Double, k: Int, phrase: Seq[String], idfSum: Double)(
+      shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
+    val byTerm = rows.toArray.groupBy(_.term)
+    // a shard missing ANY slot term cannot match the phrase
+    if (phrase.distinct.exists(t => !byTerm.contains(t))) return Iterator.empty
+    val cursors = phrase.map { t =>
+      new PosCursor(byTerm(t).sortBy(_.firstDocId))
+    }.toArray
+    val topk = new TopKHeap(k)
+    var live = true
+    while (live && !cursors.exists(_.exhausted)) {
+      var target = 0L
+      var j = 0
+      while (j < cursors.length) {
+        if (cursors(j).curDoc > target) target = cursors(j).curDoc
+        j += 1
+      }
+      var aligned = true
+      j = 0
+      while (j < cursors.length) {
+        cursors(j).advanceTo(target)
+        if (cursors(j).exhausted) { aligned = false; live = false }
+        else if (cursors(j).curDoc != target) aligned = false
+        j += 1
+      }
+      if (aligned) {
+        val ptf = phraseTf(cursors)
+        if (ptf > 0)
+          topk.offer(target,
+            Bm25.score(idfSum, ptf.toDouble, cursors(0).dl.toDouble, avgdl))
+        j = 0
+        while (j < cursors.length) { cursors(j).advance(); j += 1 }
+      }
+    }
+    topk.result().iterator
+  }
+}

@@ -10,6 +10,31 @@ final case class SegBlock(
 
 final case class Scored(docId: Long, score: Double)
 
+/** Min-heap of size k ordered by score; equal scores keep the earlier
+  * (smaller) docId, which is the incumbent. Shared by the WAND and
+  * phrase executors so tie-break semantics can never diverge. */
+private[query] final class TopKHeap(k: Int) {
+  val heap = new java.util.PriorityQueue[Scored](math.max(k, 1),
+    (a: Scored, b: Scored) =>
+      if (a.score < b.score) -1
+      else if (a.score > b.score) 1
+      else java.lang.Long.compare(b.docId, a.docId)) // larger docId = worse
+  def threshold: Double =
+    if (heap.size() < k) Double.NegativeInfinity else heap.peek().score
+  def offer(d: Long, s: Double): Unit = {
+    if (k <= 0) return
+    if (heap.size() < k) heap.add(Scored(d, s))
+    else if (s > heap.peek().score) { heap.poll(); heap.add(Scored(d, s)) }
+    // s == threshold: incumbent has smaller docId → keep incumbent
+  }
+  def result(): Array[Scored] = {
+    val arr = new Array[Scored](heap.size())
+    var i = arr.length - 1
+    while (!heap.isEmpty) { arr(i) = heap.poll(); i -= 1 }
+    arr
+  }
+}
+
 /** Forward-only cursor over one term's blocks within one shard. Blocks are
   * decoded lazily — Block-Max WAND can skip a whole block using only its
   * (firstDocId, lastDocId, maxScore) metadata without touching the
@@ -87,34 +112,11 @@ final class TermCursor(val term: String, val idf: Double,
   */
 object Wand {
 
-  /** Min-heap of size k ordered by score; equal scores keep the earlier
-    * (smaller) docId, which is the incumbent. */
-  private final class TopK(k: Int) {
-    val heap = new java.util.PriorityQueue[Scored](k,
-      (a: Scored, b: Scored) =>
-        if (a.score < b.score) -1
-        else if (a.score > b.score) 1
-        else java.lang.Long.compare(b.docId, a.docId)) // larger docId = worse
-    def threshold: Double =
-      if (heap.size() < k) Double.NegativeInfinity else heap.peek().score
-    def offer(d: Long, s: Double): Unit = {
-      if (heap.size() < k) heap.add(Scored(d, s))
-      else if (s > heap.peek().score) { heap.poll(); heap.add(Scored(d, s)) }
-      // s == threshold: incumbent has smaller docId → keep incumbent
-    }
-    def result(): Array[Scored] = {
-      val arr = new Array[Scored](heap.size())
-      var i = arr.length - 1
-      while (!heap.isEmpty) { arr(i) = heap.poll(); i -= 1 }
-      arr
-    }
-  }
-
   /** Top-k for one shard given its cursors (any order; re-sorted inside). */
   def topK(cursors0: Array[TermCursor], k: Int): Array[Scored] = {
     val cursors = cursors0.filter(!_.exhausted).sortBy(_.term)
     if (cursors.isEmpty || k <= 0) return Array.empty
-    val topk = new TopK(k)
+    val topk = new TopKHeap(k)
     val m = cursors.length
     val order = cursors.indices.toArray // indices sorted by curDoc
 

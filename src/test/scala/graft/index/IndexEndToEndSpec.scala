@@ -158,7 +158,8 @@ class IndexEndToEndSpec extends AnyFunSuite {
 final case class SegmentRowRead(
     term: String, df: Long, shard: Long, blockId: Int,
     firstDocId: Long, lastDocId: Long, n: Int, maxTf: Long, minDl: Long,
-    gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte], bucket: Int) {
+    gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte],
+    pos: Array[Byte], bucket: Int) {
   def toRow: SegmentRow = SegmentRow(term, df, shard, blockId, firstDocId,
-    lastDocId, n, maxTf, minDl, gaps, tfs, dls, bucket)
+    lastDocId, n, maxTf, minDl, gaps, tfs, dls, pos, bucket)
 }
