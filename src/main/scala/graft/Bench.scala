@@ -168,6 +168,12 @@ object Bench {
     // timed runs measure throughput, not JVM warmup — a real cluster's
     // executors are long-lived and warm
     val warmed = scala.collection.mutable.Set.empty[Int]
+    var postingsBytes = -1L
+    def sumFileSizes(dir: java.io.File): Long = {
+      val fs = dir.listFiles()
+      if (fs == null) 0L
+      else fs.map(f => if (f.isDirectory) sumFileSizes(f) else f.length()).sum
+    }
     def buildAt(cores: Int, run: Int): Double = {
       val s = newSession(cores, shufflePartitions = BuildPartitions,
         adaptive = false)
@@ -186,6 +192,11 @@ object Bench {
           buildPartitions = BuildPartitions))
         .build(pages, s"bench(n=$benchDocs)")
       val sec = (System.nanoTime() - t0) / 1e9
+      if (postingsBytes < 0) {
+        // on-disk posting size (compressed PForDelta blocks inside the
+        // parquet segment store) — the codec's footprint in the artifact
+        postingsBytes = sumFileSizes(new java.io.File(s"$work/index-$cores-$run/postings"))
+      }
       s.stop()
       System.err.println(f"[graft-bench] local[$cores] run $run: $sec%.2fs")
       sec
@@ -431,7 +442,7 @@ object Bench {
       concCeilMedian, normConcMedian, gate, p50, p95)
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_efficiency_pair_median":${f"$pairEffMedian%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"scaling_concurrent_ceiling_median":${f"$concCeilMedian%.3f"},"normalized_scaling_concurrent_median":${f"$normConcMedian%.3f"},"scaling_gate":"$gate","query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_efficiency_pair_median":${f"$pairEffMedian%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"scaling_concurrent_ceiling_median":${f"$concCeilMedian%.3f"},"normalized_scaling_concurrent_median":${f"$normConcMedian%.3f"},"scaling_gate":"$gate","postings_bytes":$postingsBytes,"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
   }
 
   private def writeBenchMd(n: Long, tN: Double, t4N: Double, thrN: Double,

@@ -1443,6 +1443,57 @@ object SparkEntry {
         d.filter(col("doc_id") % 20 === 0), "text", n = 8)
     }, Some(decontaminateSql(n = 8, evalMod = 20))),
 
+    ("q_url_normalize", (s: SparkSession, dir: String) => {
+      // messy-but-well-formed URLs synthesized from doc_id (the corpus
+      // carries no url column); the oracle computes the CANONICAL form
+      // closed-form from doc_id — an independent derivation, not a regex
+      // replay. Exercises: case folding, www-strip, default-port drop,
+      // odd-port keep, trailing-slash strip, fragment drop, tracking-param
+      // drop, query-param sort, path case preservation.
+      val id = col("doc_id")
+      val url = concat(lit("HTTPS://WWW.Host"), (id % 40).cast("string"),
+        lit(".Example.COM"),
+        when(id % 3 === 0, lit(":443"))
+          .when(id % 3 === 1, lit(":8443")).otherwise(lit("")),
+        lit("/Path/"), id.cast("string"),
+        when(id % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=x&b=2&a=1"),
+        when(id % 5 === 0, lit("#frag")).otherwise(lit("")))
+      val d = docs(s, dir).withColumn("url", url)
+      d.select(col("doc_id"),
+        graft.ops.Curation.urlNormalize(col("url")).as("url_norm"),
+        graft.ops.Curation.hostOf(col("url")).as("host"))
+    }, Some("""SELECT doc_id,
+              | 'https://host' || (doc_id % 40) || '.example.com' ||
+              |  CASE WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END ||
+              |  '/Path/' || doc_id || '?a=1&b=2' AS url_norm,
+              | 'host' || (doc_id % 40) || '.example.com' AS host
+              |FROM documents""".stripMargin)),
+
+    ("q_domain_filter", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val url = concat(lit("https://host"), (id % 40).cast("string"),
+        lit(".example.com/p/"), id.cast("string"))
+      val d = docs(s, dir).withColumn("url", url)
+      val blocklist = (0 until 40 by 4)
+        .map(n => s"host$n.example.com").toDF("host")
+      graft.ops.Curation.domainFilter(d, "url", blocklist, "host")
+        .select("doc_id", "lang")
+    }, Some("""SELECT doc_id, lang FROM documents
+              | WHERE (doc_id % 40) % 4 <> 0""".stripMargin)),
+
+    ("q_domain_stats", (s: SparkSession, dir: String) => {
+      val id = col("doc_id")
+      val url = concat(lit("https://host"), (id % 40).cast("string"),
+        lit(".example.com/p/"), id.cast("string"))
+      graft.ops.Curation.domainStats(
+        docs(s, dir).withColumn("url", url), "url", "n_chars")
+    }, Some("""SELECT 'host' || (doc_id % 40) || '.example.com' AS host,
+              | count(*) AS docs,
+              | round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean_size
+              |FROM documents GROUP BY 1""".stripMargin)),
+
     ("q_gopher_filter", (s: SparkSession, dir: String) => {
       graft.ops.Curation.gopherFilter(docs(s, dir), "doc_id", "text",
         graft.ops.Curation.GopherRules(minWords = 30))

@@ -216,4 +216,78 @@ object Curation {
     }
     df.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
   }
+
+  // ------------------------------------------------- URL curation
+
+  /** Tracking query parameters dropped by [[urlNormalize]] (public
+    * convention: C4/crawl-dedup pipelines strip click-tracking params
+    * before URL-level dedup). Matched against the `key=` prefix. */
+  val TrackingParams: Seq[String] = Seq("utm_", "gclid", "fbclid", "msclkid")
+
+  /** Canonicalize an absolute `scheme://host...` URL for URL-level dedup
+    * — the step crawl pipelines run BEFORE content dedup so trivially
+    * aliased pages collapse (Raffel et al. 2020 §2.2 dedupes at the URL
+    * level; Common Crawl publishes canonical-URL guidance). Rules, in
+    * order:
+    *
+    *  1. scheme and host lowercase; leading `www.` dropped
+    *  2. default ports dropped (`:80` for http, `:443` for https)
+    *  3. fragment dropped
+    *  4. tracking params ([[TrackingParams]]) dropped; surviving query
+    *     params sorted by full `key=value` text (stable, engine-neutral)
+    *  5. trailing `/` dropped from non-root paths; empty path → `/`
+    *
+    * Pure codegen'd Column algebra (regexp extracts + one array
+    * filter/sort fold) — a 10^12-row canonicalization pass is one
+    * projection, and the DuckDB oracle replays every rule with the same
+    * regexes (q_url_normalize). Input must carry an explicit scheme —
+    * schemeless rows come back null (quarantine them upstream). */
+  def urlNormalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val hostPort = regexp_extract(noFrag, "^([^/?]*)", 1)
+    val pathQuery = regexp_replace(noFrag, "^[^/?]*", "")
+    val host = regexp_replace(
+      lower(regexp_extract(hostPort, "^([^:]*)", 1)), "^www\\.", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(pathQuery, "^([^?]*)", 1)
+    val path = when(length(path0) > 1, regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val query0 = regexp_extract(pathQuery, "\\?(.*)$", 1)
+    val live = filter(split(query0, "&"), p =>
+      p =!= "" && !TrackingParams.map(t => p.startsWith(t)).reduce(_ || _))
+    val q = array_join(array_sort(live), "&")
+    when(scheme === "", lit(null).cast("string")).otherwise(concat(
+      scheme, lit("://"), host, keepPort,
+      when(path === "", lit("/")).otherwise(path),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /** Registrable host of a normalized URL (the per-domain grouping key for
+    * [[domainStats]]/[[domainFilter]]). */
+  def hostOf(url: Column): Column =
+    regexp_extract(urlNormalize(url), "^[a-z][a-z0-9+.-]*://([^/:?]*)", 1)
+
+  /** Per-domain corpus profile: doc count + mean doc size — the table a
+    * curator eyeballs (or thresholds) to build a blocklist. One keyed
+    * aggregation with map-side partial combine. */
+  def domainStats(df: DataFrame, urlCol: String, sizeCol: String): DataFrame =
+    df.select(hostOf(col(urlCol)).as("host"), col(sizeCol).cast("double").as("sz"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("docs"), round(avg("sz"), 4).as("mean_size"))
+
+  /** Drop documents whose host appears in a blocklist (C4's badlist step).
+    * The blocklist is small by nature → broadcast LEFT ANTI join; the
+    * corpus side never shuffles. */
+  def domainFilter(df: DataFrame, urlCol: String,
+      blocklist: DataFrame, blockHostCol: String): DataFrame =
+    df.withColumn("_host", hostOf(col(urlCol)))
+      .join(broadcast(blocklist.select(col(blockHostCol).as("_host")).distinct()),
+        Seq("_host"), "left_anti")
+      .drop("_host")
 }

@@ -386,4 +386,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
   }
+
+  // ----------------------------------------------------- line-level dedup
+
+  /** Corpus-wide LINE-level dedup (RefinedWeb §G.2 / CCNet paragraph
+    * dedup): a line whose trimmed text appears in more than `maxDocs`
+    * DISTINCT documents is boilerplate (nav bars, cookie banners, footers)
+    * and is removed from EVERY document; everything else keeps its
+    * original order. Returns (idCol, text_dedup, n_lines_kept,
+    * n_lines_removed) — one row per input document, blank lines pass
+    * through untouched (they carry no boilerplate signal and removing
+    * them would splice unrelated lines together).
+    *
+    * Plan shape (two keyed shuffles, no all-pairs anything):
+    *   1. posexplode lines → group by md5(trimmed line) with a distinct
+    *      (hash, doc) pre-aggregate → the over-threshold hash set. Lines
+    *      shuffle as 16-byte md5 keys, never as text. The banned set is
+    *      joined back LEFT ANTI (AQE broadcasts it when it is small, which
+    *      boilerplate sets are; no broadcast is forced because "lines
+    *      repeated across >maxDocs docs" is unbounded in principle).
+    *   2. group survivors by document, sort_array on line position,
+    *      re-join with '\n'.
+    *
+    * md5 (not xxhash64) is the group key so the DuckDB oracle can replay
+    * the exact same keying (q_dedup_lines). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocs: Int): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1))
+        .as(Seq("line_no", "line")))
+    val keyed = lines.withColumn("lk",
+      when(trim(col("line")) === "", lit(null).cast("string"))
+        .otherwise(md5(trim(col("line")))))
+    val banned = keyed.filter(col("lk").isNotNull)
+      .select(col("lk"), col(idCol)).distinct()
+      .groupBy("lk").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select("lk")
+    val kept = keyed.join(banned, Seq("lk"), "left_anti")
+    val total = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_total"))
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("line_no"), col("line"))))
+        .as("ls"))
+      .select(col(idCol),
+        array_join(transform(col("ls"), l => l("line")), "\n").as("text_dedup"),
+        size(col("ls")).cast("long").as("n_lines_kept"))
+    // LEFT from totals: a document whose every line was boilerplate
+    // survives as an empty string (downstream length filters drop it
+    // explicitly, not silently)
+    total.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("n_lines_total") -
+          coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed"))
+  }
 }

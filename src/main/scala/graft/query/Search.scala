@@ -1,0 +1,112 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analyzer
+
+/** Result-shaping and query-expansion operators over a scored result set
+  * or the corpus term dictionary — the query-side features a Data Prepper
+  * deployment gets from OpenSearch's search API (`collapse`, `fuzziness`,
+  * `more_like_this`) and therefore part of the replace-the-stack surface,
+  * reference `opensearch/.../OpenSearchSink.java:63` being the hand-off
+  * point where the reference stops and OpenSearch takes over.
+  *
+  * All three are plain Catalyst plans: one keyed window (collapse), one
+  * pruned dictionary scan (fuzzy), two aggregations + a scorer reuse
+  * (more-like-this). Nothing here materializes candidate result sets on
+  * the driver.
+  */
+object Search {
+
+  /** Field-collapse top-k (OpenSearch `collapse`): keep the best `perKey`
+    * rows per collapse key (e.g. host — one result per site), then the
+    * global top `k` by score. Tie-break on ascending id, the engine's
+    * rank-stability convention.
+    *
+    * Plan: one window over the collapse key (keyed shuffle; at 10¹² docs
+    * the scored set entering collapse is already ≤ shards×k from the
+    * WAND/top-k stage, so the window input is small by construction) +
+    * a global TakeOrderedAndProject. */
+  def collapseTopK(scored: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, k: Int, perKey: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(desc(scoreCol), col(idCol))
+    scored.withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= perKey)
+      .drop("_rnk")
+      .orderBy(desc(scoreCol), col(idCol))
+      .limit(k)
+  }
+
+  /** Fuzzy term expansion (OpenSearch `fuzziness`): dictionary terms
+    * within Levenshtein distance `maxDist` of the query term, with their
+    * distance. The length pre-filter is exact-preserving (an edit
+    * distance of d cannot change length by more than d), so Catalyst
+    * prunes most of the dictionary before the O(len²) comparison runs.
+    * `dict` is the (term, …) dictionary — `IndexReader` metadata or a
+    * distinct-token aggregate; either way ≪ corpus size. */
+  def fuzzyExpand(dict: DataFrame, termCol: String, query: String,
+      maxDist: Int = 1): DataFrame = {
+    val q = Analyzer.lowerLikeCatalyst(query)
+    dict
+      .filter(abs(length(col(termCol)) - lit(q.length)) <= maxDist)
+      .withColumn("dist", levenshtein(col(termCol), lit(q)))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Fuzzy-expanded BM25 top-k: expand each query term against the corpus
+    * dictionary ([[fuzzyExpand]]), then score the UNION of surviving
+    * terms with the standard BM25 scorer. OpenSearch semantics: an
+    * expanded term scores with its own document frequency. The expansion
+    * is collected to the driver — it is query construction (bounded by
+    * the dictionary slice within edit distance, tiny by nature), not a
+    * data move. */
+  def fuzzyTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, maxDist: Int = 1): DataFrame = {
+    val dict = Analyzer.tokens(docs, idCol, textCol).select("term").distinct()
+    val expanded = queryTerms.flatMap { t =>
+      fuzzyExpand(dict, "term", t, maxDist)
+        .select("term").collect().map(_.getString(0))
+    }.distinct.sorted
+    if (expanded.isEmpty) docs.sparkSession.emptyDataFrame
+    else BruteForce.scoreAll(docs, idCol, textCol, expanded)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", idCol)
+  }
+
+  /** The `more_like_this` query-term selection: the source document's top
+    * `m` terms ranked by (tf desc, df asc, term asc) — most frequent in
+    * the document, rarest in the corpus. Integer-only sort keys keep the
+    * selection bit-stable across engines (a float tf·idf rank would tie-
+    * break on last-ulp noise). Returns (term, tf, df). */
+  def moreLikeThisTerms(docs: DataFrame, idCol: String, textCol: String,
+      docId: Long, m: Int): DataFrame = {
+    val toks = Analyzer.tokens(docs, idCol, textCol)
+    val tf = toks.filter(col(idCol) === docId)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val df = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .orderBy(desc("tf"), col("df"), col("term"))
+      .limit(m)
+  }
+
+  /** More-like-this top-k: BM25 over [[moreLikeThisTerms]], source doc
+    * excluded. The m query terms are collected (query construction,
+    * m ≤ a few dozen). */
+  def moreLikeThisTopK(docs: DataFrame, idCol: String, textCol: String,
+      docId: Long, m: Int, k: Int): DataFrame = {
+    val terms = moreLikeThisTerms(docs, idCol, textCol, docId, m)
+      .select("term").collect().map(_.getString(0)).toSeq.sorted
+    BruteForce.scoreAll(docs, idCol, textCol, terms)
+      .filter(col("docId") =!= docId)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", idCol)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.query
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analyzer
+
+/** Snippet / highlight generation over the analyzer's token stream — the
+  * `highlight` half of the search API a reference deployment gets from
+  * OpenSearch (the reference itself stops at the sink hand-off,
+  * `opensearch/.../OpenSearchSink.java:63`).
+  *
+  * Definition (deterministic, engine-neutral): candidate windows are the
+  * `w` consecutive tokens starting at each QUERY-TERM match position (an
+  * optimal fixed-width window always starts at a match); a window's score
+  * is its count of DISTINCT matched query terms; best window = highest
+  * score, earliest start on ties. The snippet is the window's tokens
+  * space-joined with every query-term occurrence wrapped in `<em>…</em>`.
+  * Documents with no match yield a null snippet.
+  *
+  * Pure Column algebra (no UDF, no shuffle): one projection per document,
+  * so highlighting rides the result page's plan for free. The
+  * higher-order functions evaluate interpreted and re-derive the token
+  * array per reference (the Dedup.shingles caveat), so for serving-path
+  * use hand the function a MATERIALIZED tokens column
+  * ([[snippetFromTokens]]) — top-k pages are ≤ k rows, making even the
+  * interpreted form sub-millisecond. */
+object Snippets {
+
+  /** Best-window snippet of `text` for `terms` (see object doc). */
+  def snippet(text: Column, terms: Seq[String], w: Int): Column =
+    snippetFromTokens(Analyzer.tokensCol(text), terms, w)
+
+  /** Count of distinct query terms in the chosen best window. */
+  def snippetTermCount(text: Column, terms: Seq[String], w: Int): Column =
+    bestWindow(Analyzer.tokensCol(text), terms, w)._2
+
+  private def termsLit(terms: Seq[String]): Column =
+    array(terms.distinct.sorted.map(t =>
+      lit(Analyzer.lowerLikeCatalyst(t))): _*)
+
+  /** (bestStart0Based, bestCount) for the token array; (null, 0) when no
+    * term matches. */
+  private def bestWindow(toks: Column, terms: Seq[String],
+      w: Int = 0): (Column, Column) = {
+    val ts = termsLit(terms)
+    val n = size(toks)
+    val starts = filter(sequence(lit(0), n - 1),
+      i => array_contains(ts, element_at(toks, i + 1)))
+    val width = if (w > 0) lit(w) else lit(Int.MaxValue)
+    val cnts = transform(starts, s =>
+      size(array_distinct(filter(slice(toks, s + 1, width),
+        t => array_contains(ts, t)))))
+    val best = when(size(starts) > 0,
+      element_at(starts, array_position(cnts, array_max(cnts)).cast("int")))
+    (best, coalesce(array_max(cnts), lit(0)))
+  }
+
+  /** [[snippet]] over an already-materialized token-array column. */
+  def snippetFromTokens(toks: Column, terms: Seq[String], w: Int): Column = {
+    val ts = termsLit(terms)
+    val (best, _) = bestWindow(toks, terms, w)
+    when(best.isNotNull,
+      array_join(
+        transform(slice(toks, best + 1, w), t =>
+          when(array_contains(ts, t), concat(lit("<em>"), t, lit("</em>")))
+            .otherwise(t)),
+        " "))
+  }
+}

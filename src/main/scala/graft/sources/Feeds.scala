@@ -94,4 +94,59 @@ object Feeds {
       .withColumn("item_pub_date", col("_item")("pubDate"))
       .drop("_item", xmlCol)
   }
+
+  // ------------------------------------------------------------------
+  // CloudWatch Logs subscription-filter payload (the public AWS format a
+  // Kinesis/Firehose subscription delivers: gzip-compressed JSON with
+  // messageType/owner/logGroup/logStream/subscriptionFilters/logEvents).
+  // The reference ingests these through its kinesis source
+  // (kinesis-source/.../KinesisSource.java:44) and polls metrics via SDK
+  // (cloudwatch-metrics-source/.../CloudwatchMetricsWorker.java:136) —
+  // both network loops are out of batch scope, but the payload decode is
+  // the part that carries semantics, same split as prometheus/rss above.
+  // ------------------------------------------------------------------
+
+  private val CwSchema =
+    """messageType STRING, owner STRING, logGroup STRING, logStream STRING,
+      |subscriptionFilters ARRAY<STRING>,
+      |logEvents ARRAY<STRUCT<id: STRING, timestamp: LONG, message: STRING>>
+      |""".stripMargin
+
+  /** gunzip kernel (documented UDF seam — java.util.zip has no Column
+    * form; same contract as pipeline Decompress: corrupt → null). */
+  private val gunzip = udf { (bytes: Array[Byte]) =>
+    if (bytes == null) null
+    else try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var r = in.read(buf)
+      while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } catch { case _: Exception => null }
+  }
+
+  /** Decode a binary column of gzipped CloudWatch Logs subscription
+    * payloads into one row per log event: `owner`, `log_group`,
+    * `log_stream`, `event_id`, `ts_ms`, `message`, `event_pos`.
+    * CONTROL_MESSAGE payloads (the subscription handshake) and corrupt
+    * gzip/JSON rows are dropped — the quarantine contract is upstream's
+    * (`from_json` null-channel), exactly like the reference's codec path.
+    * One decode projection + one explode; no shuffle. */
+  def cloudwatchSubscription(df: DataFrame, bytesCol: String): DataFrame = {
+    val p = from_json(gunzip(col(bytesCol)), CwSchema, Map.empty[String, String])
+    df.withColumn("_cw", p)
+      .where(col("_cw").isNotNull &&
+        col("_cw")("messageType") === "DATA_MESSAGE")
+      .select(df.columns.filter(_ != bytesCol).map(col).toSeq ++ Seq(
+        col("_cw")("owner").as("owner"),
+        col("_cw")("logGroup").as("log_group"),
+        col("_cw")("logStream").as("log_stream"),
+        posexplode(col("_cw")("logEvents")).as(Seq("event_pos", "_ev"))): _*)
+      .withColumn("event_id", col("_ev")("id"))
+      .withColumn("ts_ms", col("_ev")("timestamp"))
+      .withColumn("message", col("_ev")("message"))
+      .drop("_ev")
+  }
 }

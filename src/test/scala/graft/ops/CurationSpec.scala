@@ -151,4 +151,45 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[String]("redacted") == "[SSN] and [IP]")
     assert(r.getAs[Long]("n_phone") == 0L)
   }
+
+  test("urlNormalize: every canonicalization rule, hand-checked") {
+    import spark.implicits._
+    val cases = Seq(
+      // case fold + www strip + default https port + fragment
+      ("HTTPS://WWW.Ex.COM:443/A/B/#x", "https://ex.com/A/B"),
+      // http default port; root path slash preserved
+      ("http://ex.com:80/", "http://ex.com/"),
+      // empty path becomes /
+      ("https://ex.com", "https://ex.com/"),
+      // non-default port kept
+      ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+      // tracking params dropped, survivors sorted by key=value text
+      ("https://ex.com/p?utm_source=a&z=1&a=2&gclid=g&fbclid=f&msclkid=m",
+        "https://ex.com/p?a=2&z=1"),
+      // all params tracking → no query at all
+      ("https://ex.com/p?utm_medium=x", "https://ex.com/p"),
+      // path case preserved, trailing slash stripped off non-root
+      ("https://ex.com/CaseSensitive/", "https://ex.com/CaseSensitive"))
+    val got = Curation.urlNormalize($"u")
+    val out = cases.map(_._1).toDF("u").select(got).as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, g) =>
+      assert(g == want, s"want $want got $g")
+    }
+    // schemeless input → null (quarantine upstream)
+    val bad = Seq("ex.com/p", "//ex.com").toDF("u").select(got).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
+  test("domainFilter drops blocklisted hosts via broadcast anti-join") {
+    import spark.implicits._
+    val d = Seq((1L, "https://a.com/x"), (2L, "https://www.B.com/y"),
+      (3L, "https://c.com/z")).toDF("id", "url")
+    val block = Seq("b.com").toDF("host")
+    val kept = Curation.domainFilter(d, "url", block, "host")
+      .select("id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L)))
+    val plan = Curation.domainFilter(d, "url", block, "host")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
 }
