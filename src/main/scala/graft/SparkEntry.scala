@@ -1494,6 +1494,130 @@ object SparkEntry {
               | round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean_size
               |FROM documents GROUP BY 1""".stripMargin)),
 
+    ("q_dedup_lines", (s: SparkSession, dir: String) => {
+      // multi-line pages synthesized from the corpus (documents carry no
+      // newlines): a shared footer in every page, a header shared by
+      // doc_id % 7, the document body between them. maxDocs=40 bans the
+      // footer (500 docs) and each header (~71) but not unique bodies.
+      val id = col("doc_id")
+      val page = concat(lit("header "), (id % 7).cast("string"), lit("\n"),
+        col("text"), lit("\n"), lit("shared footer line"))
+      graft.ops.Dedup.dedupLines(
+        docs(s, dir).select(id, page.as("page")), "doc_id", "page",
+        maxDocs = 40)
+    }, Some(dedupLinesSql(maxDocs = 40))),
+
+    ("q_cloudwatch_logs", (s: SparkSession, dir: String) => {
+      // analytic fixture: each event row becomes one gzipped CloudWatch
+      // Logs subscription payload with two log events derived closed-form
+      // from event_id, plus one CONTROL_MESSAGE row the decoder must drop;
+      // the oracle recomputes the decoded rows from events directly.
+      val e = events(s, dir)
+      val payload = to_json(struct(
+        lit("DATA_MESSAGE").as("messageType"),
+        lit("123456789012").as("owner"),
+        concat(lit("/g/"), col("event_type")).as("logGroup"),
+        concat(lit("s-"), (col("event_id") % 8).cast("string")).as("logStream"),
+        array(lit("f")).as("subscriptionFilters"),
+        array(
+          struct(concat(lit("a-"), col("event_id").cast("string")).as("id"),
+            (col("event_id") * 1000 + 1).as("timestamp"),
+            concat(lit("msg "), col("event_type")).as("message")),
+          struct(concat(lit("b-"), col("event_id").cast("string")).as("id"),
+            (col("event_id") * 1000 + 2).as("timestamp"),
+            lit("second").as("message"))).as("logEvents")))
+      val ctrl = lit("""{"messageType":"CONTROL_MESSAGE","owner":"o","logGroup":"g","logStream":"s","subscriptionFilters":[],"logEvents":[]}""")
+      val fixture = e.select(col("event_id").as("src_id"),
+          gzipUdf(when(col("event_id") % 97 === 0, ctrl).otherwise(payload))
+            .as("payload"))
+      graft.sources.Feeds.cloudwatchSubscription(fixture, "payload")
+    }, Some(
+      """SELECT event_id AS src_id, '123456789012' AS owner,
+        | '/g/' || event_type AS log_group,
+        | 's-' || (event_id % 8) AS log_stream,
+        | u.pos AS event_pos,
+        | CASE WHEN u.pos = 0 THEN 'a-' || event_id ELSE 'b-' || event_id END AS event_id,
+        | CAST(event_id * 1000 + u.pos + 1 AS BIGINT) AS ts_ms,
+        | CASE WHEN u.pos = 0 THEN 'msg ' || event_type ELSE 'second' END AS message
+        |FROM events, LATERAL (SELECT CAST(unnest([0, 1]) AS INT) AS pos) u
+        |WHERE event_id % 97 <> 0""".stripMargin)),
+
+    ("q_collapse_topk", (s: SparkSession, dir: String) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        concat(lit("host"), (col("doc_id") % 13).cast("string")).as("host"),
+        round(col("n_chars").cast("double") / 7.0, 4).as("score"))
+      graft.query.Search.collapseTopK(scored, "host", "score", "doc_id",
+        k = 20, perKey = 2)
+    }, Some(
+      """WITH scored AS (SELECT doc_id, 'host' || (doc_id % 13) AS host,
+        |  round(CAST(n_chars AS DOUBLE) / 7.0, 4) AS score FROM documents),
+        | r AS (SELECT *, row_number() OVER
+        |   (PARTITION BY host ORDER BY score DESC, doc_id) AS rnk FROM scored)
+        |SELECT doc_id, host, score FROM r WHERE rnk <= 2
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    ("q_fuzzy_expand", (s: SparkSession, dir: String) => {
+      // the synthetic corpus vocabulary has no natural distance-1
+      // neighbors, so the dictionary fixture adds deterministic variants
+      // (first char dropped, plural) — the expansion must hit exactly the
+      // distance ≤ 1 slice of that enlarged dictionary
+      val base = Analyzer.tokens(docs(s, dir), "doc_id", "text")
+        .select("term").distinct()
+      val dict = base
+        .union(base.select(expr("substring(term, 2)").as("term")))
+        .union(base.select(concat(col("term"), lit("s")).as("term")))
+        .distinct().filter(col("term") =!= "")
+      graft.query.Search.fuzzyExpand(dict, "term", "scan", maxDist = 1)
+    }, Some(
+      s"""WITH toks AS (SELECT DISTINCT unnest($tokSql) AS term FROM documents),
+         | dict AS (SELECT DISTINCT term FROM (
+         |   SELECT term FROM toks
+         |   UNION ALL SELECT substr(term, 2) AS term FROM toks
+         |   UNION ALL SELECT term || 's' AS term FROM toks)
+         |  WHERE term <> '')
+         |SELECT term, CAST(levenshtein(term, 'scan') AS INT) AS dist
+         |FROM dict WHERE abs(length(term) - 4) <= 1
+         |  AND levenshtein(term, 'scan') <= 1""".stripMargin)),
+
+    ("q_mlt_terms", (s: SparkSession, dir: String) => {
+      graft.query.Search.moreLikeThisTerms(docs(s, dir), "doc_id", "text",
+        docId = 42L, m = 10)
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         | tf AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 42 GROUP BY 1),
+         | df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+         |SELECT term, tf, df FROM tf JOIN df USING (term)
+         |ORDER BY tf DESC, df, term LIMIT 10""".stripMargin)),
+
+    ("q_mlt_topk", (s: SparkSession, dir: String) => {
+      graft.query.Search.moreLikeThisTopK(docs(s, dir), "doc_id", "text",
+        docId = 42L, m = 8, k = 10)
+    }, Some(mltTopKSql(docId = 42L, m = 8, k = 10))),
+
+    ("q_snippets", (s: SparkSession, dir: String) => {
+      val terms = Seq("spark", "window", "merge")
+      docs(s, dir).select(col("doc_id"),
+        graft.query.Snippets.snippet(col("text"), terms, 8).as("snippet"),
+        graft.query.Snippets.snippetTermCount(col("text"), terms, 8)
+          .as("n_terms"))
+    }, Some(snippetSql(Seq("spark", "window", "merge"), w = 8))),
+
+    ("q_bpe_encode", (s: SparkSession, dir: String) => {
+      val enc = graft.ops.Bpe.encodeCol(col("term"), BpeFixedMerges)
+      Analyzer.tokens(docs(s, dir), "doc_id", "text")
+        .select("term").distinct()
+        .select(col("term"), concat_ws(" ", enc).as("bpe"),
+          size(enc).as("n_subwords"))
+    }, Some(bpeEncodeSql(BpeFixedMerges))),
+
+    ("q_bpe_train", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val merges = graft.ops.Bpe.train(docs(s, dir), "text", numMerges = 8)
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "merge_left", "merge_right")
+    }, Some(bpeTrainSql(numMerges = 8))),
+
     ("q_gopher_filter", (s: SparkSession, dir: String) => {
       graft.ops.Curation.gopherFilter(docs(s, dir), "doc_id", "text",
         graft.ops.Curation.GopherRules(minWords = 30))
@@ -1789,6 +1913,164 @@ object SparkEntry {
        |   (CAST(ptf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / stats.avgdl)))), 4) AS score
        |FROM ptfs, stats WHERE ptf > 0
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Fixture-side gzip (the decode path under test is
+    * [[graft.sources.Feeds.cloudwatchSubscription]]'s gunzip). */
+  private val gzipUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      g.close()
+      bo.toByteArray
+    }
+  }
+
+  /** DuckDB replay of [[graft.ops.Dedup.dedupLines]] over the synthesized
+    * header/body/footer pages: same md5-of-trimmed-line keying, same
+    * distinct-docs threshold, same order-preserving reassembly. */
+  private def dedupLinesSql(maxDocs: Int): String =
+    s"""WITH pages AS (
+       |  SELECT doc_id, 'header ' || (doc_id % 7) || chr(10) || text ||
+       |    chr(10) || 'shared footer line' AS page FROM documents),
+       | lines AS (
+       |  SELECT doc_id, u.ord - 1 AS line_no,
+       |    string_split(page, chr(10))[u.ord] AS line
+       |  FROM pages, LATERAL (SELECT unnest(generate_series(1,
+       |    len(string_split(page, chr(10))))) AS ord) u),
+       | keyed AS (SELECT doc_id, line_no, line,
+       |   CASE WHEN trim(line) = '' THEN NULL ELSE md5(trim(line)) END AS lk
+       |   FROM lines),
+       | banned AS (
+       |   SELECT lk FROM (SELECT DISTINCT lk, doc_id FROM keyed
+       |     WHERE lk IS NOT NULL)
+       |   GROUP BY lk HAVING count(*) > $maxDocs),
+       | kept AS (SELECT * FROM keyed
+       |   WHERE lk IS NULL OR lk NOT IN (SELECT lk FROM banned)),
+       | tot AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY 1),
+       | re AS (SELECT doc_id,
+       |   string_agg(line, chr(10) ORDER BY line_no) AS text_dedup,
+       |   count(*) AS n_kept FROM kept GROUP BY 1)
+       |SELECT t.doc_id, coalesce(re.text_dedup, '') AS text_dedup,
+       | CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       | CAST(t.n_total - coalesce(re.n_kept, 0) AS BIGINT) AS n_lines_removed
+       |FROM tot t LEFT JOIN re USING (doc_id)""".stripMargin
+
+  /** DuckDB replay of more-like-this top-k: term selection (tf desc, df
+    * asc, term asc — integer-only keys) feeding the standard BM25 replay
+    * with the source document excluded from results (but not from corpus
+    * statistics, matching BruteForce.scoreAll). */
+  private def mltTopKSql(docId: Long, m: Int, k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       | mtf AS (SELECT term, count(*) AS tf FROM toks
+       |   WHERE doc_id = $docId GROUP BY 1),
+       | mdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       | mlt AS (SELECT term FROM mtf JOIN mdf USING (term)
+       |   ORDER BY tf DESC, df, term LIMIT $m),
+       | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |   WHERE term IN (SELECT term FROM mlt) GROUP BY 1, 2),
+       | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | scored AS (
+       |  SELECT tf.doc_id,
+       |   ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+       |        / (CAST(df.df AS DOUBLE) + 0.5))
+       |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+       |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |        / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
+       |SELECT doc_id, round(sum(s), 4) AS score FROM scored
+       |WHERE doc_id <> $docId GROUP BY 1
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** DuckDB replay of [[graft.query.Snippets]]: same candidate starts
+    * (match positions), same distinct-terms-in-window score, same
+    * first-max tie-break, same highlight markup. */
+  private def snippetSql(terms0: Seq[String], w: Int): String = {
+    val terms = terms0.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val ts = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | c AS (SELECT doc_id, l,
+       |   list_filter(generate_series(0, len(l) - 1),
+       |     i -> list_contains($ts, l[i + 1])) AS starts FROM t),
+       | d AS (SELECT doc_id, l, starts,
+       |   list_transform(starts, s -> len(list_distinct(
+       |     list_filter(l[s + 1 : s + $w], x -> list_contains($ts, x)))))
+       |   AS cnts FROM c),
+       | e AS (SELECT doc_id, l,
+       |   CASE WHEN len(starts) > 0
+       |     THEN starts[list_position(cnts, list_max(cnts))] END AS best,
+       |   CAST(coalesce(list_max(cnts), 0) AS INT) AS n_terms FROM d)
+       |SELECT doc_id,
+       | CASE WHEN best IS NOT NULL THEN array_to_string(
+       |   list_transform(l[best + 1 : best + $w],
+       |     x -> CASE WHEN list_contains($ts, x)
+       |          THEN '<em>' || x || '</em>' ELSE x END), ' ') END AS snippet,
+       | n_terms FROM e""".stripMargin
+  }
+
+  /** Fixed BPE merge table for the encode oracle — training-consistent
+    * (each merge's operands are single chars or outputs of strictly
+    * earlier merges; no later output collides with an earlier operand),
+    * so the rank-order replace chain IS the classic BPE apply. */
+  private lazy val BpeFixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("s", "c"), ("sc", "an"),
+    ("o", "r"), ("e", "r"), ("w", "i"), ("n", "d"), ("wi", "nd"),
+    ("s", "p"), ("sp", "a"), ("r", "k"), ("spa", "rk"), ("m", "e"),
+    ("r", "g"))
+
+  /** DuckDB replay of [[graft.ops.Bpe.encodeCol]] under a literal merge
+    * table: sentinel-char symbolization via the same regexp, one
+    * `replace` per merge in rank order, sentinel strip. */
+  private def bpeEncodeSql(merges: Seq[(String, String)]): String = {
+    val chain = merges.foldLeft(
+      "rtrim(regexp_replace(term, '(.)', chr(1) || '\\1' || ' ', 'g'))") {
+      case (acc, (l, r)) =>
+        s"replace($acc, chr(1) || '$l ' || chr(1) || '$r', chr(1) || '$l$r')"
+    }
+    s"""WITH toks AS (SELECT DISTINCT unnest($tokSql) AS term FROM documents),
+       | sk AS (SELECT term, $chain AS sym FROM toks)
+       |SELECT term, replace(sym, chr(1), '') AS bpe,
+       | CAST(len(string_split(sym, ' ')) AS INT) AS n_subwords FROM sk""".stripMargin
+  }
+
+  /** DuckDB replay of the ENTIRE [[graft.ops.Bpe.train]] loop: the
+    * word-frequency table, per-iteration weighted adjacent-pair counts,
+    * the (cnt desc, left, right) argmax and the merge rewrite are unrolled
+    * as one CTE level per merge — an independent re-derivation of every
+    * learned merge, not a fixture replay. */
+  private def bpeTrainSql(numMerges: Int): String = {
+    val levels = (1 to numMerges).map { i =>
+      s""",
+         | p$i AS (
+         |   SELECT (s).l AS l, (s).r AS r, sum(freq) AS cnt FROM (
+         |     SELECT unnest(list_transform(
+         |        generate_series(1, len(string_split(sym, ' ')) - 1),
+         |        i -> struct_pack(l := string_split(sym, ' ')[i],
+         |                         r := string_split(sym, ' ')[i + 1]))) AS s,
+         |        freq
+         |     FROM w${i - 1} WHERE len(string_split(sym, ' ')) >= 2)
+         |   GROUP BY 1, 2),
+         | m$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         | w$i AS (SELECT replace(sym, m$i.l || ' ' || m$i.r,
+         |     m$i.l || substr(m$i.r, 2)) AS sym, freq
+         |   FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString
+    val out = (1 to numMerges).map { i =>
+      s"SELECT CAST(${i - 1} AS INT) AS rank, " +
+        s"substr((SELECT l FROM m$i), 2) AS merge_left, " +
+        s"substr((SELECT r FROM m$i), 2) AS merge_right"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT rtrim(regexp_replace(term, '(.)', chr(1) || '\\1' || ' ', 'g')) AS sym,
+       |         count(*) AS freq
+       |  FROM (SELECT unnest($tokSql) AS term FROM documents)
+       |  GROUP BY 1)$levels
+       |$out
+       |ORDER BY rank""".stripMargin
   }
 
   private def bm25Sql(terms0: Seq[String], k: Int,

@@ -45,7 +45,12 @@ object Snippets {
       w: Int = 0): (Column, Column) = {
     val ts = termsLit(terms)
     val n = size(toks)
-    val starts = filter(sequence(lit(0), n - 1),
+    // guard: sequence(0, -1) would generate a DESCENDING sequence (and
+    // element_at(toks, 0) errors), so empty/null token arrays short-circuit
+    // to an empty candidate list → null snippet
+    val idxs = when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(array().cast("array<int>"))
+    val starts = filter(idxs,
       i => array_contains(ts, element_at(toks, i + 1)))
     val width = if (w > 0) lit(w) else lit(Int.MaxValue)
     val cnts = transform(starts, s =>
@@ -62,7 +67,7 @@ object Snippets {
     val (best, _) = bestWindow(toks, terms, w)
     when(best.isNotNull,
       array_join(
-        transform(slice(toks, best + 1, w), t =>
+        transform(slice(toks, best + 1, lit(w)), t =>
           when(array_contains(ts, t), concat(lit("<em>"), t, lit("</em>")))
             .otherwise(t)),
         " "))

@@ -173,6 +173,45 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     intercept[IllegalArgumentException](Dedup.simHash($"text", "sha9000"))
   }
+
+  test("dedupLines removes corpus-frequent lines, keeps order, survives full-ban") {
+    import spark.implicits._
+    // footer in all 6 docs, header in 3, body unique per doc
+    val d = (1 to 6).map { i =>
+      val header = if (i <= 3) "shared header" else s"rare header $i"
+      (i.toLong, s"$header\nbody line $i\n\ncommon footer")
+    }.toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "doc_id", "text", maxDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 6)
+    // doc 1: shared header (3 docs > 2) and footer (6 > 2) banned;
+    // blank line survives (exempt)
+    assert(out(0).getAs[String]("text_dedup") == "body line 1\n")
+    assert(out(0).getAs[Long]("n_lines_removed") == 2L)
+    // doc 4: rare header survives
+    assert(out(3).getAs[String]("text_dedup") == "rare header 4\nbody line 4\n")
+    assert(out(3).getAs[Long]("n_lines_kept") == 3L)
+  }
+
+  test("dedupLines: document whose every line is banned survives as empty") {
+    import spark.implicits._
+    val d = ((1 to 5).map(i => (i.toLong, "only line")) :+ (9L, "keep me"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "doc_id", "text", maxDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 6)
+    assert(out(0).getAs[String]("text_dedup") == "")
+    assert(out(0).getAs[Long]("n_lines_kept") == 0L)
+    assert(out(5).getAs[String]("text_dedup") == "keep me")
+  }
+
+  test("dedupLines counts DISTINCT docs: in-doc repetition does not ban") {
+    import spark.implicits._
+    val d = Seq((1L, "x\nx\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "doc_id", "text", maxDocs = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_dedup") == "x\nx\nx\nx")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -367,4 +406,5 @@ class MultimodalSpec extends AnyFunSuite {
       assert(idxs == (0 until n by 30).toSeq)
     }
   }
+
 }

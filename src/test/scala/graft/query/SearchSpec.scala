@@ -1,0 +1,72 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SearchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark engine spark engine spark", "a.com"),
+    (2L, "spark engine once", "a.com"),
+    (3L, "spark spark spark spark", "b.com"),
+    (4L, "engine only here", "b.com"),
+    (5L, "nothing relevant", "c.com")).toDF("doc_id", "text", "host")
+
+  test("collapseTopK: best perKey rows per key, then global top-k") {
+    val scored = Seq(
+      (1L, "a.com", 9.0), (2L, "a.com", 8.0), (3L, "a.com", 7.0),
+      (4L, "b.com", 8.5), (5L, "b.com", 3.0),
+      (6L, "c.com", 1.0)).toDF("doc_id", "host", "score")
+    val top = Search.collapseTopK(scored, "host", "score", "doc_id",
+      k = 3, perKey = 1).select("doc_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 4L, 6L)) // one per host, score order
+    val top2 = Search.collapseTopK(scored, "host", "score", "doc_id",
+      k = 4, perKey = 2).select("doc_id").as[Long].collect()
+    assert(top2.toSeq == Seq(1L, 4L, 2L, 5L))
+  }
+
+  test("collapseTopK ties break on ascending id") {
+    val scored = Seq((7L, "x", 5.0), (2L, "x", 5.0), (9L, "y", 5.0))
+      .toDF("doc_id", "host", "score")
+    val top = Search.collapseTopK(scored, "host", "score", "doc_id",
+      k = 2, perKey = 1).select("doc_id").as[Long].collect()
+    assert(top.toSeq == Seq(2L, 9L))
+  }
+
+  test("fuzzyExpand finds terms within edit distance, none beyond") {
+    val dict = Seq("spark", "spork", "sparks", "shark", "park",
+      "engine", "spa").toDF("term")
+    val got = Search.fuzzyExpand(dict, "term", "spark", maxDist = 1)
+      .orderBy("term").select("term", "dist")
+      .as[(String, Int)].collect().toSeq
+    assert(got == Seq(("park", 1), ("shark", 1), ("spark", 0),
+      ("sparks", 1), ("spork", 1)))
+  }
+
+  test("fuzzyTopK scores the union of expansions; misspelled query still hits") {
+    val top = Search.fuzzyTopK(docs, "doc_id", "text",
+      Seq("sprak"), k = 3, maxDist = 2) // within 2 of "spark"
+    val ids = top.select("doc_id").as[Long].collect()
+    assert(ids.contains(3L) && ids.contains(1L))
+  }
+
+  test("moreLikeThisTerms ranks by tf desc, df asc, term asc") {
+    val terms = Search.moreLikeThisTerms(docs, "doc_id", "text", 1L, m = 2)
+      .select("term").as[String].collect().toSeq
+    // doc 1: spark tf=3, engine tf=2
+    assert(terms == Seq("spark", "engine"))
+  }
+
+  test("moreLikeThisTopK excludes the source doc and ranks similars first") {
+    val top = Search.moreLikeThisTopK(docs, "doc_id", "text", 1L, m = 2, k = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(!top.contains(1L))
+    assert(top.head == 3L || top.head == 2L)
+    assert(!top.contains(5L))
+  }
+}

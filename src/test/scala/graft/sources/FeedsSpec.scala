@@ -109,4 +109,33 @@ class FeedsSpec extends AnyFunSuite {
     assert(child.getAs[String]("scopeName") == "lib")
     assert(child.getAs[String]("statusCode") == "STATUS_CODE_OK")
   }
+
+  test("cloudwatchSubscription: gunzip + explode, control messages dropped") {
+    import spark.implicits._
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bo.toByteArray
+    }
+    val data = gz(
+      """{"messageType":"DATA_MESSAGE","owner":"123456789012",""" +
+        """"logGroup":"/app/web","logStream":"i-0abc","subscriptionFilters":["f1"],""" +
+        """"logEvents":[{"id":"e1","timestamp":1700000000001,"message":"GET /"},""" +
+        """{"id":"e2","timestamp":1700000000002,"message":"POST /x"}]}""")
+    val ctrl = gz("""{"messageType":"CONTROL_MESSAGE","owner":"o","logGroup":"g",""" +
+      """"logStream":"s","subscriptionFilters":[],"logEvents":[]}""")
+    val corrupt = Array[Byte](1, 2, 3)
+    val df = Seq((1L, data), (2L, ctrl), (3L, corrupt)).toDF("rec", "payload")
+    val out = graft.sources.Feeds.cloudwatchSubscription(df, "payload")
+      .orderBy("event_pos").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("log_group") == "/app/web")
+    assert(out(0).getAs[String]("log_stream") == "i-0abc")
+    assert(out(0).getAs[String]("event_id") == "e1")
+    assert(out(0).getAs[Long]("ts_ms") == 1700000000001L)
+    assert(out(0).getAs[String]("message") == "GET /")
+    assert(out(1).getAs[String]("message") == "POST /x")
+    assert(out(0).getAs[Long]("rec") == 1L) // passthrough column kept
+  }
 }
