@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.corpus.Page
+import graft.index.{IncrementalIndex, IndexBuilder, IndexParams}
+import graft.query.IndexReader
+
+/** The spark-submit deployment surface (north rule: "run via spark-submit
+  * on a multi-executor cluster"):
+  *
+  * {{{
+  * spark-submit --class graft.Cli <jar> build \
+  *   --input  /data/pages          # parquet dir of (url, warc_ts, html, text, lang)
+  *   --iceberg /data/pages_table   # …or an Iceberg table of the same shape
+  *   --index  /data/index [--buckets 16 --shard-size 4096 --block-size 128 \
+  *   --partitions 0 --positions]
+  * spark-submit --class graft.Cli <jar> query  --index /data/index --k 10 web search terms
+  * spark-submit --class graft.Cli <jar> phrase --index /data/index --k 10 exact phrase words
+  * spark-submit --class graft.Cli <jar> ingest-iceberg --iceberg /data/tbl --index /data/index
+  * spark-submit --class graft.Cli <jar> compact --index /data/index
+  * }}}
+  *
+  * Cluster sizing lives entirely in spark-submit flags (`--num-executors`
+  * etc.); nothing here depends on parallelism — docId assignment, build
+  * partitioning and query fan-out are all invariant to it
+  * (ParallelismEquivalenceSpec). `ingest-iceberg` consumes unconsumed
+  * snapshots into index generations (the reference's consume-then-stop
+  * iceberg source mode) and auto-compacts past the generation threshold.
+  */
+object Cli {
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(s"[graft] $msg")
+    sys.exit(2)
+  }
+
+  /** (flags, positional) — flags are `--key value` pairs except boolean
+    * `--positions`. */
+  private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
+    val flags = Map.newBuilder[String, String]
+    val pos = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--positions" => flags += ("positions" -> "true"); i += 1
+        case f if f.startsWith("--") =>
+          if (i + 1 >= args.length) fail(s"flag $f needs a value")
+          flags += (f.drop(2) -> args(i + 1)); i += 2
+        case p => pos += p; i += 1
+      }
+    }
+    (flags.result(), pos.result())
+  }
+
+  private def session(app: String): (SparkSession, Boolean) = {
+    val preexisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val b = SparkSession.builder().appName(app)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+    // local default for ad-hoc runs; spark-submit's --master wins
+    sys.env.get("SPARK_GRAFT_LOCAL").foreach { _ =>
+      b.master("local[*]").config("spark.sql.shuffle.partitions", "32")
+    }
+    (b.getOrCreate(), preexisting.isEmpty)
+  }
+
+  private def params(f: Map[String, String]): IndexParams = IndexParams(
+    buckets = f.getOrElse("buckets", "16").toInt,
+    shardSize = f.getOrElse("shard-size", "4096").toLong,
+    blockSize = f.getOrElse("block-size", "128").toInt,
+    buildPartitions = f.getOrElse("partitions", "0").toInt,
+    positions = f.get("positions").exists(_.toBoolean))
+
+  private def pages(spark: SparkSession, f: Map[String, String]): Dataset[Page] = {
+    import spark.implicits._
+    val df = (f.get("input"), f.get("iceberg")) match {
+      case (Some(p), None) => spark.read.parquet(p)
+      case (None, Some(t)) => graft.sources.Iceberg.read(spark, t)
+      case _ => fail("exactly one of --input <parquet> / --iceberg <table> required")
+    }
+    df.selectExpr("url", "warc_ts", "html", "text", "lang").as[Page]
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) fail("subcommand required: build | query | phrase | ingest-iceberg | compact")
+    val (flags, positional) = parse(args.toSeq.tail)
+    def index = flags.getOrElse("index", fail("--index required"))
+    lazy val (spark, ownSession) = session(s"graft-${args.head}")
+
+    args.head match {
+      case "build" =>
+        new IndexBuilder(spark, index, params(flags))
+          .build(pages(spark, flags), flags.getOrElse("input",
+            flags.getOrElse("iceberg", "?")))
+
+      case "query" =>
+        val k = flags.getOrElse("k", "10").toInt
+        if (positional.isEmpty) fail("query terms required")
+        new IndexReader(spark, index)
+          .topK(graft.analyze.Analyzer.analyzeQuery(positional.mkString(" ")), k)
+          .show(k, truncate = false)
+
+      case "phrase" =>
+        val k = flags.getOrElse("k", "10").toInt
+        if (positional.size < 2) fail("phrase needs >= 2 words")
+        new IndexReader(spark, index)
+          .phraseTopK(positional.map(graft.analyze.Analyzer.lowerLikeCatalyst), k)
+          .show(k, truncate = false)
+
+      case "ingest-iceberg" =>
+        val table = flags.getOrElse("iceberg", fail("--iceberg <table> required"))
+        val ingested = graft.streaming.Streaming.indexAppendFromIceberg(
+          spark, table, index, params(flags),
+          maxGenerations = flags.getOrElse("max-generations", "8").toInt)
+        println(s"[graft] ingested snapshots: ${
+          if (ingested.isEmpty) "none (caught up)" else ingested.mkString(", ")}")
+
+      case "compact" =>
+        val gen = IncrementalIndex.compactGenerations(spark, index, params(flags))
+        println(gen match {
+          case Some(g) => s"[graft] compacted into generation $g"
+          case None => "[graft] nothing to compact"
+        })
+
+      case other => fail(s"unknown subcommand '$other'")
+    }
+    // don't tear down a session we joined (tests share one JVM-wide)
+    if (ownSession) spark.stop()
+  }
+}

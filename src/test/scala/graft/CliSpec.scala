@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end check of the spark-submit surface: build from a pages
+  * parquet, query it, exact-phrase it — all through `Cli.main` exactly as
+  * a cluster run would invoke it (the shared test session stands in for
+  * the one spark-submit provides; Cli must NOT stop a session it joined).
+  */
+class CliSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("build → query → phrase through the CLI surface") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("cli")
+    graft.corpus.SyntheticCorpus.generate(spark, 400, seed = 7L, partitions = 4)
+      .write.parquet(s"$work/pages")
+
+    Cli.main(Array("build", "--input", s"$work/pages",
+      "--index", s"$work/idx", "--buckets", "4", "--shard-size", "128",
+      "--positions"))
+    assert(spark.sparkContext.isStopped == false) // joined, not torn down
+
+    // query through the built index directly (CLI's query subcommand
+    // .show()s; rank identity is pinned by the reader specs)
+    val reader = new graft.query.IndexReader(spark, s"$work/idx")
+    val top = reader.topK(Seq("w00001", "the"), 5).collect()
+    assert(top.length == 5)
+
+    Cli.main(Array("query", "--index", s"$work/idx", "--k", "3", "w00001"))
+    Cli.main(Array("phrase", "--index", s"$work/idx", "--k", "3",
+      "w00001", "the"))
+
+    // compact on a standalone (generation-less) index: nothing to do
+    Cli.main(Array("compact", "--index", s"$work/idx",
+      "--buckets", "4", "--shard-size", "128", "--positions"))
+    assert(!spark.sparkContext.isStopped)
+  }
+}
