@@ -1618,6 +1618,33 @@ object SparkEntry {
         .toDF("rank", "merge_left", "merge_right")
     }, Some(bpeTrainSql(numMerges = 8))),
 
+    ("q_kmv_distinct", (s: SparkSession, dir: String) => {
+      val sk = graft.ops.Sketches.kmvSketch(docs(s, dir), Seq("lang"),
+        "text", k = 16)
+      val exact = docs(s, dir).groupBy("lang")
+        .agg(countDistinct(col("text")).as("exact_distinct"))
+      graft.ops.Sketches.kmvEstimate(sk, k = 16)
+        .select("lang", "sketch_size", "est_distinct")
+        .join(exact, "lang")
+    }, Some(
+      """WITH h AS (SELECT DISTINCT lang, substr(md5(text), 1, 16) AS hv
+        |   FROM documents),
+        | r AS (SELECT lang, hv, row_number() OVER
+        |   (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+        | kth AS (SELECT lang,
+        |   max(CASE WHEN rn = 16 THEN hv END) AS u16,
+        |   CAST(count(*) AS INT) AS sketch_size
+        |   FROM r WHERE rn <= 16 GROUP BY lang),
+        | ex AS (SELECT lang, count(DISTINCT text) AS exact_distinct
+        |   FROM documents GROUP BY 1)
+        |SELECT k.lang, k.sketch_size,
+        | CASE WHEN k.sketch_size < 16 THEN CAST(k.sketch_size AS DOUBLE)
+        |      ELSE round(15.0 / (('0x' || k.u16)::UBIGINT::DOUBLE
+        |                         / 18446744073709551616.0), 4) END
+        |   AS est_distinct,
+        | ex.exact_distinct
+        |FROM kth k JOIN ex USING (lang)""".stripMargin)),
+
     ("q_gopher_filter", (s: SparkSession, dir: String) => {
       graft.ops.Curation.gopherFilter(docs(s, dir), "doc_id", "text",
         graft.ops.Curation.GopherRules(minWords = 30))
