@@ -1618,6 +1618,33 @@ object SparkEntry {
         .toDF("rank", "merge_left", "merge_right")
     }, Some(bpeTrainSql(numMerges = 8))),
 
+    ("q_bool_topk", (s: SparkSession, dir: String) => {
+      graft.query.Search.boolTopK(docs(s, dir), "doc_id", "text",
+        must = Seq("spark"), should = Seq("window"), mustNot = Seq("slow"),
+        k = 15)
+    }, Some(boolSql(must = Seq("spark"), should = Seq("window"),
+      mustNot = Seq("slow"), k = 15))),
+
+    ("q_temperature_sample", (s: SparkSession, dir: String) => {
+      graft.ops.Sampling.temperatureSample(docs(s, dir), "doc_id", "lang",
+        temperature = 2.0, targetFraction = 0.3)
+        .select("doc_id", "lang")
+    }, Some(
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        | g AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+        | w AS (SELECT lang, c, pow(c / g.n, 0.5) AS wq FROM c, g),
+        | z AS (SELECT sum(wq) AS z FROM w),
+        | r AS (SELECT w.lang,
+        |   round(least(1.0, 0.3 * g.n * (w.wq / z.z) / w.c), 9) AS a
+        |   FROM w, z, g),
+        | th AS (SELECT lang,
+        |   CASE WHEN CAST(round(a * 4294967296) AS BIGINT) >= 4294967296
+        |        THEN 'g'
+        |        ELSE printf('%08x', CAST(round(a * 4294967296) AS BIGINT))
+        |   END AS thr FROM r)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8) < th.thr""".stripMargin)),
+
     ("q_kmv_distinct", (s: SparkSession, dir: String) => {
       val sk = graft.ops.Sketches.kmvSketch(docs(s, dir), Seq("lang"),
         "text", k = 16)
@@ -2098,6 +2125,43 @@ object SparkEntry {
        |  GROUP BY 1)$levels
        |$out
        |ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.query.Search.boolTopK]]: the bm25Sql scoring
+    * body over must ∪ should, a distinct-count HAVING gate for must, and a
+    * NOT IN exclusion for must_not. */
+  private def boolSql(must: Seq[String], should: Seq[String],
+      mustNot: Seq[String], k: Int): String = {
+    val scoreTerms = (must ++ should).distinct.sorted
+    val termList = scoreTerms.map(t => s"'$t'").mkString(", ")
+    val mustList = must.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    val notList = mustNot.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    val mustGate = if (must.isEmpty) ""
+      else s" JOIN hasmust USING (doc_id)"
+    val mustCte = if (must.isEmpty) ""
+      else s""",
+        | hasmust AS (SELECT doc_id FROM (SELECT DISTINCT doc_id, term
+        |   FROM toks WHERE term IN ($mustList))
+        |   GROUP BY 1 HAVING count(*) = ${must.distinct.size})""".stripMargin
+    val notPred = if (mustNot.isEmpty) ""
+      else s"\n WHERE a.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ($notList))"
+    s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |        WHERE term IN ($termList) GROUP BY 1, 2),
+       | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | scored AS (
+       |  SELECT tf.doc_id,
+       |   ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+       |        / (CAST(df.df AS DOUBLE) + 0.5))
+       |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+       |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |        / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g),
+       | agg AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored GROUP BY 1)$mustCte
+       |SELECT a.doc_id, a.score FROM agg a$mustGate$notPred
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
   private def bm25Sql(terms0: Seq[String], k: Int,

@@ -88,4 +88,37 @@ object Sampling {
       }
     df.withColumn("split", assign)
   }
+
+  /** Per-domain accept rates for temperature-flattened mixing (mT5 §3.1 /
+    * GPT-3-style corpus weighting): sampling share q_d ∝ p_d^(1/T) where
+    * p_d = c_d/N, expected output = `targetFraction`·N rows distributed
+    * as q, per-row accept rate a_d = min(1, f·N·q_d/c_d). T=1 keeps
+    * natural proportions; T→∞ flattens domains to equal shares. Rates are
+    * rounded to 9 decimals so the DuckDB oracle's pow() (≤ 1 ulp apart
+    * from the JVM's) quantizes to the identical threshold. Domain counts
+    * are a bounded driver collect (one row per domain). */
+  def temperatureRates(df: DataFrame, domainCol: String,
+      temperature: Double, targetFraction: Double): Seq[(String, Double)] = {
+    require(temperature > 0 && targetFraction >= 0 && targetFraction <= 1)
+    val counts = df.groupBy(col(domainCol)).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val n = counts.map(_._2).sum.toDouble
+    val pows = counts.map { case (d, c) => (d, math.pow(c / n, 1.0 / temperature)) }
+    val z = pows.map(_._2).sum
+    counts.zip(pows).map { case ((d, c), (_, w)) =>
+      val a = math.min(1.0, targetFraction * n * (w / z) / c)
+      (d, BigDecimal(a).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  /** Temperature-flattened domain mixing: deterministic md5-threshold
+    * acceptance at [[temperatureRates]] — same projection-only shape as
+    * [[stratified]], so the sampling pass is shuffle-free no matter the
+    * corpus size (the one tiny aggregate is the domain-count collect). */
+  def temperatureSample(df: DataFrame, keyCol: String, domainCol: String,
+      temperature: Double, targetFraction: Double,
+      salt: String = "temp"): DataFrame =
+    stratified(df, keyCol, domainCol,
+      temperatureRates(df, domainCol, temperature, targetFraction).toMap,
+      defaultRate = 0.0, salt = salt)
 }

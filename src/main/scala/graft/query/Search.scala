@@ -78,6 +78,45 @@ object Search {
       .withColumnRenamed("docId", idCol)
   }
 
+  /** Boolean query (OpenSearch `bool`): `must` terms are all REQUIRED,
+    * `mustNot` terms exclude a document outright, `should` terms only add
+    * score. Scoring = BM25 summed over (must ∪ should) terms, standard
+    * Lucene bool semantics with every clause a term query.
+    *
+    * Plan: the scorer's aggregates + two keyed semi/anti joins on docId —
+    * the presence checks ride the same tokens relation Catalyst already
+    * builds for scoring (ReuseExchange collapses the scans). */
+  def boolTopK(docs: DataFrame, idCol: String, textCol: String,
+      must: Seq[String], should: Seq[String], mustNot: Seq[String],
+      k: Int): DataFrame = {
+    val mustN = must.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val notN = mustNot.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val scoreTerms = (mustN ++ should.map(Analyzer.lowerLikeCatalyst))
+      .distinct.sorted
+    require(scoreTerms.nonEmpty, "bool query needs must or should terms")
+    require(mustN.intersect(notN).isEmpty, "a term cannot be must AND must_not")
+    val toks = Analyzer.tokens(docs, idCol, textCol)
+    var scored = BruteForce.scoreAll(docs, idCol, textCol, scoreTerms)
+    if (mustN.nonEmpty) {
+      val hasAll = toks.filter(col("term").isin(mustN: _*))
+        .select(col(idCol), col("term")).distinct()
+        .groupBy(col(idCol)).agg(count(lit(1)).as("nm"))
+        .filter(col("nm") === mustN.size)
+        .select(col(idCol).as("docId"))
+      scored = scored.join(hasAll, Seq("docId"), "left_semi")
+    }
+    if (notN.nonEmpty) {
+      val excluded = toks.filter(col("term").isin(notN: _*))
+        .select(col(idCol).as("docId")).distinct()
+      scored = scored.join(excluded, Seq("docId"), "left_anti")
+    }
+    scored
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", idCol)
+  }
+
   /** The `more_like_this` query-term selection: the source document's top
     * `m` terms ranked by (tf desc, df asc, term asc) — most frequent in
     * the document, rarest in the corpus. Integer-only sort keys keep the

@@ -57,4 +57,38 @@ class SamplingSpec extends AnyFunSuite {
     val inter = sampled.intersect(train).size.toDouble / 20000
     assert(inter > 0.2 && inter < 0.3, s"joint rate $inter not ≈ 0.25")
   }
+
+  test("temperatureRates: T=1 keeps natural shares; T→∞ flattens; caps at 1") {
+    import spark.implicits._
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (i + 1000L, "small"))).toDF("id", "domain")
+    // T=1: q_d = p_d → accept rate identical for every domain (= f)
+    val t1 = Sampling.temperatureRates(df, "domain", 1.0, 0.4).toMap
+    assert(math.abs(t1("big") - 0.4) < 1e-9 && math.abs(t1("small") - 0.4) < 1e-9)
+    // high T: shares flatten toward 50/50 → small domain upsampled,
+    // big downsampled
+    val t9 = Sampling.temperatureRates(df, "domain", 100.0, 0.4).toMap
+    assert(t9("small") > t9("big"))
+    assert(t9("small") <= 1.0)
+    // tiny domain with aggressive target: rate caps at 1.0
+    val cap = Sampling.temperatureRates(df, "domain", 100.0, 0.9).toMap
+    assert(cap("small") == 1.0)
+  }
+
+  test("temperatureSample realizes the expected per-domain counts") {
+    import spark.implicits._
+    val df = ((1 to 4000).map(i => (i.toLong, "en")) ++
+      (1 to 1000).map(i => (i + 10000L, "de"))).toDF("id", "domain")
+    val rates = Sampling.temperatureRates(df, "domain", 2.0, 0.3).toMap
+    val got = Sampling.temperatureSample(df, "id", "domain", 2.0, 0.3)
+      .groupBy("domain").count().as[(String, Long)].collect().toMap
+    // md5 thresholding is exact in expectation; 4σ tolerance
+    Seq("en" -> 4000, "de" -> 1000).foreach { case (d, n) =>
+      val exp = rates(d) * n
+      val tol = 4 * math.sqrt(exp)
+      assert(math.abs(got(d) - exp) < tol, s"$d: got ${got(d)} want ~$exp")
+    }
+    // temperature flattening: de's accept rate must exceed en's
+    assert(rates("de") > rates("en"))
+  }
 }

@@ -55,6 +55,33 @@ class SearchSpec extends AnyFunSuite {
     assert(ids.contains(3L) && ids.contains(1L))
   }
 
+  test("boolTopK: must required, mustNot excludes, should only scores") {
+    val top = Search.boolTopK(docs, "doc_id", "text",
+      must = Seq("spark"), should = Seq("engine"), mustNot = Seq("once"),
+      k = 10).select("doc_id").as[Long].collect().toSeq
+    // docs with spark: 1,2,3; doc 2 has "once" → excluded; doc 4 has
+    // engine but no spark → excluded
+    assert(top.toSet == Set(1L, 3L))
+    // doc 1 (spark + engine) must outscore doc 3 (spark-only, but more
+    // spark): both orders are legitimate BM25 outcomes — just pin the
+    // exclusions and the determinism
+    val again = Search.boolTopK(docs, "doc_id", "text",
+      must = Seq("spark"), should = Seq("engine"), mustNot = Seq("once"),
+      k = 10).select("doc_id").as[Long].collect().toSeq
+    assert(top == again)
+  }
+
+  test("boolTopK: multi-must requires ALL terms; empty must scores should") {
+    val both = Search.boolTopK(docs, "doc_id", "text",
+      must = Seq("spark", "engine"), should = Nil, mustNot = Nil, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(both == Set(1L, 2L))
+    val shouldOnly = Search.boolTopK(docs, "doc_id", "text",
+      must = Nil, should = Seq("engine"), mustNot = Nil, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shouldOnly == Set(1L, 2L, 4L))
+  }
+
   test("moreLikeThisTerms ranks by tf desc, df asc, term asc") {
     val terms = Search.moreLikeThisTerms(docs, "doc_id", "text", 1L, m = 2)
       .select("term").as[String].collect().toSeq
