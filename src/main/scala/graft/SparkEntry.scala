@@ -1618,6 +1618,33 @@ object SparkEntry {
         .toDF("rank", "merge_left", "merge_right")
     }, Some(bpeTrainSql(numMerges = 8))),
 
+    ("q_kinesis_deagg", (s: SparkSession, dir: String) => {
+      // analytic fixture: each event becomes one KPL aggregated container
+      // with two sub-records derived closed-form from event_id; every
+      // 89th event is a NON-aggregated raw payload the decoder must pass
+      // through untouched. Oracle recomputes the decoded rows from events.
+      val enc = udf { (id: Long, typ: String) =>
+        if (id % 89 == 0) s"raw-$id".getBytes("UTF-8")
+        else graft.sources.KinesisAgg.aggregateLocal(Seq(
+          (s"pk-${id % 5}", s"a-$typ-$id".getBytes("UTF-8")),
+          (s"pk-${id % 7}", s"b-$id".getBytes("UTF-8"))))
+      }
+      val fixture = events(s, dir).select(col("event_id").as("src_id"),
+        enc(col("event_id"), col("event_type")).as("payload"))
+      graft.sources.KinesisAgg.deaggregate(fixture, "payload")
+        .select(col("src_id"), col("record_pos"), col("partition_key"),
+          col("data").cast("string").as("data_str"))
+    }, Some(
+      """SELECT event_id AS src_id, u.pos AS record_pos,
+        | CASE WHEN event_id % 89 = 0 THEN NULL
+        |      WHEN u.pos = 0 THEN 'pk-' || (event_id % 5)
+        |      ELSE 'pk-' || (event_id % 7) END AS partition_key,
+        | CASE WHEN event_id % 89 = 0 THEN 'raw-' || event_id
+        |      WHEN u.pos = 0 THEN 'a-' || event_type || '-' || event_id
+        |      ELSE 'b-' || event_id END AS data_str
+        |FROM events, LATERAL (SELECT CAST(unnest([0, 1]) AS INT) AS pos) u
+        |WHERE u.pos = 0 OR event_id % 89 <> 0""".stripMargin)),
+
     ("q_bool_topk", (s: SparkSession, dir: String) => {
       graft.query.Search.boolTopK(docs(s, dir), "doc_id", "text",
         must = Seq("spark"), should = Seq("window"), mustNot = Seq("slow"),

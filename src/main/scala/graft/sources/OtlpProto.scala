@@ -55,7 +55,7 @@ object OtlpProto {
   // ------------------------------------------------------------ wire reader
 
   /** Cursor over one length-delimited scope of the buffer. */
-  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+  private[sources] final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
 
     // Every primitive reader bounds-checks against `end`, not just
