@@ -1645,6 +1645,15 @@ object SparkEntry {
         |FROM events, LATERAL (SELECT CAST(unnest([0, 1]) AS INT) AS pos) u
         |WHERE u.pos = 0 OR event_id % 89 <> 0""".stripMargin)),
 
+    ("q_ann_pq", (s: SparkSession, dir: String) => {
+      val cbs = pqCodebooks(m = 4, k = 8, dsub = 16)
+      val q = annQueryVec(64)
+      val coded = graft.ops.Similarity.pqEncode(embeddings(s, dir),
+        "embedding", cbs)
+      graft.ops.Similarity.pqTopK(coded, "vec_id", "pq_code", q, cbs, k = 10)
+    }, Some(pqSql(annQueryVec(64), pqCodebooks(m = 4, k = 8, dsub = 16),
+      k = 10))),
+
     ("q_bool_topk", (s: SparkSession, dir: String) => {
       graft.query.Search.boolTopK(docs(s, dir), "doc_id", "text",
         must = Seq("spark"), should = Seq("window"), mustNot = Seq("slow"),
@@ -2572,6 +2581,57 @@ object SparkEntry {
 
   /** Deterministic literal codebook for the fixed-IVF gate (same SplitMix
     * recipe as [[annQueryVec]], different seed per centroid). */
+  /** Deterministic PQ sub-codebooks: `m` subspaces × `k` codewords ×
+    * `dsub` dims (annCentroids' SplitMix64 convention, distinct seed). */
+  private def pqCodebooks(m: Int, k: Int, dsub: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { s =>
+      Array.tabulate(k) { c =>
+        Array.tabulate(dsub) { i =>
+          val r = graft.util.SplitMix64.stream(7000L + s * 100 + c, i.toLong)
+          math.rint((r.nextDouble() * 2.0 - 1.0) * 1000.0) / 1000.0
+        }
+      }
+    }
+
+  /** Full ADC replay: per-subspace argmin assignment over the literal
+    * sub-codebooks (identical x·x − 2·x·c + |c|² arithmetic, round-6,
+    * lowest-index ties), the query's lookup table derived IN SQL from the
+    * same literals, and the rounded LUT-sum ranking. */
+  private def pqSql(q: Seq[Double], cbs: Array[Array[Array[Double]]],
+      k: Int): String = {
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    def vals(s: Int): String = cbs(s).zipWithIndex.map { case (c, j) =>
+      s"($j, ${c.mkString("[", ", ", "]")}::DOUBLE[], ${c.map(x => x * x).sum})"
+    }.mkString(", ")
+    def qsub(s: Int): String =
+      q.slice(s * dsub, (s + 1) * dsub).mkString("[", ", ", "]")
+    val cbCtes = (0 until m).map(s =>
+      s" cb$s(ci, cv, c2) AS (VALUES ${vals(s)})").mkString(",\n|")
+    val subSlice = (s: Int) => s"v[${s * dsub + 1}:${(s + 1) * dsub}]"
+    val aCtes = (0 until m).map { s =>
+      s""" a$s AS (SELECT vec_id, ci AS code$s FROM (
+         |   SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY round(list_dot_product(${subSlice(s)}, ${subSlice(s)})
+         |       - 2 * list_dot_product(${subSlice(s)}, cv) + c2, 6), ci) AS rn
+         |   FROM e, cb$s) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n|")
+    val lCtes = (0 until m).map { s =>
+      s""" l$s AS (SELECT ci, round(list_dot_product(${qsub(s)}::DOUBLE[], ${qsub(s)}::DOUBLE[])
+         |   - 2 * list_dot_product(${qsub(s)}::DOUBLE[], cv) + c2, 6) AS qd FROM cb$s)""".stripMargin
+    }.mkString(",\n|")
+    val aJoins = (1 until m).map(s => s"JOIN a$s USING (vec_id)").mkString(" ")
+    val lJoins = (0 until m).map(s => s"JOIN l$s ON l$s.ci = a$s.code$s").mkString(" ")
+    val estSum = (0 until m).map(s => s"l$s.qd").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$cbCtes,
+       |$aCtes,
+       |$lCtes
+       |SELECT a0.vec_id, round($estSum, 4) AS est_dist
+       |FROM a0 $aJoins $lJoins
+       |ORDER BY est_dist, a0.vec_id LIMIT $k""".stripMargin
+  }
+
   private def annCentroids(k: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(k) { c =>
       Array.tabulate(dim) { i =>

@@ -212,4 +212,76 @@ object Similarity {
         cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ------------------------------------------- product quantization (PQ)
+
+  /** PQ encode (Jégou, Douze & Schmid 2011, "Product quantization for
+    * nearest neighbor search" — the FAISS IVF-PQ standard): the vector
+    * splits into M contiguous subspaces; each sub-vector is replaced by
+    * the index of its nearest sub-codeword (squared L2, computed as
+    * x·x − 2·x·c + |c|² so every term is a codegen'd [[dot]] and the
+    * DuckDB oracle can replay the identical arithmetic). A 64-float
+    * embedding becomes M small ints — 64× smaller at M=4/k=8 — and the
+    * whole encode is ONE projection over the scan: at 10¹² vectors the
+    * PQ-coded corpus fits where raw floats never would, and re-ranking
+    * reads raw vectors only for the ADC top candidates.
+    *
+    * Argmin ties (same rounded distance) break to the LOWEST codeword
+    * index, pinned cross-engine by rounding distances to 6 before
+    * comparing (ivfAssignTo's convention).
+    *
+    * `codebooks(m)(j)` = codeword j of subspace m; all subspaces must
+    * share the vector's dim / M as their width. Codebooks come from a
+    * sampled k-means fit at scale (q_ann_ivf's trainer pattern); the
+    * fixed-codebook form here is the assignment path, a pure map. */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      codeCol: String = "pq_code"): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+    val dsub = codebooks(0)(0).length
+    require(codebooks.forall(_.forall(_.length == dsub)),
+      "ragged sub-codebooks")
+    val codes = codebooks.zipWithIndex.map { case (cb, m) =>
+      val sub = slice(col(vecCol), m * dsub + 1, dsub)
+      val xx = dot(sub, sub)
+      val scored = cb.zipWithIndex.map { case (c, j) =>
+        val d = xx - lit(2.0) * dot(sub, array(c.map(lit): _*)) +
+          lit(c.map(x => x * x).sum)
+        struct(round(d, 6).as("d"), lit(j).as("ci"))
+      }
+      array_min(array(scored: _*))("ci")
+    }
+    df.withColumn(codeCol, array(codes: _*))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: the query
+    * builds one M×k lookup table of rounded sub-distances driver-side;
+    * per row the distance estimate is M array lookups and a sum — no
+    * vector arithmetic touches the corpus at query time. Returns
+    * (idCol, est_dist) ranked ascending (rounded to 4; ties → id). */
+  def pqTopK(encoded: DataFrame, idCol: String, codeCol: String,
+      query: Seq[Double], codebooks: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val luts = codebooks.zipWithIndex.map { case (cb, m) =>
+      val qs = query.slice(m * dsub, (m + 1) * dsub)
+      val qq = qs.map(x => x * x).sum
+      cb.map { c =>
+        val qc = qs.zip(c).map(p => p._1 * p._2).sum
+        val c2 = c.map(x => x * x).sum
+        // HALF_UP round-6, matching round() in Spark and DuckDB
+        BigDecimal(qq - 2.0 * qc + c2)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val est = luts.zipWithIndex.map { case (lut, m) =>
+      element_at(array(lut.map(lit).toSeq: _*),
+        element_at(col(codeCol), m + 1) + 1)
+    }.reduce(_ + _)
+    encoded
+      .withColumn("est_dist", round(est, 4))
+      .select(col(idCol), col("est_dist"))
+      .orderBy(col("est_dist"), col(idCol))
+      .limit(k)
+  }
 }

@@ -317,6 +317,55 @@ class SimilaritySpec extends AnyFunSuite {
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(p0.subsetOf(p1) && p1.subsetOf(brute))
   }
+
+  test("pqEncode/pqTopK: codeword-built vectors recover their codes; ADC = exact") {
+    import spark.implicits._
+    val cbs = Array.tabulate(2) { m =>
+      Array.tabulate(4) { j =>
+        Array.tabulate(3)(i => (m + 1) * (j + 1) * (i + 1) * 0.25)
+      }
+    } // 2 subspaces x 4 codewords x 3 dims
+    val rows = (for (j0 <- 0 until 4; j1 <- 0 until 4) yield {
+      val v = (cbs(0)(j0) ++ cbs(1)(j1)).map(_.toFloat)
+      ((j0 * 4 + j1).toLong, v, j0, j1)
+    }).toSeq
+    val df = rows.map(r => (r._1, r._2)).toDF("vec_id", "embedding")
+    val coded = graft.ops.Similarity.pqEncode(df, "embedding", cbs)
+      .select($"vec_id", $"pq_code").as[(Long, Seq[Int])].collect()
+      .toMap
+    rows.foreach { case (id, _, j0, j1) =>
+      assert(coded(id) == Seq(j0, j1), s"vec $id: got ${coded(id)}")
+    }
+    // ADC distance to a query equals the exact squared distance to the
+    // reconstruction (which IS the vector here, up to float rounding)
+    val q = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6)
+    val encoded = graft.ops.Similarity.pqEncode(df, "embedding", cbs)
+    val top = graft.ops.Similarity.pqTopK(encoded, "vec_id", "pq_code",
+      q, cbs, k = 16).as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, v, _, _) =>
+      val exact = v.map(_.toDouble).zip(q).map { case (x, y) =>
+        (x - y) * (x - y) }.sum
+      assert(math.abs(top(id) - exact) < 1e-2, s"vec $id: ${top(id)} vs $exact")
+    }
+  }
+
+  test("pq codes are deterministic under repartitioning and in range") {
+    import spark.implicits._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cbs = Array.tabulate(4) { m =>
+      Array.tabulate(8) { j =>
+        Array.tabulate(16)(i => ((m * 31 + j * 7 + i) % 11 - 5) / 5.0)
+      }
+    }
+    def codes(n: Int) = graft.ops.Similarity.pqEncode(
+      emb.repartition(n), "embedding", cbs)
+      .orderBy("vec_id").select("pq_code").as[Seq[Int]].collect().toSeq
+    val c1 = codes(1)
+    assert(c1 == codes(8))
+    assert(c1.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+  }
+
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
