@@ -1645,6 +1645,39 @@ object SparkEntry {
         |FROM events, LATERAL (SELECT CAST(unnest([0, 1]) AS INT) AS pos) u
         |WHERE u.pos = 0 OR event_id % 89 <> 0""".stripMargin)),
 
+    ("q_search_facets", (s: SparkSession, dir: String) => {
+      graft.query.Search.facets(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window"), "lang")
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         | m AS (SELECT DISTINCT doc_id FROM toks
+         |   WHERE term IN ('spark', 'window'))
+         |SELECT lang, count(*) AS doc_count FROM documents
+         |JOIN m USING (doc_id) GROUP BY 1""".stripMargin)),
+
+    ("q_search_after", (s: SparkSession, dir: String) => {
+      // page 2 of the q_bm25_topk ranking: cursor = page 1's last row
+      val page1 = bm25TopK(docs(s, dir), Seq("spark", "window"), 10)
+        .collect()
+      val cursor = page1.last
+      graft.query.Search.searchAfter(
+        BruteForce.scoreAll(docs(s, dir), "doc_id", "text",
+          Seq("spark", "window"))
+          .withColumn("score", round(col("score"), 4)),
+        "docId", "score",
+        cursor.getAs[Double]("score"), cursor.getAs[Long]("doc_id"), k = 10)
+        .withColumnRenamed("docId", "doc_id")
+    }, Some {
+      // rows 11-20 of the same ranking — an independent derivation of
+      // the page-2 contract (cursor semantics ≡ rank offset)
+      val base = bm25Sql(Seq("spark", "window"), k = 20)
+      s"""WITH page AS ($base)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER
+         |    (ORDER BY score DESC, doc_id) AS rn FROM page)
+         |WHERE rn > 10""".stripMargin
+    }),
+
     ("q_ann_pq", (s: SparkSession, dir: String) => {
       val cbs = pqCodebooks(m = 4, k = 8, dsub = 16)
       val q = annQueryVec(64)

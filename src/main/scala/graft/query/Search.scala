@@ -78,6 +78,33 @@ object Search {
       .withColumnRenamed("docId", idCol)
   }
 
+  /** Facet counts (OpenSearch `terms` aggregation beside a query): bucket
+    * counts of `facetCol` over the full MATCH SET (any query term
+    * present), not just the returned page — one semi-join + one keyed
+    * aggregation with map-side partial combine. */
+  def facets(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], facetCol: String): DataFrame = {
+    val terms = queryTerms.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val matching = Analyzer.tokens(docs, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+      .select(col(idCol)).distinct()
+    docs.join(matching, Seq(idCol), "left_semi")
+      .groupBy(col(facetCol))
+      .agg(count(lit(1)).as("doc_count"))
+  }
+
+  /** Keyset pagination (OpenSearch `search_after`): the page after cursor
+    * `(afterScore, afterId)` in (score desc, id asc) order — stateless
+    * and O(page) per request, the deep-pagination shape that `from +
+    * size` offsets can't give a 10¹²-doc index. Scores are compared on
+    * the same round-4 values the ranking uses. */
+  def searchAfter(scored: DataFrame, idCol: String, scoreCol: String,
+      afterScore: Double, afterId: Long, k: Int): DataFrame =
+    scored.filter(col(scoreCol) < afterScore ||
+        (col(scoreCol) === afterScore && col(idCol) > afterId))
+      .orderBy(desc(scoreCol), col(idCol))
+      .limit(k)
+
   /** Boolean query (OpenSearch `bool`): `must` terms are all REQUIRED,
     * `mustNot` terms exclude a document outright, `should` terms only add
     * score. Scoring = BM25 summed over (must ∪ should) terms, standard

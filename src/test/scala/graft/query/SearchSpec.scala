@@ -55,6 +55,26 @@ class SearchSpec extends AnyFunSuite {
     assert(ids.contains(3L) && ids.contains(1L))
   }
 
+  test("facets count the full match set per bucket") {
+    val f = Search.facets(docs, "doc_id", "text", Seq("spark"), "host")
+      .as[(String, Long)].collect().toMap
+    // spark appears in docs 1,2 (a.com) and 3 (b.com)
+    assert(f == Map("a.com" -> 2L, "b.com" -> 1L))
+  }
+
+  test("searchAfter pages without overlap and in order") {
+    val scored = Seq((1L, 9.0), (2L, 8.0), (3L, 8.0), (4L, 7.0), (5L, 6.0))
+      .toDF("doc_id", "score")
+    val page2 = Search.searchAfter(scored, "doc_id", "score",
+      afterScore = 8.0, afterId = 2L, k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(page2 == Seq(3L, 4L)) // tie with cursor → id > afterId first
+    val page3 = Search.searchAfter(scored, "doc_id", "score",
+      afterScore = 7.0, afterId = 4L, k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(page3 == Seq(5L))
+  }
+
   test("boolTopK: must required, mustNot excludes, should only scores") {
     val top = Search.boolTopK(docs, "doc_id", "text",
       must = Seq("spark"), should = Seq("engine"), mustNot = Seq("once"),
