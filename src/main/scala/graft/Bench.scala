@@ -41,7 +41,10 @@ object Bench {
     "q_pack_sequences",
     // round-3 operators
     "q_otel_spans_proto", "q_parse_ion_binary", "q_corpus_bm25",
-    "q_otel_service_map")
+    "q_otel_service_map",
+    // round-4 operators
+    "q_dedup_lines", "q_bpe_encode", "q_kmv_distinct", "q_ann_pq",
+    "q_kinesis_deagg", "q_snippets", "q_bool_topk", "q_url_normalize")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.
