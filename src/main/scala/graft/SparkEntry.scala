@@ -1645,6 +1645,17 @@ object SparkEntry {
         |FROM events, LATERAL (SELECT CAST(unnest([0, 1]) AS INT) AS pos) u
         |WHERE u.pos = 0 OR event_id % 89 <> 0""".stripMargin)),
 
+    ("q_ann_ivfpq", (s: SparkSession, dir: String) => {
+      val cents = annCentroids(k = 6, dim = 64)
+      val cbs = pqCodebooks(m = 4, k = 8, dsub = 16)
+      val q = annQueryVec(64)
+      val coded = graft.ops.Similarity.ivfPqEncode(embeddings(s, dir),
+        "embedding", cents, cbs)
+      graft.ops.Similarity.ivfPqTopK(coded, "vec_id", "pq_code", q,
+        cents, cbs, k = 10, nprobe = 2)
+    }, Some(ivfPqSql(annQueryVec(64), annCentroids(k = 6, dim = 64),
+      pqCodebooks(m = 4, k = 8, dsub = 16), k = 10, nprobe = 2))),
+
     ("q_search_facets", (s: SparkSession, dir: String) => {
       graft.query.Search.facets(docs(s, dir), "doc_id", "text",
         Seq("spark", "window"), "lang")
@@ -2663,6 +2674,67 @@ object SparkEntry {
        |SELECT a0.vec_id, round($estSum, 4) AS est_dist
        |FROM a0 $aJoins $lJoins
        |ORDER BY est_dist, a0.vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Full IVF-PQ replay: coarse rounded-cosine argmax assignment
+    * (annIvfFixedSql's convention), residual v − centroid derived in SQL,
+    * per-subspace argmin over the residual, per-CLUSTER query-residual
+    * lookup tables derived in SQL from the raw literals, probe pruning,
+    * and the rounded LUT-sum ranking. */
+  private def ivfPqSql(q: Seq[Double], cents: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], k: Int, nprobe: Int): String = {
+    val m = cbs.length
+    val dim = q.length
+    val dsub = cbs(0)(0).length
+    val qv = q.mkString("[", ", ", "]")
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(", ")
+    def cbVals(s: Int): String = cbs(s).zipWithIndex.map { case (c, j) =>
+      s"($j, ${c.mkString("[", ", ", "]")}::DOUBLE[], ${c.map(x => x * x).sum})"
+    }.mkString(", ")
+    val cbCtes = (0 until m).map(s =>
+      s" cb$s(ci, cv, c2) AS (VALUES ${cbVals(s)})").mkString(",\n|")
+    def rvSlice(s: Int) = s"rv[${s * dsub + 1}:${(s + 1) * dsub}]"
+    def qrSlice(s: Int) = s"qr[${s * dsub + 1}:${(s + 1) * dsub}]"
+    val aCtes = (0 until m).map { s =>
+      s""" a$s AS (SELECT vec_id, ci AS code$s FROM (
+         |   SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY round(list_dot_product(${rvSlice(s)}, ${rvSlice(s)})
+         |       - 2 * list_dot_product(${rvSlice(s)}, cv) + c2, 6), ci) AS rn
+         |   FROM r, cb$s) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n|")
+    val lCtes = (0 until m).map { s =>
+      s""" l$s AS (SELECT luts.cc, cb$s.ci AS lcode$s,
+         |   round(list_dot_product(${qrSlice(s)}, ${qrSlice(s)})
+         |     - 2 * list_dot_product(${qrSlice(s)}, cv) + c2, 6) AS qd$s
+         |   FROM luts, cb$s)""".stripMargin
+    }.mkString(",\n|")
+    val aJoins = (0 until m).map(s => s"JOIN a$s USING (vec_id)").mkString(" ")
+    val lJoins = (0 until m).map(s =>
+      s"JOIN l$s ON l$s.cc = r.cc AND l$s.lcode$s = a$s.code$s").mkString(" ")
+    val estSum = (0 until m).map(s => s"l$s.qd$s").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | cents(ci, cv) AS (VALUES $centRows),
+       | asg AS (SELECT vec_id, v, ci AS cc FROM (
+       |   SELECT vec_id, v, ci, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, ci) AS rn
+       |   FROM e, cents) WHERE rn = 1),
+       | probes AS (SELECT ci FROM cents
+       |   ORDER BY list_cosine_similarity(cv, $qv) DESC, ci LIMIT $nprobe),
+       | r AS (SELECT a.vec_id, a.cc,
+       |     list_transform(generate_series(1, $dim), i -> a.v[i] - c.cv[i]) AS rv
+       |   FROM asg a JOIN cents c ON c.ci = a.cc
+       |   WHERE a.cc IN (SELECT ci FROM probes)),
+       | luts AS (SELECT c.ci AS cc,
+       |     list_transform(generate_series(1, $dim), i -> ($qv)[i] - c.cv[i]) AS qr
+       |   FROM cents c WHERE c.ci IN (SELECT ci FROM probes)),
+       |$cbCtes,
+       |$aCtes,
+       |$lCtes
+       |SELECT r.vec_id, round($estSum, 4) AS est_dist
+       |FROM r $aJoins $lJoins
+       |ORDER BY est_dist, r.vec_id LIMIT $k""".stripMargin
   }
 
   private def annCentroids(k: Int, dim: Int): Array[Array[Double]] =

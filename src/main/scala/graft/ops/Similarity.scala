@@ -284,4 +284,76 @@ object Similarity {
       .orderBy(col("est_dist"), col(idCol))
       .limit(k)
   }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ encode — the full FAISS-standard composition: coarse
+    * assignment over the IVF centroids ([[ivfAssignTo]], so storage can
+    * `partitionBy(_cluster)` and probing prunes partitions) + PQ codes of
+    * the RESIDUAL (x − coarse centroid), which quantizes the small
+    * within-cluster displacement instead of the whole vector — the
+    * standard precision win. Output adds `_cluster` and `codeCol`.
+    *
+    * The residual is a zip_with projection (interpreted HOF, one pass) —
+    * still a map over the scan, no shuffle anywhere in encode. */
+  def ivfPqEncode(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      codeCol: String = "pq_code"): DataFrame = {
+    val centArr = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val resid = zip_with(col(vecCol),
+      element_at(centArr, col("_cluster") + 1), (a, b) => a - b)
+    pqEncode(
+      ivfAssignTo(df, vecCol, centroids).withColumn("_resid", resid),
+      "_resid", codebooks, codeCol)
+      .drop("_resid")
+  }
+
+  /** IVF-PQ ADC top-k: probe the `nprobe` coarse clusters nearest the
+    * query (ivfTopK's rounded-cosine order), and within each probed
+    * cluster score rows against that cluster's OWN lookup table built on
+    * the query residual (q − centroid) — per row still M lookups + a sum,
+    * selected by a when-chain on `_cluster`. With cluster-partitioned
+    * storage the filter is partition pruning; result traffic is k rows. */
+  def ivfPqTopK(encoded: DataFrame, idCol: String, codeCol: String,
+      query: Seq[Double], centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int, nprobe: Int = 2): DataFrame = {
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(c, query), i) }
+      .take(nprobe).map(_._2)
+    val dsub = codebooks(0)(0).length
+    def lutsFor(ci: Int): Array[Array[Double]] = {
+      val qr = query.zip(centroids(ci)).map { case (q, c) => q - c }
+      codebooks.zipWithIndex.map { case (cb, m) =>
+        val qs = qr.slice(m * dsub, (m + 1) * dsub)
+        val qq = qs.map(x => x * x).sum
+        cb.map { c =>
+          val qc = qs.zip(c).map(p => p._1 * p._2).sum
+          val c2 = c.map(x => x * x).sum
+          BigDecimal(qq - 2.0 * qc + c2)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+    }
+    def estFor(ci: Int): Column = lutsFor(ci).zipWithIndex.map {
+      case (lut, m) => element_at(array(lut.map(lit).toSeq: _*),
+        element_at(col(codeCol), m + 1) + 1)
+    }.reduce(_ + _)
+    val est = probed.tail.foldLeft(
+      when(col("_cluster") === probed.head, estFor(probed.head))) {
+      (acc, ci) => acc.when(col("_cluster") === ci, estFor(ci))
+    }
+    encoded.filter(col("_cluster").isin(probed.map(_.toLong): _*))
+      .withColumn("est_dist", round(est, 4))
+      .select(col(idCol), col("est_dist"))
+      .orderBy(col("est_dist"), col(idCol))
+      .limit(k)
+  }
 }

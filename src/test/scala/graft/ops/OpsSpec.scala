@@ -349,6 +349,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPq: constructed vectors recover (cluster, codes); ADC = exact") {
+    import spark.implicits._
+    // 2 far-apart coarse centroids; vectors = centroid + small codeword
+    // concat, so coarse cosine assignment and residual PQ are both exact
+    val cents = Array(
+      Array(10.0, 10.0, 10.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 10.0, 10.0, 10.0))
+    val cbs = Array.tabulate(2) { m =>
+      Array.tabulate(3) { j =>
+        Array.tabulate(3)(i => (m + 1) * (j + 1) * (i + 1) * 0.05)
+      }
+    }
+    val rows = for (c <- 0 until 2; j0 <- 0 until 3; j1 <- 0 until 3) yield {
+      val v = cents(c).zip(cbs(0)(j0) ++ cbs(1)(j1)).map { case (a, b) => a + b }
+      ((c * 9 + j0 * 3 + j1).toLong, v.map(_.toFloat), c, j0, j1)
+    }
+    val df = rows.map(r => (r._1, r._2)).toDF("vec_id", "embedding")
+    val coded = graft.ops.Similarity.ivfPqEncode(df, "embedding", cents, cbs)
+    val got = coded.select($"vec_id", $"_cluster", $"pq_code")
+      .as[(Long, Int, Seq[Int])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (id, _, c, j0, j1) =>
+      assert(got(id) == ((c, Seq(j0, j1))), s"vec $id: ${got(id)}")
+    }
+    // ADC within the probed cluster equals the exact squared distance to
+    // the vector (reconstruction is exact here, up to float rounding)
+    val q = Seq(9.0, 10.0, 11.0, 0.5, -0.5, 0.0)
+    val top = graft.ops.Similarity.ivfPqTopK(coded, "vec_id", "pq_code",
+      q, cents, cbs, k = 18, nprobe = 2).as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, v, _, _, _) =>
+      val exact = v.map(_.toDouble).zip(q).map { case (x, y) =>
+        (x - y) * (x - y) }.sum
+      assert(math.abs(top(id) - exact) < 1e-2, s"vec $id: ${top(id)} vs $exact")
+    }
+  }
+
   test("pq codes are deterministic under repartitioning and in range") {
     import spark.implicits._
     val emb = spark.read
