@@ -1656,6 +1656,29 @@ object SparkEntry {
     }, Some(ivfPqSql(annQueryVec(64), annCentroids(k = 6, dim = 64),
       pqCodebooks(m = 4, k = 8, dsub = 16), k = 10, nprobe = 2))),
 
+    ("q_suggest", (s: SparkSession, dir: String) => {
+      // same variant-enriched dictionary as q_fuzzy_expand, now with
+      // corpus frequencies driving the rank
+      val base = Analyzer.tokens(docs(s, dir), "doc_id", "text")
+      val dict = base.select(col("term"))
+        .union(base.select(expr("substring(term, 2)").as("term")))
+        .union(base.select(concat(col("term"), lit("s")).as("term")))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      graft.query.Search.suggest(dict, "term", "freq", "scna",
+        maxDist = 2, n = 5)
+    }, Some(
+      s"""WITH toks AS (SELECT unnest($tokSql) AS term FROM documents),
+         | allv AS (SELECT term FROM toks
+         |   UNION ALL SELECT substr(term, 2) AS term FROM toks
+         |   UNION ALL SELECT term || 's' AS term FROM toks),
+         | dict AS (SELECT term, count(*) AS freq FROM allv
+         |   WHERE term <> '' GROUP BY 1)
+         |SELECT term, freq, CAST(levenshtein(term, 'scna') AS INT) AS dist
+         |FROM dict WHERE abs(length(term) - 4) <= 2
+         |  AND levenshtein(term, 'scna') <= 2
+         |ORDER BY dist, freq DESC, term LIMIT 5""".stripMargin)),
+
     ("q_search_facets", (s: SparkSession, dir: String) => {
       graft.query.Search.facets(docs(s, dir), "doc_id", "text",
         Seq("spark", "window"), "lang")

@@ -78,6 +78,17 @@ object Search {
       .withColumnRenamed("docId", idCol)
   }
 
+  /** "Did you mean" suggester (OpenSearch `term` suggester semantics):
+    * dictionary terms within `maxDist` of the input, ranked by edit
+    * distance first (closer is better), then corpus frequency (more
+    * common is better), then term — so a typo's dominant correction
+    * surfaces first. `dict` must carry (termCol, freqCol). */
+  def suggest(dict: DataFrame, termCol: String, freqCol: String,
+      query: String, maxDist: Int = 2, n: Int = 5): DataFrame =
+    fuzzyExpand(dict, termCol, query, maxDist)
+      .orderBy(col("dist"), desc(freqCol), col(termCol))
+      .limit(n)
+
   /** Facet counts (OpenSearch `terms` aggregation beside a query): bucket
     * counts of `facetCol` over the full MATCH SET (any query term
     * present), not just the returned page — one semi-join + one keyed

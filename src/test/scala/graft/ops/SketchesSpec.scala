@@ -43,6 +43,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(direct.length == k && direct == direct.sorted && direct.distinct == direct)
   }
 
+  test("streaming micro-batches: per-batch sketches fold to the full-data sketch") {
+    import spark.implicits._
+    val work = graft.TestSpark.tmpDir("graft-skmv")
+    val all = (1 to 600).map(i => (s"k${i % 2}", s"v-$i"))
+    all.grouped(200).foreach { chunk =>
+      chunk.toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(s"$work/in")
+    }
+    val k = 24
+    // running sketch folded across micro-batches (the foreachBatch shape:
+    // sketch each batch, merge into the accumulator — sketch rows are ≤ k
+    // hashes per key, so the accumulator is driver-tiny by construction)
+    var acc: Seq[(String, Seq[String])] = Seq.empty
+    val stream = spark.readStream.schema("k STRING, v STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sk = Sketches.kmvSketch(batch, Seq("k"), "v", k)
+        val merged =
+          if (acc.isEmpty) sk
+          else Sketches.mergeSketches(acc.toDF("k", "kmv"), sk, Seq("k"), k)
+        acc = merged.select("k", "kmv").as[(String, Seq[String])]
+          .collect().toSeq
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val direct = Sketches.kmvSketch(all.toDF("k", "v"), Seq("k"), "v", k)
+      .select("k", "kmv").as[(String, Seq[String])].collect().toSeq.sortBy(_._1)
+    assert(acc.sortBy(_._1) == direct)
+  }
+
   test("deterministic under repartitioning") {
     val df = (1 to 400).map(i => (s"k${i % 3}", s"v-$i")).toDF("k", "v")
     val s1 = Sketches.kmvSketch(df.repartition(1), Seq("k"), "v", 16)

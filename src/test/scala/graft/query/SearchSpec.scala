@@ -55,6 +55,17 @@ class SearchSpec extends AnyFunSuite {
     assert(ids.contains(3L) && ids.contains(1L))
   }
 
+  test("suggest ranks by distance, then corpus frequency, then term") {
+    val dict = Seq(("spark", 100L), ("spars", 3L), ("sparks", 40L),
+      ("shark", 7L), ("spork", 7L), ("unrelated", 9L))
+      .toDF("term", "freq")
+    val got = Search.suggest(dict, "term", "freq", "spark", maxDist = 1, n = 4)
+      .select("term").as[String].collect().toSeq
+    // dist 0 first; then dist-1 by freq desc; freq tie (shark/spork 7)
+    // breaks on term
+    assert(got == Seq("spark", "sparks", "shark", "spork"))
+  }
+
   test("facets count the full match set per bucket") {
     val f = Search.facets(docs, "doc_id", "text", Seq("spark"), "host")
       .as[(String, Long)].collect().toMap
