@@ -1656,6 +1656,27 @@ object SparkEntry {
     }, Some(ivfPqSql(annQueryVec(64), annCentroids(k = 6, dim = 64),
       pqCodebooks(m = 4, k = 8, dsub = 16), k = 10, nprobe = 2))),
 
+    ("q_phrase_snippet", (s: SparkSession, dir: String) => {
+      docs(s, dir).select(col("doc_id"),
+        graft.query.Snippets.phraseSnippet(col("text"),
+          Seq("table", "hash"), 8).as("snippet"))
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+         | c AS (SELECT doc_id, l,
+         |   list_filter(generate_series(0, len(l) - 2),
+         |     i -> l[i + 1] = 'table' AND l[i + 2] = 'hash') AS starts FROM t),
+         | e AS (SELECT doc_id, l,
+         |   CASE WHEN len(starts) > 0 THEN starts[1] END AS s FROM c),
+         | f AS (SELECT doc_id, l, s, greatest(s - 3, 0) AS w0 FROM e)
+         |SELECT doc_id,
+         | CASE WHEN s IS NOT NULL THEN array_to_string(
+         |   list_transform(
+         |     list_filter(generate_series(w0, w0 + 7), j -> j < len(l)),
+         |     j -> CASE WHEN j >= s AND j < s + 2
+         |          THEN '<em>' || l[j + 1] || '</em>' ELSE l[j + 1] END), ' ')
+         | END AS snippet
+         |FROM f""".stripMargin)),
+
     ("q_suggest", (s: SparkSession, dir: String) => {
       // same variant-enriched dictionary as q_fuzzy_expand, now with
       // corpus frequencies driving the rank

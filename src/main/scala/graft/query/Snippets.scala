@@ -61,6 +61,36 @@ object Snippets {
     (best, coalesce(array_max(cnts), lit(0)))
   }
 
+  /** Phrase-aware snippet (the `match_phrase` highlight): the window of
+    * `w` tokens around the FIRST exact phrase occurrence (consecutive
+    * analyzer tokens), roughly centered — start = max(match − (w−m)/2, 0)
+    * — with exactly the matched positions wrapped in `<em>` (position-
+    * based, so a phrase token repeated elsewhere in the window is NOT
+    * highlighted). Null when the phrase does not occur. Same pure-Column
+    * contract as [[snippet]]. */
+  def phraseSnippet(text: Column, phrase: Seq[String], w: Int): Column = {
+    val p = phrase.map(Analyzer.lowerLikeCatalyst)
+    val m = p.length
+    require(m >= 1 && w >= m, s"window $w shorter than phrase ($m)")
+    val toks = Analyzer.tokensCol(text)
+    val n = size(toks)
+    val idxs = when(n >= m, sequence(lit(0), n - m))
+      .otherwise(array().cast("array<int>"))
+    val starts = filter(idxs, i =>
+      p.zipWithIndex.map { case (t, j) =>
+        element_at(toks, i + j + 1) === lit(t)
+      }.reduce(_ && _))
+    val s = element_at(starts, 1)
+    val lead = (w - m) / 2
+    val w0 = greatest(s - lead, lit(0))
+    val winIdx = filter(sequence(w0, w0 + w - 1), j => j < n)
+    when(size(starts) > 0,
+      array_join(transform(winIdx, j =>
+        when(j >= s && j < s + m,
+          concat(lit("<em>"), element_at(toks, j + 1), lit("</em>")))
+          .otherwise(element_at(toks, j + 1))), " "))
+  }
+
   /** [[snippet]] over an already-materialized token-array column. */
   def snippetFromTokens(toks: Column, terms: Seq[String], w: Int): Column = {
     val ts = termsLit(terms)

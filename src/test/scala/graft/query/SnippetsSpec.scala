@@ -44,6 +44,30 @@ class SnippetsSpec extends AnyFunSuite {
     assert(snip("tail word match", Seq("match"), 5) == "<em>match</em>")
   }
 
+  test("phraseSnippet: first occurrence, centered window, position-based markup") {
+    def ps(text: String, phrase: Seq[String], w: Int): String = {
+      val r = Seq(text).toDF("t")
+        .select(Snippets.phraseSnippet(col("t"), phrase, w)).collect()(0)
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // centered: match at pos 3, w=4, m=2 → lead=1 → window 2..5
+    assert(ps("a b c quick fox d e", Seq("quick", "fox"), 4) ==
+      "c <em>quick</em> <em>fox</em> d")
+    // clipped at document start
+    assert(ps("quick fox tail x", Seq("quick", "fox"), 4) ==
+      "<em>quick</em> <em>fox</em> tail x")
+    // FIRST occurrence wins; the later one stays unhighlighted even
+    // inside another window
+    assert(ps("quick fox then quick fox", Seq("quick", "fox"), 5) ==
+      "<em>quick</em> <em>fox</em> then quick fox")
+    // adjacency required; no match → null
+    assert(ps("quick brown fox", Seq("quick", "fox"), 4) == null)
+    assert(ps("", Seq("quick", "fox"), 4) == null)
+    // repeated token inside the window is not highlighted by equality
+    assert(ps("fox quick fox z", Seq("quick", "fox"), 4) ==
+      "fox <em>quick</em> <em>fox</em> z")
+  }
+
   test("empty and null text → null snippet, zero count") {
     assert(snip("", Seq("x"), 3) == null)
     assert(snip("...!!!", Seq("x"), 3) == null) // tokens empty after split
