@@ -190,15 +190,21 @@ object Bench {
       }
       val pages = s.read.parquet(corpusPath).as[Page]
       val t0 = System.nanoTime()
-      new IndexBuilder(s, s"$work/index-$cores-$run",
+      val builder = new IndexBuilder(s, s"$work/index-$cores-$run",
         IndexParams(buckets = 16, shardSize = 8192, blockSize = 128,
           buildPartitions = BuildPartitions))
-        .build(pages, s"bench(n=$benchDocs)")
+      builder.build(pages, s"bench(n=$benchDocs)")
       val sec = (System.nanoTime() - t0) / 1e9
       if (postingsBytes < 0) {
         // on-disk posting size (compressed PForDelta blocks inside the
-        // parquet segment store) — the codec's footprint in the artifact
-        postingsBytes = sumFileSizes(new java.io.File(s"$work/index-$cores-$run/postings"))
+        // parquet segment store) — the codec's footprint in the artifact.
+        // Path comes from the builder's own layout constant, and absence
+        // warns loudly instead of silently recording -1 (ADVICE r5).
+        val pdir = new java.io.File(builder.postingsPath)
+        if (!pdir.isDirectory)
+          System.err.println(s"[graft-bench] WARNING: postings dir missing " +
+            s"at ${builder.postingsPath} — postings_bytes metric unavailable")
+        else postingsBytes = sumFileSizes(pdir)
       }
       s.stop()
       System.err.println(f"[graft-bench] local[$cores] run $run: $sec%.2fs")

@@ -221,8 +221,12 @@ object Curation {
 
   /** Tracking query parameters dropped by [[urlNormalize]] (public
     * convention: C4/crawl-dedup pipelines strip click-tracking params
-    * before URL-level dedup). Matched against the `key=` prefix. */
-  val TrackingParams: Seq[String] = Seq("utm_", "gclid", "fbclid", "msclkid")
+    * before URL-level dedup). `utm_` is a KEY-PREFIX family (utm_source,
+    * utm_medium, …); the click ids match as EXACT keys — `gclid=x` drops
+    * but `gclid_src=1`/`fbclid2=x` survive (ADVICE r5: a bare startsWith
+    * on the full `key=value` string silently stripped those). */
+  val TrackingKeyPrefixes: Seq[String] = Seq("utm_")
+  val TrackingExactKeys: Seq[String] = Seq("gclid", "fbclid", "msclkid")
 
   /** Canonicalize an absolute `scheme://host...` URL for URL-level dedup
     * — the step crawl pipelines run BEFORE content dedup so trivially
@@ -259,8 +263,13 @@ object Curation {
     val path = when(length(path0) > 1, regexp_replace(path0, "/$", ""))
       .otherwise(path0)
     val query0 = regexp_extract(pathQuery, "\\?(.*)$", 1)
-    val live = filter(split(query0, "&"), p =>
-      p =!= "" && !TrackingParams.map(t => p.startsWith(t)).reduce(_ || _))
+    val live = filter(split(query0, "&"), p => {
+      val tracked =
+        TrackingKeyPrefixes.map(t => p.startsWith(t)) ++
+          // exact key: `key=…` or a valueless bare `key`
+          TrackingExactKeys.flatMap(t => Seq(p.startsWith(t + "="), p === t))
+      p =!= "" && !tracked.reduce(_ || _)
+    })
     val q = array_join(array_sort(live), "&")
     when(scheme === "", lit(null).cast("string")).otherwise(concat(
       scheme, lit("://"), host, keepPort,
@@ -285,9 +294,14 @@ object Curation {
     * The blocklist is small by nature → broadcast LEFT ANTI join; the
     * corpus side never shuffles. */
   def domainFilter(df: DataFrame, urlCol: String,
-      blocklist: DataFrame, blockHostCol: String): DataFrame =
-    df.withColumn("_host", hostOf(col(urlCol)))
-      .join(broadcast(blocklist.select(col(blockHostCol).as("_host")).distinct()),
-        Seq("_host"), "left_anti")
-      .drop("_host")
+      blocklist: DataFrame, blockHostCol: String): DataFrame = {
+    // collision-proof temp name (ADVICE r5): a caller column named "_host"
+    // must survive the join untouched
+    var h = "_host"
+    while (df.columns.contains(h)) h += "_"
+    df.withColumn(h, hostOf(col(urlCol)))
+      .join(broadcast(blocklist.select(col(blockHostCol).as(h)).distinct()),
+        Seq(h), "left_anti")
+      .drop(h)
+  }
 }

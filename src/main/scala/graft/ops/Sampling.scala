@@ -96,12 +96,19 @@ object Sampling {
     * natural proportions; T→∞ flattens domains to equal shares. Rates are
     * rounded to 9 decimals so the DuckDB oracle's pow() (≤ 1 ulp apart
     * from the JVM's) quantizes to the identical threshold. Domain counts
-    * are a bounded driver collect (one row per domain). */
+    * are a bounded driver collect (one row per domain).
+    *
+    * The domain column is cast to string first (an int/long domain key
+    * would otherwise throw on getString — ADVICE r5). Rows with a NULL
+    * domain get NO rate entry, i.e. [[temperatureSample]] drops them via
+    * its defaultRate = 0 — route nulls to a sentinel domain upstream if
+    * they must be kept. */
   def temperatureRates(df: DataFrame, domainCol: String,
       temperature: Double, targetFraction: Double): Seq[(String, Double)] = {
     require(temperature > 0 && targetFraction >= 0 && targetFraction <= 1)
-    val counts = df.groupBy(col(domainCol)).count()
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val counts = df.groupBy(col(domainCol).cast("string").as("_domain")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1 != null).sortBy(_._1).toSeq
     val n = counts.map(_._2).sum.toDouble
     val pows = counts.map { case (d, c) => (d, math.pow(c / n, 1.0 / temperature)) }
     val z = pows.map(_._2).sum

@@ -33,9 +33,13 @@ object Search {
       idCol: String, k: Int, perKey: Int = 1): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(desc(scoreCol), col(idCol))
-    scored.withColumn("_rnk", row_number().over(w))
-      .filter(col("_rnk") <= perKey)
-      .drop("_rnk")
+    // collision-proof temp name: withColumn + drop on a fixed "_rnk" would
+    // silently clobber a caller column of the same name (ADVICE r5)
+    var rnk = "_rnk"
+    while (scored.columns.contains(rnk)) rnk += "_"
+    scored.withColumn(rnk, row_number().over(w))
+      .filter(col(rnk) <= perKey)
+      .drop(rnk)
       .orderBy(desc(scoreCol), col(idCol))
       .limit(k)
   }
@@ -70,7 +74,11 @@ object Search {
       fuzzyExpand(dict, "term", t, maxDist)
         .select("term").collect().map(_.getString(0))
     }.distinct.sorted
-    if (expanded.isEmpty) docs.sparkSession.emptyDataFrame
+    // schema-stable empty page (ADVICE r5): zero rows but the documented
+    // (idCol, score) shape, so downstream select/union keeps working when
+    // no dictionary term is within edit distance of a misspelled query
+    if (expanded.isEmpty)
+      docs.select(col(idCol), lit(0.0).as("score")).limit(0)
     else BruteForce.scoreAll(docs, idCol, textCol, expanded)
       .withColumn("score", round(col("score"), 4))
       .orderBy(desc("score"), col("docId"))

@@ -169,7 +169,11 @@ class CurationSpec extends AnyFunSuite {
       // all params tracking → no query at all
       ("https://ex.com/p?utm_medium=x", "https://ex.com/p"),
       // path case preserved, trailing slash stripped off non-root
-      ("https://ex.com/CaseSensitive/", "https://ex.com/CaseSensitive"))
+      ("https://ex.com/CaseSensitive/", "https://ex.com/CaseSensitive"),
+      // click ids are EXACT keys: gclid_src / fbclid2 are NOT tracking
+      // params and must survive (utm_ stays a prefix family) — ADVICE r5
+      ("https://ex.com/p?gclid_src=1&fbclid2=x&gclid=g&utm_x=1&msclkid",
+        "https://ex.com/p?fbclid2=x&gclid_src=1"))
     val got = Curation.urlNormalize($"u")
     val out = cases.map(_._1).toDF("u").select(got).as[String].collect()
     cases.map(_._2).zip(out).foreach { case (want, g) =>

@@ -91,4 +91,18 @@ class SamplingSpec extends AnyFunSuite {
     // temperature flattening: de's accept rate must exceed en's
     assert(rates("de") > rates("en"))
   }
+
+  test("temperatureRates: non-string domain column casts; null domains get no rate") {
+    import spark.implicits._
+    // int domain keys (ADVICE r5: previously threw ClassCastException)
+    val ints = ((1 to 90).map(i => (i.toLong, 7)) ++
+      (1 to 10).map(i => (i + 100L, 9))).toDF("id", "domain")
+    val r = Sampling.temperatureRates(ints, "domain", 1.0, 0.5).toMap
+    assert(r.keySet == Set("7", "9"))
+    assert(math.abs(r("7") - 0.5) < 1e-9)
+    // null domains: documented as excluded (defaultRate 0 drops the rows)
+    val withNull = Seq((1L, "a"), (2L, "a"), (3L, null)).toDF("id", "domain")
+    val rn = Sampling.temperatureRates(withNull, "domain", 1.0, 1.0).toMap
+    assert(rn.keySet == Set("a"))
+  }
 }

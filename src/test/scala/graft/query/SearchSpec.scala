@@ -55,6 +55,25 @@ class SearchSpec extends AnyFunSuite {
     assert(ids.contains(3L) && ids.contains(1L))
   }
 
+  test("fuzzyTopK with no expansion keeps the (idCol, score) schema") {
+    val top = Search.fuzzyTopK(docs, "doc_id", "text",
+      Seq("zzzzzzzzzz"), k = 3, maxDist = 1)
+    assert(top.columns.toSeq == Seq("doc_id", "score"))
+    assert(top.count() == 0)
+    // the documented contract: downstream select/union must not throw
+    assert(top.select("doc_id").count() == 0)
+  }
+
+  test("collapseTopK leaves a caller column named _rnk untouched") {
+    val scored = Seq((1L, "x", 9.0, "keep1"), (2L, "x", 8.0, "keep2"))
+      .toDF("doc_id", "host", "score", "_rnk")
+    val top = Search.collapseTopK(scored, "host", "score", "doc_id",
+      k = 2, perKey = 2)
+    assert(top.columns.toSeq == Seq("doc_id", "host", "score", "_rnk"))
+    assert(top.select("_rnk").as[String].collect().sorted.toSeq ==
+      Seq("keep1", "keep2"))
+  }
+
   test("suggest ranks by distance, then corpus frequency, then term") {
     val dict = Seq(("spark", 100L), ("spars", 3L), ("sparks", 40L),
       ("shark", 7L), ("spork", 7L), ("unrelated", 9L))
