@@ -1099,8 +1099,14 @@ object SparkEntry {
         .createTempDirectory("graft-iceberg-gate").toString
       graft.sources.Iceberg.write(s, docs(s, dir), tableDir,
         partitionCol = Some("lang"))
+      // verifyRecordCounts: the r4 driver artifact had ONE nondeterministic
+      // hash mismatch on this gate that no rerun reproduced — the integrity
+      // gate turns any repeat (extra/missing/truncated data file between
+      // write and read) into a loud named failure instead of a silently
+      // wrong aggregate
       graft.sources.Iceberg.read(s, tableDir,
-        partitionPredicate = p => p("lang") == "en")
+        partitionPredicate = p => p("lang") == "en",
+        verifyRecordCounts = true)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     }, Some("""SELECT source, count(*) AS n, sum(n_chars) AS chars

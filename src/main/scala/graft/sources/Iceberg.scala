@@ -86,8 +86,11 @@ object Iceberg {
       cur, snaps)
   }
 
-  private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] =
+    readAvroConf(spark.sparkContext.hadoopConfiguration, path)
+
+  private def readAvroConf(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](
       new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord]())
     try {
@@ -119,10 +122,57 @@ object Iceberg {
     finally pool.shutdown()
   }
 
+  /** Decode one manifest's LIVE entries (status ≠ DELETED) — a pure
+    * function of (conf, path) so the wide-table path can run it on
+    * executors. */
+  private def decodeLiveEntries(conf: org.apache.hadoop.conf.Configuration,
+      m: String): Seq[DataFileRef] =
+    readAvroConf(conf, m).flatMap { e =>
+      val status = e.get("status").asInstanceOf[Int]
+      if (status == 2) None // DELETED
+      else {
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        // v2 content: 0=DATA, 1=POSITION_DELETES, 2=EQUALITY_DELETES —
+        // delete files are out of subset; silently ignoring them would
+        // resurrect deleted rows, so fail fast
+        opt(df, "content").map(_.asInstanceOf[Int]).foreach(c =>
+          require(c == 0, s"v2 delete files are out of subset (content=$c in $m)"))
+        val partition = opt(df, "partition")
+          .map(_.asInstanceOf[GenericRecord]) match {
+          case Some(p) => p.getSchema.getFields.asScala.map(f =>
+            f.name() -> anyOf(p.get(f.name()))).toMap
+          case None => Map.empty[String, Any]
+        }
+        val fmt = anyOf(df.get("file_format")).asInstanceOf[String]
+        require(fmt.equalsIgnoreCase("parquet"),
+          s"only parquet data files in subset, got $fmt")
+        Some(DataFileRef(anyOf(df.get("file_path")).asInstanceOf[String], fmt,
+          df.get("record_count").asInstanceOf[Long], partition))
+      }
+    }
+
+  /** Manifest count at which [[liveFiles]] moves the decode from the
+    * driver pool to a Spark job: beyond this the driver's serial share of
+    * metadata work (and its heap, once the predicate can prune on
+    * executors) dominates snapshot planning on wide tables. */
+  val DistributedManifestThreshold: Int = 64
+
   /** Live data files of a snapshot (default: current): manifest-list →
-    * manifests → entries with status ≠ DELETED(2). */
+    * manifests → entries with status ≠ DELETED(2). `pruneOn` runs against
+    * each entry's identity-partition values BEFORE the entry is kept — on
+    * the EXECUTORS when the snapshot is wide, so a heavily-pruned query
+    * never materializes the full file list on the driver.
+    *
+    * Decode placement: ≤ [[DistributedManifestThreshold]] manifests →
+    * bounded driver-side pool (no job-scheduling latency for the common
+    * narrow snapshot); above it → one Spark flatMap over the manifest
+    * paths (a 10^12-doc snapshot carries thousands of manifests; the
+    * reference leader decodes the same chain serially via the SDK,
+    * iceberg-source LeaderScheduler). */
   def liveFiles(spark: SparkSession, dir: String,
-      snapshotId: Option[Long] = None): Seq[DataFileRef] = {
+      snapshotId: Option[Long] = None,
+      pruneOn: Map[String, Any] => Boolean = _ => true,
+      distributeOver: Int = DistributedManifestThreshold): Seq[DataFileRef] = {
     val meta = readMeta(spark, dir)
     val snapId = snapshotId.orElse(meta.currentSnapshotId).getOrElse(
       return Seq.empty)
@@ -130,34 +180,27 @@ object Iceberg {
       throw new IllegalArgumentException(s"snapshot $snapId not in $dir"))
     val manifests = readAvro(spark, snap.manifestList)
       .map(r => anyOf(r.get("manifest_path")).asInstanceOf[String])
-    // manifests are independent metadata files — open them on a small
-    // driver-side pool (same pattern as the index's footer lineage reads);
-    // a 10^12-doc snapshot carries many manifests and serial opens would
-    // be the driver's fixed cost
-    parallelFlat(manifests) { m =>
-      readAvro(spark, m).flatMap { e =>
-        val status = e.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED
-        else {
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          // v2 content: 0=DATA, 1=POSITION_DELETES, 2=EQUALITY_DELETES —
-          // delete files are out of subset; silently ignoring them would
-          // resurrect deleted rows, so fail fast
-          opt(df, "content").map(_.asInstanceOf[Int]).foreach(c =>
-            require(c == 0, s"v2 delete files are out of subset (content=$c in $m)"))
-          val partition = opt(df, "partition")
-            .map(_.asInstanceOf[GenericRecord]) match {
-            case Some(p) => p.getSchema.getFields.asScala.map(f =>
-              f.name() -> anyOf(p.get(f.name()))).toMap
-            case None => Map.empty[String, Any]
-          }
-          val fmt = anyOf(df.get("file_format")).asInstanceOf[String]
-          require(fmt.equalsIgnoreCase("parquet"),
-            s"only parquet data files in subset, got $fmt")
-          Some(DataFileRef(anyOf(df.get("file_path")).asInstanceOf[String], fmt,
-            df.get("record_count").asInstanceOf[Long], partition))
-        }
-      }
+    if (manifests.size <= distributeOver) {
+      // driver-side pool (same pattern as the index's footer lineage reads)
+      parallelFlat(manifests)(m =>
+        decodeLiveEntries(spark.sparkContext.hadoopConfiguration, m)
+          .filter(f => pruneOn(f.partition)))
+    } else {
+      // one executor task per manifest slice; the driver's conf ships with
+      // the closure so object-store credentials/scheme impls still apply
+      val conf = new graft.util.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf())
+      val prune = pruneOn
+      implicit val enc: org.apache.spark.sql.Encoder[DataFileRef] =
+        org.apache.spark.sql.Encoders.javaSerialization[DataFileRef]
+      spark.createDataset(manifests)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(math.min(manifests.size,
+          spark.sparkContext.defaultParallelism))
+        .flatMap(m => decodeLiveEntries(conf.value, m).filter(f => prune(f.partition)))
+        .collect().toSeq
+        // executor partition order is not manifest order — pin a
+        // deterministic result order across both decode placements
+        .sortBy(_.path)
     }
   }
 
@@ -197,16 +240,39 @@ object Iceberg {
   /** Read an Iceberg table as a DataFrame. `partitionPredicate` prunes on
     * manifest partition values BEFORE any Parquet footer opens (identity
     * partitions; the source column is present in the data files, so no
-    * column re-attachment is needed). `snapshotId` = time travel. */
+    * column re-attachment is needed). `snapshotId` = time travel.
+    *
+    * `verifyRecordCounts = true` adds a planning-time integrity gate: each
+    * selected file's Parquet footer row count must equal the manifest's
+    * `record_count` — a truncated, double-committed, or stray data file
+    * fails LOUDLY here instead of silently skewing downstream aggregates.
+    * Cost is one footer open per selected file on a bounded driver pool
+    * (metadata-sized; leave it off for scans over very wide snapshots
+    * where the footer opens would dominate planning). */
   def read(spark: SparkSession, dir: String,
       snapshotId: Option[Long] = None,
-      partitionPredicate: Map[String, Any] => Boolean = _ => true): DataFrame = {
-    val files = liveFiles(spark, dir, snapshotId)
-      .filter(f => partitionPredicate(f.partition))
+      partitionPredicate: Map[String, Any] => Boolean = _ => true,
+      verifyRecordCounts: Boolean = false): DataFrame = {
+    val files = liveFiles(spark, dir, snapshotId, pruneOn = partitionPredicate)
     if (files.isEmpty)
       spark.emptyDataFrame
-    else
+    else {
+      if (verifyRecordCounts) {
+        val conf = spark.sessionState.newHadoopConf()
+        val bad = parallelFlat(files) { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f.path), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val actual = try r.getRecordCount finally r.close()
+          if (actual == f.recordCount) Nil
+          else Seq(s"${f.path}: footer=$actual manifest=${f.recordCount}")
+        }
+        require(bad.isEmpty,
+          s"Iceberg record-count integrity violated for ${bad.size} file(s):\n  " +
+            bad.mkString("\n  "))
+      }
       spark.read.parquet(files.map(_.path): _*)
+    }
   }
 
   // ------------------------------------------------- fixture writer (tests)
