@@ -105,4 +105,47 @@ class LangModelSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("over-budget LM never reaches the driver: guard falls back, same values") {
+    val lm = LangModel.trainBigrams(ref.toDF("doc_id", "text"), "doc_id", "text")
+    val unguarded = LangModel.perplexity(cand.toDF("doc_id", "text"),
+      "doc_id", "text", lm).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // maxBroadcastRows = 3 < the LM's row count → both entries take the
+    // relational no-hint path; values must be unchanged
+    val viaFast = LangModel.perplexityBroadcast(cand.toDF("doc_id", "text"),
+      "doc_id", "text", lm, maxBroadcastRows = 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaFast == unguarded)
+    val guardedPlan = LangModel.perplexity(cand.toDF("doc_id", "text"),
+      "doc_id", "text", lm, maxBroadcastRows = 3)
+      .queryExecution.executedPlan.toString
+    // no forced broadcast of the model in the guarded plan: Spark may
+    // still pick a broadcast strategy from stats, so assert on the guard's
+    // own effect — the unguarded plan forces BroadcastHashJoin even when
+    // autoBroadcastJoinThreshold is -1; the guarded one must not
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = LangModel.perplexity(cand.toDF("doc_id", "text"),
+        "doc_id", "text", lm).queryExecution.executedPlan.toString
+      val guarded = LangModel.perplexity(cand.toDF("doc_id", "text"),
+        "doc_id", "text", lm, maxBroadcastRows = 3)
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("BroadcastHashJoin"))
+      assert(!guarded.contains("BroadcastHashJoin"),
+        s"guarded plan still broadcasts:\n$guarded")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(guardedPlan.nonEmpty)
+  }
+
+  test("trainBigrams(minCount) prunes rare bigrams from the artifact") {
+    val full = LangModel.trainBigrams(ref.toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pruned = LangModel.trainBigrams(ref.toDF("doc_id", "text"),
+      "doc_id", "text", minCount = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pruned == full.filter(_._2 >= 2L))
+    assert(pruned.contains(("the", "cat")) && pruned.size < full.size)
+  }
 }
