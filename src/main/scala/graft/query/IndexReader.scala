@@ -40,8 +40,10 @@ final case class SegmentRead(
 final class IndexReader(spark: SparkSession, indexDir: String) {
   import spark.implicits._
 
-  /** (gen, dir) pairs — (0, indexDir) for a standalone index. */
-  private val gens: Seq[(Int, String)] = IncrementalIndex.genDirs(spark, indexDir)
+  /** (gen, dir) pairs — (0, indexDir) for a standalone index. Visible to
+    * the [[IndexSearch]] layer, which reads the same generations' stats/
+    * docs/tf artifacts. */
+  private[query] val gens: Seq[(Int, String)] = IncrementalIndex.genDirs(spark, indexDir)
 
   /** Merged corpus stats: exact integer sums across generations. */
   val globals: Globals = gens.map { case (_, d) => Globals.read(d) }
@@ -91,7 +93,7 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
     * rows; bucket-pruned, column-pruned scan) and broadcast into the
     * per-shard closures. Single-generation indexes pay one cheap extra
     * metadata job per query; correctness over generations demands it. */
-  private def mergedDfMap(seg: Dataset[SegmentRead]): Map[String, Long] =
+  private[query] def mergedDfMap(seg: Dataset[SegmentRead]): Map[String, Long] =
     seg.select(col("term"), col("gen"), col("df")).distinct()
       .as[(String, Int, Long)].collect()
       .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._3).sum }

@@ -1,0 +1,122 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.corpus.SyntheticCorpus
+import graft.index.{IndexBuilder, IndexParams}
+
+/** Index-served search API ≡ the brute-force corpus-scan forms, bit-for-bit
+  * on (docId, rounded score) — and the index plans never touch the corpus.
+  * The brute [[Search]] forms stay as the oracle (they are themselves
+  * DuckDB-replayed by the q_bool_topk / q_mlt_* / q_suggest /
+  * q_search_facets gates).
+  */
+class IndexSearchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val indexDir = TestSpark.tmpDir("graft-idx-search")
+  private lazy val search: IndexSearch = {
+    val pages = SyntheticCorpus.generate(spark, 800, seed = 11L, partitions = 5)
+    new IndexBuilder(spark, indexDir,
+      IndexParams(buckets = 8, shardSize = 128, blockSize = 32,
+        buildPartitions = 5))
+      .build(pages, "synthetic(seed=11,n=800)")
+    new IndexSearch(spark, indexDir)
+  }
+  private lazy val docs: DataFrame = {
+    search // force the build before reading its docs artifact
+    spark.read.parquet(s"$indexDir/docs").select("docId", "text", "lang")
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.select(col("docId").cast("long"), col("score"))
+      .as[(Long, Double)].collect().toSeq
+
+  test("boolTopK ≡ brute Search.boolTopK across must/should/mustNot shapes") {
+    val cases = Seq(
+      (Seq("the"), Seq("w00002"), Seq("w00004"), 15),
+      (Seq("the", "of"), Nil, Nil, 10),
+      (Nil, Seq("w00001", "w00003"), Seq("the"), 20),
+      (Seq("w00007"), Seq("w00002", "of"), Seq("w00011", "w00013"), 12))
+    for ((must, should, not, k) <- cases) {
+      val brute = rows(Search.boolTopK(docs, "docId", "text", must, should, not, k))
+      val served = rows(search.boolTopK(must, should, not, k))
+      assert(served == brute, s"bool($must | $should | -$not, k=$k) diverged:\n" +
+        s" brute=$brute\n index=$served")
+    }
+  }
+
+  test("fuzzyTopK ≡ brute Search.fuzzyTopK (expansion from termstats)") {
+    for ((q, d, k) <- Seq((Seq("thw"), 1, 10), (Seq("w0000"), 1, 15),
+        (Seq("qqqqqq"), 1, 5))) {
+      val brute = rows(Search.fuzzyTopK(docs, "docId", "text", q, k, d)
+        .withColumnRenamed("docId", "docId"))
+      val served = rows(search.fuzzyTopK(q, k, d))
+      assert(served == brute, s"fuzzy($q, d=$d) diverged")
+    }
+  }
+
+  test("moreLikeThisTerms ≡ brute (tf desc, df asc, term asc)") {
+    val brute = Search.moreLikeThisTerms(docs, "docId", "text", 17L, 8)
+      .as[(String, Long, Long)].collect().toSeq
+    val served = search.moreLikeThisTerms(17L, 8)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(served == brute)
+  }
+
+  test("moreLikeThisTopK ≡ brute, source doc excluded") {
+    val brute = rows(Search.moreLikeThisTopK(docs, "docId", "text", 17L, 8, 10))
+    val served = rows(search.moreLikeThisTopK(17L, 8, 10))
+    assert(served == brute)
+    assert(!served.exists(_._1 == 17L))
+  }
+
+  test("facets ≡ brute full-match-set bucket counts") {
+    val brute = Search.facets(docs, "docId", "text", Seq("w00002", "w00005"), "lang")
+      .as[(String, Long)].collect().toMap
+    val served = search.facets(Seq("w00002", "w00005"), "lang")
+      .as[(String, Long)].collect().toMap
+    assert(served == brute)
+  }
+
+  test("suggest ≡ brute dictionary suggester (freq = total_tf)") {
+    val bruteDict = graft.analyze.Analyzer.tokens(docs, "docId", "text")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val brute = Search.suggest(bruteDict, "term", "freq", "thw", 2, 5)
+      .select("term", "freq", "dist").as[(String, Long, Int)].collect().toSeq
+    val served = search.suggest("thw", 2, 5)
+      .select("term", "freq", "dist").as[(String, Long, Int)].collect().toSeq
+    assert(served == brute)
+  }
+
+  test("served plans read postings/termstats/tf — never the corpus text") {
+    val boolPlan = search.boolTopK(Seq("the"), Seq("w00002"), Seq("w00004"), 10)
+      .queryExecution.executedPlan.toString
+    assert(boolPlan.contains("postings"), "bool must scan the segment store")
+    assert(!boolPlan.contains("/docs"), s"bool plan touches the corpus:\n$boolPlan")
+    // bucket pruning reaches the postings scan as a partition filter
+    assert(boolPlan.contains("PartitionFilters") && boolPlan.contains("bucket"),
+      s"no bucket partition pruning in:\n$boolPlan")
+    val mltPlan = search.moreLikeThisTerms(17L, 8)
+      .queryExecution.executedPlan.toString
+    assert(mltPlan.contains("/tf") && !mltPlan.contains("/docs"))
+    assert(mltPlan.contains("PushedFilters") && mltPlan.contains("docId"),
+      s"mlt docId predicate not pushed:\n$mltPlan")
+    val facetPlan = search.facets(Seq("w00002"), "lang")
+      .queryExecution.executedPlan.toString
+    assert(facetPlan.contains("postings") && facetPlan.contains("/docs"))
+    // the docs side of the facet join prunes the text column away
+    assert(!facetPlan.contains("text"), s"facet reads text:\n$facetPlan")
+  }
+
+  test("fuzzyTopK with no expansion keeps the (docId, score) schema") {
+    val empty = search.fuzzyTopK(Seq("zzzzzzzzzzzz"), 5, maxDist = 1)
+    assert(empty.columns.toSeq == Seq("docId", "score"))
+    assert(empty.count() == 0)
+  }
+}
