@@ -1548,6 +1548,44 @@ object SparkEntry {
         |FROM events, LATERAL (SELECT CAST(unnest([0, 1]) AS INT) AS pos) u
         |WHERE event_id % 97 <> 0""".stripMargin)),
 
+    ("q_sqs_receive", (s: SparkSession, dir: String) => {
+      // analytic fixture: each event becomes one SQS ReceiveMessage
+      // response payload (public wire shape) with body/attributes derived
+      // closed-form from event_id; every 83rd payload carries a corrupted
+      // MD5OfBody the decoder must flag (md5_ok=false), never throw on.
+      val e = events(s, dir)
+      val body = concat(lit("evt "), col("event_type"))
+      val digest = when(col("event_id") % 83 === 0,
+        lit("00000000000000000000000000000000"))
+        .otherwise(md5(body.cast("binary")))
+      val payload = to_json(struct(array(struct(
+        concat(lit("m-"), col("event_id").cast("string")).as("MessageId"),
+        concat(lit("rh-"), col("event_id").cast("string")).as("ReceiptHandle"),
+        digest.as("MD5OfBody"),
+        body.as("Body"),
+        map(lit("SentTimestamp"), (col("event_id") * 1000).cast("string"))
+          .as("Attributes"),
+        map(lit("TraceId"), struct(
+          concat(lit("t-"), (col("event_id") % 17).cast("string"))
+            .as("StringValue"),
+          lit("String").as("DataType"))).as("MessageAttributes")))
+        .as("Messages")))
+      graft.sources.Queues.sqsReceive(
+        e.select(col("event_id").as("src_id"), payload.as("resp")),
+        "resp", "https://sqs.us-east-1.example/q1")
+        .select(col("src_id"), col("message_id"), col("receipt_handle"),
+          col("body"), col("md5_ok").cast("int").as("md5_ok_i"),
+          element_at(col("attributes"), "sentTimestamp").as("sent_ts"),
+          element_at(col("message_attributes"), "traceId").as("trace_id"))
+    }, Some(
+      """SELECT event_id AS src_id, 'm-' || event_id AS message_id,
+        | 'rh-' || event_id AS receipt_handle,
+        | 'evt ' || event_type AS body,
+        | CAST(event_id % 83 <> 0 AS INT) AS md5_ok_i,
+        | CAST(event_id * 1000 AS VARCHAR) AS sent_ts,
+        | 't-' || (event_id % 17) AS trace_id
+        |FROM events""".stripMargin)),
+
     ("q_collapse_topk", (s: SparkSession, dir: String) => {
       val scored = docs(s, dir).select(col("doc_id"),
         concat(lit("host"), (col("doc_id") % 13).cast("string")).as("host"),

@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Kafka/SQS consumer seams: everything short of the network hop — option
+  * compilation, wire-column decode, envelope decode with MD5 verification,
+  * attribute shaping — spec'd without any connector jar. */
+class QueuesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- kafka
+
+  private def topic(serde: String = "plaintext") = Queues.KafkaTopic(
+    "logs", groupId = "graft-g1", autoOffsetReset = "earliest",
+    serdeFormat = serde)
+
+  test("sparkOptions: plaintext listener, no auth") {
+    val o = Queues.sparkOptions(Queues.KafkaConf(
+      Seq("b1:9092", "b2:9092"), topic(), encryption = false))
+    assert(o("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(o("subscribe") == "logs")
+    assert(o("startingOffsets") == "earliest")
+    assert(o("kafka.group.id") == "graft-g1")
+    assert(o("kafka.security.protocol") == "PLAINTEXT")
+    assert(!o.contains("kafka.sasl.mechanism"))
+  }
+
+  test("sparkOptions: TLS only; latest offsets; maxPollRecords throttles") {
+    val o = Queues.sparkOptions(Queues.KafkaConf(Seq("b:9094"),
+      topic().copy(autoOffsetReset = "latest", maxPollRecords = Some(5000L))))
+    assert(o("kafka.security.protocol") == "SSL")
+    assert(o("startingOffsets") == "latest")
+    assert(o("maxOffsetsPerTrigger") == "5000")
+  }
+
+  test("sparkOptions: SASL PLAIN and SCRAM mechanisms compile to jaas configs") {
+    val plain = Queues.sparkOptions(Queues.KafkaConf(Seq("b:9096"), topic(),
+      auth = Some(Queues.KafkaAuth("plain", "u", "p"))))
+    assert(plain("kafka.security.protocol") == "SASL_SSL")
+    assert(plain("kafka.sasl.mechanism") == "PLAIN")
+    assert(plain("kafka.sasl.jaas.config").contains("PlainLoginModule required"))
+    assert(plain("kafka.sasl.jaas.config").contains("""username="u""""))
+    val scram = Queues.sparkOptions(Queues.KafkaConf(Seq("b:9096"), topic(),
+      encryption = false,
+      auth = Some(Queues.KafkaAuth("scram_sha_512", "u2", "p2"))))
+    assert(scram("kafka.security.protocol") == "SASL_PLAINTEXT")
+    assert(scram("kafka.sasl.mechanism") == "SCRAM-SHA-512")
+    assert(scram("kafka.sasl.jaas.config").contains("ScramLoginModule required"))
+  }
+
+  test("sparkOptions rejects bad offsets/mechanisms loudly") {
+    intercept[IllegalArgumentException] {
+      Queues.sparkOptions(Queues.KafkaConf(Seq("b:1"),
+        topic().copy(autoOffsetReset = "none")))
+    }
+    intercept[IllegalArgumentException] { Queues.KafkaAuth("oauth", "u", "p") }
+  }
+
+  /** Fixture with the connector's exact wire schema. */
+  private def wire(values: Seq[String]) =
+    values.zipWithIndex.map { case (v, i) =>
+      (s"k$i".getBytes("UTF-8"), v.getBytes("UTF-8"), "logs", 0,
+        i.toLong, new java.sql.Timestamp(1700000000000L + i))
+    }.toDF("key", "value", "topic", "partition", "offset", "timestamp")
+
+  test("kafka decode: plaintext and bytes serde keep offsets/keys") {
+    val out = Queues.decode(wire(Seq("hello", "world")), topic())
+      .orderBy("kafka_offset")
+      .select("message", "kafka_key", "kafka_topic", "kafka_offset")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(out == Seq(("hello", "k0", "logs", 0L), ("world", "k1", "logs", 1L)))
+    val raw = Queues.decode(wire(Seq("xy")), topic("bytes"))
+      .select("message").as[Array[Byte]].head()
+    assert(new String(raw, "UTF-8") == "xy")
+  }
+
+  test("kafka decode: json serde flattens the value against the schema") {
+    val sch = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType)))
+    val out = Queues.decode(
+      wire(Seq("""{"a":1,"b":"x"}""", """{"a":2,"b":"y"}""")),
+      topic("json"), Some(sch))
+      .orderBy("kafka_offset").select("a", "b", "kafka_offset")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "x", 0L), (2L, "y", 1L)))
+    intercept[IllegalArgumentException] {
+      Queues.decode(wire(Seq("{}")), topic("json"))
+    }
+  }
+
+  // --------------------------------------------------------------- sqs
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("sqsReceive: bodies, receipt plumbing, verified md5, attribute shaping") {
+    val body1 = """{"evt":1}"""
+    val body2 = "plain text"
+    val payload =
+      s"""{"Messages":[
+         |{"MessageId":"m-1","ReceiptHandle":"rh-1",
+         | "MD5OfBody":"${md5hex(body1)}",
+         | "Body":${"\"" + body1.replace("\"", "\\\"") + "\""},
+         | "Attributes":{"SentTimestamp":"123","ApproximateReceiveCount":"1"},
+         | "MessageAttributes":{"TraceId":{"StringValue":"t-9","DataType":"String"}}},
+         |{"MessageId":"m-2","ReceiptHandle":"rh-2",
+         | "MD5OfBody":"deadbeefdeadbeefdeadbeefdeadbeef",
+         | "Body":"$body2"}
+         |]}""".stripMargin
+    val out = Queues.sqsReceive(Seq(payload).toDF("resp"), "resp",
+        "https://sqs.us-east-1.example/q1")
+      .orderBy("message_id").collect()
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert(r1.getAs[String]("queue_url").endsWith("/q1"))
+    assert(r1.getAs[String]("message_id") == "m-1")
+    assert(r1.getAs[String]("receipt_handle") == "rh-1")
+    assert(r1.getAs[String]("body") == body1)
+    assert(r1.getAs[Boolean]("md5_ok"))
+    // reference AttributeHandler: first letter lowercased
+    val attrs = r1.getAs[Map[String, String]]("attributes")
+    assert(attrs == Map("sentTimestamp" -> "123",
+      "approximateReceiveCount" -> "1"))
+    val mattrs = r1.getAs[Map[String, String]]("message_attributes")
+    assert(mattrs == Map("traceId" -> "t-9"))
+    // corrupted digest → quarantine flag, not an exception
+    val r2 = out(1)
+    assert(r2.getAs[String]("body") == body2)
+    assert(!r2.getAs[Boolean]("md5_ok"))
+    assert(r2.getAs[Map[String, String]]("attributes").isEmpty)
+  }
+
+  test("sqsReceive is one projection — no shuffle in the decode plan") {
+    val plan = Queues.sqsReceive(Seq("""{"Messages":[]}""").toDF("resp"),
+      "resp", "q").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+  }
+}
