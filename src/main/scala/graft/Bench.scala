@@ -172,12 +172,13 @@ object Bench {
     // executors are long-lived and warm
     val warmed = scala.collection.mutable.Set.empty[Int]
     var postingsBytes = -1L
+    var positionsBytes = -1L
     def sumFileSizes(dir: java.io.File): Long = {
       val fs = dir.listFiles()
       if (fs == null) 0L
       else fs.map(f => if (f.isDirectory) sumFileSizes(f) else f.length()).sum
     }
-    def buildAt(cores: Int, run: Int): Double = {
+    def buildAt(cores: Int, run: Int, positions: Boolean = false): Double = {
       val s = newSession(cores, shufflePartitions = BuildPartitions,
         adaptive = false)
       import s.implicits._
@@ -189,12 +190,20 @@ object Bench {
           .build(SyntheticCorpus.generate(s, 2000, seed = 7L), "warmup")
       }
       val pages = s.read.parquet(corpusPath).as[Page]
+      val tag = if (positions) "pos" else "index"
       val t0 = System.nanoTime()
-      val builder = new IndexBuilder(s, s"$work/index-$cores-$run",
+      val builder = new IndexBuilder(s, s"$work/$tag-$cores-$run",
         IndexParams(buckets = 16, shardSize = 8192, blockSize = 128,
-          buildPartitions = BuildPartitions))
+          buildPartitions = BuildPartitions, positions = positions))
       builder.build(pages, s"bench(n=$benchDocs)")
       val sec = (System.nanoTime() - t0) / 1e9
+      if (positions) {
+        if (positionsBytes < 0)
+          positionsBytes = sumFileSizes(new java.io.File(builder.postingsPath))
+        s.stop()
+        System.err.println(f"[graft-bench] local[$cores] positions run: $sec%.2fs")
+        return sec
+      }
       if (postingsBytes < 0) {
         // on-disk posting size (compressed PForDelta blocks inside the
         // parquet segment store) — the codec's footprint in the artifact.
@@ -399,6 +408,20 @@ object Bench {
     val concCeilMedian = median(allPairs.map(_.concCeil), cpuCeiling)
     val normConcMedian = median(allPairs.map(_.normConc), normalized)
 
+    // --- positions=true build cost (one probe-gated 4N run) ---
+    // The phrase feature's price: same corpus, same params, positional
+    // postings on. Reported as absolute seconds, the overhead ratio vs the
+    // positions-less 4N minimum, and the postings artifact growth — the
+    // numbers a deployment weighs before enabling phrase queries.
+    waitForCalm(math.min(120.0, math.max(0.0, remainingSec / 5)),
+      probeRef, 0.85)
+    val posSec = buildAt(4, 0, positions = true)
+    val posOverhead = posSec / t4N
+    val posBytesRatio =
+      if (postingsBytes > 0 && positionsBytes > 0)
+        positionsBytes.toDouble / postingsBytes
+      else -1.0
+
     // --- query p95 latency over the fixture query set (warm, k=10) ---
     spark = newSession(32)
     val reader = new IndexReader(spark, s"$work/index-4-$last4Run")
@@ -448,17 +471,19 @@ object Bench {
 
     writeBenchMd(benchDocs, tN, t4N, thrN, thr4N, efficiency, cpuCeiling,
       normalized, pairEffMax, pairNormalized, pairEffMedian, scalingClean,
-      concCeilMedian, normConcMedian, gate, p50, p95)
+      concCeilMedian, normConcMedian, gate, p50, p95,
+      posSec, posOverhead, posBytesRatio)
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_efficiency_pair_median":${f"$pairEffMedian%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"scaling_concurrent_ceiling_median":${f"$concCeilMedian%.3f"},"normalized_scaling_concurrent_median":${f"$normConcMedian%.3f"},"scaling_gate":"$gate","postings_bytes":$postingsBytes,"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_efficiency_pair_median":${f"$pairEffMedian%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"scaling_concurrent_ceiling_median":${f"$concCeilMedian%.3f"},"normalized_scaling_concurrent_median":${f"$normConcMedian%.3f"},"scaling_gate":"$gate","postings_bytes":$postingsBytes,"index_sec_4N_positions":${f"$posSec%.2f"},"positions_build_overhead":${f"$posOverhead%.3f"},"positions_postings_bytes":$positionsBytes,"positions_bytes_ratio":${f"$posBytesRatio%.3f"},"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
   }
 
   private def writeBenchMd(n: Long, tN: Double, t4N: Double, thrN: Double,
       thr4N: Double, eff: Double, ceil: Double, norm: Double,
       pairEff: Double, pairNorm: Double, pairMedian: Double, clean: Boolean,
       concCeilMedian: Double, normConcMedian: Double, gate: String,
-      p50: Double, p95: Double): Unit = {
+      p50: Double, p95: Double,
+      posSec: Double, posOverhead: Double, posBytesRatio: Double): Unit = {
     val md =
       s"""# BENCH — measured (sandbox, this round)
          |
@@ -520,6 +545,13 @@ object Bench {
          |
          |Query latency over the 50-query fixture set (Block-Max WAND,
          |k=10, warm serving path): p50 = ${f"$p50%.2f"} ms, p95 = ${f"$p95%.2f"} ms.
+         |
+         |Positions build cost (the phrase-query feature's price, one
+         |probe-gated local[4] run, same corpus/params with
+         |`IndexParams(positions = true)`): ${f"$posSec%.2f"} s =
+         |**${f"$posOverhead%.2f"}×** the positions-less 4N minimum;
+         |postings artifact grows **${f"$posBytesRatio%.2f"}×** (delta-coded
+         |PForDelta position lists, boundaries implied by tf sums).
          |
          |Reference baseline for context: Data Prepper 1.3 ingest pipeline
          |sustains ~19.7k events/s on 4 vCPUs (~4.9k events/s/vCPU) —
