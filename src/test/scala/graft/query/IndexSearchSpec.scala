@@ -119,4 +119,31 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("docId", "score"))
     assert(empty.count() == 0)
   }
+
+  test("generational index: bool/mlt/facets stay brute-identical across appends") {
+    val genDir = TestSpark.tmpDir("graft-idx-search-gen")
+    val params = IndexParams(buckets = 8, shardSize = 128, blockSize = 32,
+      buildPartitions = 4)
+    val all = SyntheticCorpus.generate(spark, 600, seed = 23L, partitions = 4)
+    graft.index.IncrementalIndex.append(spark, genDir,
+      all.filter(length(col("url")) % 2 === 0), params, "gen0")
+    graft.index.IncrementalIndex.append(spark, genDir,
+      all.filter(length(col("url")) % 2 === 1), params, "gen1")
+    val gen = new IndexSearch(spark, genDir)
+    val genDocs = new IndexReader(spark, genDir).gens
+      .map { case (_, d) => spark.read.parquet(s"$d/docs") }
+      .reduce(_.unionByName(_)).select("docId", "text", "lang")
+    // merged df/globals across generations feed the same BM25 the brute
+    // form computes over the union corpus
+    val brute = rows(Search.boolTopK(genDocs, "docId", "text",
+      Seq("the"), Seq("w00002"), Seq("w00009"), 12))
+    val served = rows(gen.boolTopK(Seq("the"), Seq("w00002"), Seq("w00009"), 12))
+    assert(served == brute)
+    val bruteMlt = rows(Search.moreLikeThisTopK(genDocs, "docId", "text", 5L, 6, 8))
+    assert(rows(gen.moreLikeThisTopK(5L, 6, 8)) == bruteMlt)
+    val bruteFacets = Search.facets(genDocs, "docId", "text",
+      Seq("w00003"), "lang").as[(String, Long)].collect().toMap
+    assert(gen.facets(Seq("w00003"), "lang")
+      .as[(String, Long)].collect().toMap == bruteFacets)
+  }
 }
