@@ -443,6 +443,34 @@ object Bench {
     val p50 = lat((lat.length * 0.50).toInt)
     val p95 = lat((lat.length * 0.95).toInt)
 
+    // --- served vs brute search-API latency (r5) ---
+    // The r4 verdict's scale gap: bool/MLT/facets scored by re-tokenizing
+    // the corpus per query. graft.query.IndexSearch serves the same shapes
+    // from the built index; this measures both paths on the SAME query over
+    // the SAME corpus so the artifact carries the gap the serving path
+    // closes (brute cost grows with corpus size, served with the query
+    // terms' postings). Warm each path once (codegen/JIT), time the second.
+    val idxDir = s"$work/index-4-$last4Run"
+    val served = new graft.query.IndexSearch(spark, idxDir)
+    val docsArt = spark.read.parquet(s"$idxDir/docs")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val (bMust, bShould, bNot) = (Seq(SyntheticCorpus.term(3)),
+      Seq(SyntheticCorpus.term(42)), Seq(SyntheticCorpus.term(7)))
+    served.boolTopK(bMust, bShould, bNot, 10).collect()
+    graft.query.Search.boolTopK(docsArt, "docId", "text",
+      bMust, bShould, bNot, 10).collect()
+    val boolServedSec = timed(served.boolTopK(bMust, bShould, bNot, 10).collect())
+    val boolBruteSec = timed(graft.query.Search.boolTopK(docsArt, "docId",
+      "text", bMust, bShould, bNot, 10).collect())
+    val mltServedSec = timed(served.moreLikeThisTopK(12L, 8, 10).collect())
+    val mltBruteSec = timed(graft.query.Search.moreLikeThisTopK(docsArt,
+      "docId", "text", 12L, 8, 10).collect())
+    val facServedSec = timed(served.facets(bMust, "lang").collect())
+    val facBruteSec = timed(graft.query.Search.facets(docsArt, "docId",
+      "text", bMust, "lang").collect())
+
     // --- headline operator queries on the driver testdata ---
     val results = HeadlineQueries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -469,13 +497,29 @@ object Bench {
       else if (normConcMedian >= 0.8) "concurrent_ceiling_pair_median"
       else "unmet"
 
+    val servedVsBrute =
+      f"""Served-vs-brute search-API latency (r5 — the same bool / MLT /
+         |facets query answered from the built index vs the corpus-scan
+         |brute form it is rank-identical to; both warm, $benchDocs docs):
+         |
+         || query shape | index-served (s) | brute corpus scan (s) |
+         ||---|---|---|
+         || bool (must+should+must_not, k=10) | $boolServedSec%.2f | $boolBruteSec%.2f |
+         || more-like-this (m=8, k=10) | $mltServedSec%.2f | $mltBruteSec%.2f |
+         || facets (terms agg over match set) | $facServedSec%.2f | $facBruteSec%.2f |
+         |
+         |The brute side re-tokenizes every document per query (cost scales
+         |with the corpus); the served side reads only the query terms'
+         |bucket-pruned postings (cost scales with the match set) — at 10^12
+         |docs the left column is the only viable serving path.""".stripMargin
+
     writeBenchMd(benchDocs, tN, t4N, thrN, thr4N, efficiency, cpuCeiling,
       normalized, pairEffMax, pairNormalized, pairEffMedian, scalingClean,
       concCeilMedian, normConcMedian, gate, p50, p95,
-      posSec, posOverhead, posBytesRatio)
+      posSec, posOverhead, posBytesRatio, servedVsBrute)
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_efficiency_pair_median":${f"$pairEffMedian%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"scaling_concurrent_ceiling_median":${f"$concCeilMedian%.3f"},"normalized_scaling_concurrent_median":${f"$normConcMedian%.3f"},"scaling_gate":"$gate","postings_bytes":$postingsBytes,"index_sec_4N_positions":${f"$posSec%.2f"},"positions_build_overhead":${f"$posOverhead%.3f"},"positions_postings_bytes":$positionsBytes,"positions_bytes_ratio":${f"$posBytesRatio%.3f"},"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs":$benchDocs,"n_cores":1,"four_n_cores":4,"index_sec_N":${f"$tN%.2f"},"index_sec_4N":${f"$t4N%.2f"},"index_docs_per_sec_N":${f"$thrN%.1f"},"index_docs_per_sec_4N":${f"$thr4N%.1f"},"scaling_efficiency_N_to_4N":${f"$efficiency%.3f"},"scaling_efficiency_best_pair":${f"$pairEffMax%.3f"},"scaling_efficiency_pair_median":${f"$pairEffMedian%.3f"},"scaling_pair_was_clean":$scalingClean,"host_cpu_scaling_ceiling_N_to_4N":${f"$cpuCeiling%.3f"},"normalized_scaling_efficiency":${f"$normalized%.3f"},"normalized_best_pair":${f"$pairNormalized%.3f"},"scaling_concurrent_ceiling_median":${f"$concCeilMedian%.3f"},"normalized_scaling_concurrent_median":${f"$normConcMedian%.3f"},"scaling_gate":"$gate","postings_bytes":$postingsBytes,"index_sec_4N_positions":${f"$posSec%.2f"},"positions_build_overhead":${f"$posOverhead%.3f"},"positions_postings_bytes":$positionsBytes,"positions_bytes_ratio":${f"$posBytesRatio%.3f"},"query_p50_ms":${f"$p50%.2f"},"query_p95_ms":${f"$p95%.2f"},"search_bool_served_sec":${f"$boolServedSec%.3f"},"search_bool_brute_sec":${f"$boolBruteSec%.3f"},"search_mlt_served_sec":${f"$mltServedSec%.3f"},"search_mlt_brute_sec":${f"$mltBruteSec%.3f"},"search_facets_served_sec":${f"$facServedSec%.3f"},"search_facets_brute_sec":${f"$facBruteSec%.3f"}}""")
   }
 
   private def writeBenchMd(n: Long, tN: Double, t4N: Double, thrN: Double,
@@ -483,7 +527,8 @@ object Bench {
       pairEff: Double, pairNorm: Double, pairMedian: Double, clean: Boolean,
       concCeilMedian: Double, normConcMedian: Double, gate: String,
       p50: Double, p95: Double,
-      posSec: Double, posOverhead: Double, posBytesRatio: Double): Unit = {
+      posSec: Double, posOverhead: Double, posBytesRatio: Double,
+      servedVsBrute: String): Unit = {
     val md =
       s"""# BENCH — measured (sandbox, this round)
          |
@@ -545,6 +590,8 @@ object Bench {
          |
          |Query latency over the 50-query fixture set (Block-Max WAND,
          |k=10, warm serving path): p50 = ${f"$p50%.2f"} ms, p95 = ${f"$p95%.2f"} ms.
+         |
+         |$servedVsBrute
          |
          |Positions build cost (the phrase-query feature's price, one
          |probe-gated local[4] run, same corpus/params with

@@ -1586,6 +1586,47 @@ object SparkEntry {
         | 't-' || (event_id % 17) AS trace_id
         |FROM events""".stripMargin)),
 
+    ("q_kafka_decode", (s: SparkSession, dir: String) => {
+      // analytic fixture: each event becomes one record in the
+      // spark-sql-kafka wire schema (topic/partition/offset/timestamp/
+      // key/value binary) with a JSON value derived closed-form from
+      // event_id; the decoder flattens it per serde_format=json. The
+      // oracle re-derives the same rows from events directly — pinning
+      // the option-map adapter's decode end-to-end without the jar.
+      val e = events(s, dir)
+      val valueJson = to_json(struct(
+        col("event_id").as("id"),
+        col("event_type").as("etype"),
+        (col("event_id") % 5).as("sev")))
+      val wire = e.select(
+        lit("logs").as("topic"),
+        (col("event_id") % 12).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        to_timestamp(from_unixtime(col("event_id") % 100000)).as("timestamp"),
+        concat(lit("k-"), (col("event_id") % 31).cast("string"))
+          .cast("binary").as("key"),
+        valueJson.cast("binary").as("value"))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("etype",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sev",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.Queues.decode(wire,
+          graft.sources.Queues.KafkaTopic("logs", "g1", serdeFormat = "json"),
+          Some(sch))
+        .select(col("id"), col("etype"), col("sev"), col("kafka_topic"),
+          col("kafka_partition"), col("kafka_offset"), col("kafka_key"),
+          unix_timestamp(col("kafka_timestamp")).as("kafka_ts"))
+    }, Some(
+      """SELECT event_id AS id, event_type AS etype,
+        | event_id % 5 AS sev, 'logs' AS kafka_topic,
+        | CAST(event_id % 12 AS INT) AS kafka_partition,
+        | event_id AS kafka_offset, 'k-' || (event_id % 31) AS kafka_key,
+        | event_id % 100000 AS kafka_ts
+        |FROM events""".stripMargin)),
+
     ("q_collapse_topk", (s: SparkSession, dir: String) => {
       val scored = docs(s, dir).select(col("doc_id"),
         concat(lit("host"), (col("doc_id") % 13).cast("string")).as("host"),

@@ -147,21 +147,27 @@ object Queues {
     * system attributes, message attribute string values). */
   def sqsReceive(df: DataFrame, jsonCol: String, queueUrl: String): DataFrame = {
     val keep = df.columns.filterNot(_ == jsonCol).map(col)
-    val parsed = df.withColumn("_r", from_json(col(jsonCol), sqsReceiveSchema))
-      .select(col("*"), explode(col("_r.Messages")).as("_m"))
+    // collision-proof temp names: fixed "_r"/"_m" would silently shadow
+    // caller columns of the same name (same ADVICE class as collapseTopK)
+    var r = "_r"
+    while (df.columns.contains(r)) r += "_"
+    var m = "_m"
+    while (df.columns.contains(m)) m += "_"
+    val parsed = df.withColumn(r, from_json(col(jsonCol), sqsReceiveSchema))
+      .select(col("*"), explode(col(s"$r.Messages")).as(m))
     val decoded = Seq(
       lit(queueUrl).as("queue_url"),
-      col("_m.MessageId").as("message_id"),
-      col("_m.ReceiptHandle").as("receipt_handle"),
-      col("_m.Body").as("body"),
-      (md5(col("_m.Body").cast("binary")) === lower(col("_m.MD5OfBody")))
+      col(s"$m.MessageId").as("message_id"),
+      col(s"$m.ReceiptHandle").as("receipt_handle"),
+      col(s"$m.Body").as("body"),
+      (md5(col(s"$m.Body").cast("binary")) === lower(col(s"$m.MD5OfBody")))
         .as("md5_ok"),
-      transform_keys(coalesce(col("_m.Attributes"),
+      transform_keys(coalesce(col(s"$m.Attributes"),
           map().cast("map<string,string>")),
         (k, _) => concat(lower(k.substr(lit(1), lit(1))), k.substr(lit(2), length(k))))
         .as("attributes"),
       transform_values(
-        transform_keys(coalesce(col("_m.MessageAttributes"),
+        transform_keys(coalesce(col(s"$m.MessageAttributes"),
             map().cast(
               "map<string,struct<StringValue:string,DataType:string>>")),
           (k, _) => concat(lower(k.substr(lit(1), lit(1))), k.substr(lit(2), length(k)))),

@@ -137,6 +137,22 @@ class QueuesSpec extends AnyFunSuite {
     assert(r2.getAs[Map[String, String]]("attributes").isEmpty)
   }
 
+  test("sqsReceive: caller columns named _r/_m survive (collision-proof temps)") {
+    val body = "x"
+    val payload =
+      s"""{"Messages":[{"MessageId":"m-1","ReceiptHandle":"rh-1",
+         | "MD5OfBody":"${md5hex(body)}","Body":"$body"}]}""".stripMargin
+    val out = Queues.sqsReceive(
+        Seq((payload, "keepR", "keepM")).toDF("resp", "_r", "_m"),
+        "resp", "q")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("_r") == "keepR")
+    assert(out(0).getAs[String]("_m") == "keepM")
+    assert(out(0).getAs[String]("body") == body)
+    assert(out(0).getAs[Boolean]("md5_ok"))
+  }
+
   test("sqsReceive is one projection — no shuffle in the decode plan") {
     val plan = Queues.sqsReceive(Seq("""{"Messages":[]}""").toDF("resp"),
       "resp", "q").queryExecution.executedPlan.toString
