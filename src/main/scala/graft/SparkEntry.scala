@@ -1548,6 +1548,78 @@ object SparkEntry {
         |FROM events, LATERAL (SELECT CAST(unnest([0, 1]) AS INT) AS pos) u
         |WHERE event_id % 97 <> 0""".stripMargin)),
 
+    ("q_cloudwatch_sink", (s: SparkSession, dir: String) => {
+      // the ENCODE side of the cloudwatch_logs sink: greedy PutLogEvents
+      // batching (flush-before-add on request bytes incl. the public
+      // 26 B/event overhead, flush-after-add on count, event-size DLQ)
+      // over a per-(group, stream) fold. The oracle replays the exact
+      // sequential fold as a DuckDB RECURSIVE CTE — per-event batch_idx /
+      // seq_in_batch must match bit-for-bit.
+      val e = events(s, dir)
+      val fixture = e.select(
+        col("event_type").as("g"),
+        concat(lit("s-"), (col("event_id") % 7).cast("string")).as("s"),
+        expr("event_id DIV 5").as("ts"),
+        col("event_id").as("id"),
+        expr("repeat('a', CAST(20 + (event_id * 7) % 180 AS INT))").as("msg"))
+      graft.sinks.CloudWatchLogs.assignBatches(fixture, "g", "s", "ts",
+          "id", "msg", graft.sinks.CloudWatchLogs.Thresholds(
+            batchSize = 6, maxEventBytes = 200, maxRequestBytes = 600))
+        .select(col("log_group"), col("log_stream"), col("src_id"),
+          col("ts"), col("event_bytes"),
+          col("dropped").cast("int").as("dropped_i"),
+          col("batch_idx"), col("seq_in_batch"))
+    }, Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT event_type AS log_group,
+        |         's-' || (event_id % 7) AS log_stream,
+        |         event_id // 5 AS ts,
+        |         event_id AS src_id,
+        |         CAST(20 + (event_id * 7) % 180 AS BIGINT) AS event_bytes
+        |  FROM events
+        |), ok AS (
+        |  SELECT *, row_number() OVER (PARTITION BY log_group, log_stream
+        |                               ORDER BY ts, src_id) AS rn
+        |  FROM base WHERE event_bytes + 26 <= 200
+        |), st AS (
+        |  SELECT log_group, log_stream, rn, src_id, ts, event_bytes,
+        |         CAST(1 AS BIGINT) AS batch_idx,
+        |         CAST(1 AS BIGINT) AS seq_in_batch,
+        |         event_bytes AS buf_bytes
+        |  FROM ok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.log_group, o.log_stream, o.rn, o.src_id, o.ts,
+        |         o.event_bytes,
+        |    CASE WHEN (CASE WHEN s.seq_in_batch >= 6 THEN 0 ELSE s.buf_bytes END)
+        |              + o.event_bytes
+        |              + ((CASE WHEN s.seq_in_batch >= 6 THEN 0 ELSE s.seq_in_batch END) + 1) * 26 > 600
+        |      THEN (CASE WHEN s.seq_in_batch >= 6 THEN s.batch_idx + 1 ELSE s.batch_idx END) + 1
+        |      ELSE (CASE WHEN s.seq_in_batch >= 6 THEN s.batch_idx + 1 ELSE s.batch_idx END)
+        |    END AS batch_idx,
+        |    CASE WHEN (CASE WHEN s.seq_in_batch >= 6 THEN 0 ELSE s.buf_bytes END)
+        |              + o.event_bytes
+        |              + ((CASE WHEN s.seq_in_batch >= 6 THEN 0 ELSE s.seq_in_batch END) + 1) * 26 > 600
+        |      THEN CAST(1 AS BIGINT)
+        |      ELSE (CASE WHEN s.seq_in_batch >= 6 THEN 0 ELSE s.seq_in_batch END) + 1
+        |    END AS seq_in_batch,
+        |    CASE WHEN (CASE WHEN s.seq_in_batch >= 6 THEN 0 ELSE s.buf_bytes END)
+        |              + o.event_bytes
+        |              + ((CASE WHEN s.seq_in_batch >= 6 THEN 0 ELSE s.seq_in_batch END) + 1) * 26 > 600
+        |      THEN o.event_bytes
+        |      ELSE (CASE WHEN s.seq_in_batch >= 6 THEN 0 ELSE s.buf_bytes END) + o.event_bytes
+        |    END AS buf_bytes
+        |  FROM ok o JOIN st s ON o.log_group = s.log_group
+        |    AND o.log_stream = s.log_stream AND o.rn = s.rn + 1
+        |)
+        |SELECT log_group, log_stream, src_id, ts, event_bytes,
+        |       0 AS dropped_i, batch_idx, seq_in_batch
+        |FROM st
+        |UNION ALL
+        |SELECT log_group, log_stream, src_id, ts, event_bytes,
+        |       1 AS dropped_i, CAST(NULL AS BIGINT) AS batch_idx,
+        |       CAST(NULL AS BIGINT) AS seq_in_batch
+        |FROM base WHERE event_bytes + 26 > 200""".stripMargin)),
+
     ("q_sqs_receive", (s: SparkSession, dir: String) => {
       // analytic fixture: each event becomes one SQS ReceiveMessage
       // response payload (public wire shape) with body/attributes derived
