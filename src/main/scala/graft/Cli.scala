@@ -17,9 +17,17 @@ import graft.query.IndexReader
   *   --partitions 0 --positions]
   * spark-submit --class graft.Cli <jar> query  --index /data/index --k 10 web search terms
   * spark-submit --class graft.Cli <jar> phrase --index /data/index --k 10 exact phrase words
+  * spark-submit --class graft.Cli <jar> search --index /data/index --k 10 \
+  *   [--must a,b --must-not c] [--fuzzy serch --max-dist 1] \
+  *   [--mlt <docId> --mlt-terms 8] [--facets lang] [--suggest serch] free terms
   * spark-submit --class graft.Cli <jar> ingest-iceberg --iceberg /data/tbl --index /data/index
   * spark-submit --class graft.Cli <jar> compact --index /data/index
   * }}}
+  *
+  * `search` is the index-served OpenSearch-query-shape surface
+  * ([[graft.query.IndexSearch]]): bool (must/should/must_not), fuzzy,
+  * more-like-this, facet counts, and "did you mean" suggestions — all
+  * answered from postings/termstats, never a corpus scan.
   *
   * Cluster sizing lives entirely in spark-submit flags (`--num-executors`
   * etc.); nothing here depends on parallelism — docId assignment, build
@@ -84,7 +92,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) fail("subcommand required: build | query | phrase | ingest-iceberg | compact")
+    if (args.isEmpty) fail("subcommand required: build | query | phrase | search | ingest-iceberg | compact")
     val (flags, positional) = parse(args.toSeq.tail)
     def index = flags.getOrElse("index", fail("--index required"))
     lazy val (spark, ownSession) = session(s"graft-${args.head}")
@@ -108,6 +116,35 @@ object Cli {
         new IndexReader(spark, index)
           .phraseTopK(positional.map(graft.analyze.Analyzer.lowerLikeCatalyst), k)
           .show(k, truncate = false)
+
+      case "search" =>
+        val k = flags.getOrElse("k", "10").toInt
+        val srch = new graft.query.IndexSearch(spark, index)
+        def terms(key: String): Seq[String] = flags.get(key).toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        val out =
+          if (flags.contains("suggest"))
+            srch.suggest(flags("suggest"),
+              flags.getOrElse("max-dist", "2").toInt, k)
+          else if (flags.contains("mlt"))
+            srch.moreLikeThisTopK(flags("mlt").toLong,
+              flags.getOrElse("mlt-terms", "8").toInt, k)
+          else if (flags.contains("fuzzy"))
+            srch.fuzzyTopK(terms("fuzzy"),
+              k, flags.getOrElse("max-dist", "1").toInt)
+          else if (flags.contains("facets"))
+            srch.facets(
+              if (positional.nonEmpty) positional
+              else terms("must") ++ terms("should"), flags("facets"))
+          else {
+            val should =
+              if (positional.nonEmpty) positional else terms("should")
+            if (terms("must").isEmpty && should.isEmpty)
+              fail("search needs --must/--should/positional terms " +
+                "(or --fuzzy/--mlt/--facets/--suggest)")
+            srch.boolTopK(terms("must"), should, terms("must-not"), k)
+          }
+        out.show(math.max(k, 20), truncate = false)
 
       case "ingest-iceberg" =>
         val table = flags.getOrElse("iceberg", fail("--iceberg <table> required"))

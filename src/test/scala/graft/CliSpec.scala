@@ -37,5 +37,20 @@ class CliSpec extends AnyFunSuite {
     Cli.main(Array("compact", "--index", s"$work/idx",
       "--buckets", "4", "--shard-size", "128", "--positions"))
     assert(!spark.sparkContext.isStopped)
+
+    // search: every index-served query shape through the CLI surface;
+    // semantics are pinned rank-identical to brute in IndexSearchSpec —
+    // this drives the flag plumbing end to end
+    Cli.main(Array("search", "--index", s"$work/idx", "--k", "3",
+      "--must", "the", "--must-not", "w00009", "w00001"))
+    Cli.main(Array("search", "--index", s"$work/idx", "--k", "3",
+      "--fuzzy", "w00001,the"))
+    Cli.main(Array("search", "--index", s"$work/idx", "--k", "3",
+      "--mlt", "5", "--mlt-terms", "6"))
+    Cli.main(Array("search", "--index", s"$work/idx",
+      "--facets", "lang", "w00002"))
+    Cli.main(Array("search", "--index", s"$work/idx", "--k", "3",
+      "--suggest", "w00001"))
+    assert(!spark.sparkContext.isStopped)
   }
 }
