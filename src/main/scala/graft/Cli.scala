@@ -132,10 +132,12 @@ object Cli {
           else if (flags.contains("fuzzy"))
             srch.fuzzyTopK(terms("fuzzy"),
               k, flags.getOrElse("max-dist", "1").toInt)
-          else if (flags.contains("facets"))
-            srch.facets(
-              if (positional.nonEmpty) positional
-              else terms("must") ++ terms("should"), flags("facets"))
+          else if (flags.contains("facets")) {
+            val qs = if (positional.nonEmpty) positional
+              else terms("must") ++ terms("should")
+            if (qs.isEmpty) fail("--facets needs query terms")
+            srch.facets(qs, flags("facets"))
+          }
           else {
             val should =
               if (positional.nonEmpty) positional else terms("should")
