@@ -19,7 +19,9 @@ import graft.query.IndexReader
   * spark-submit --class graft.Cli <jar> phrase --index /data/index --k 10 exact phrase words
   * spark-submit --class graft.Cli <jar> search --index /data/index --k 10 \
   *   [--must a,b --must-not c] [--fuzzy serch --max-dist 1] \
-  *   [--mlt <docId> --mlt-terms 8] [--facets lang] [--suggest serch] free terms
+  *   [--mlt <docId> --mlt-terms 8] [--facets lang] [--suggest serch] \
+  *   [--after-score 7.1234 --after-id 42]  # keyset page N+1 \
+  *   free terms
   * spark-submit --class graft.Cli <jar> ingest-iceberg --iceberg /data/tbl --index /data/index
   * spark-submit --class graft.Cli <jar> compact --index /data/index
   * }}}
@@ -138,12 +140,19 @@ object Cli {
             if (qs.isEmpty) fail("--facets needs query terms")
             srch.facets(qs, flags("facets"))
           }
+          else if (flags.contains("after-score")) {
+            val qs = if (positional.nonEmpty) positional else terms("should")
+            if (qs.isEmpty) fail("search --after-score needs query terms")
+            srch.searchAfter(qs, flags("after-score").toDouble,
+              flags.getOrElse("after-id", fail("--after-id required with " +
+                "--after-score")).toLong, k)
+          }
           else {
             val should =
               if (positional.nonEmpty) positional else terms("should")
             if (terms("must").isEmpty && should.isEmpty)
               fail("search needs --must/--should/positional terms " +
-                "(or --fuzzy/--mlt/--facets/--suggest)")
+                "(or --fuzzy/--mlt/--facets/--suggest/--after-score)")
             srch.boolTopK(terms("must"), should, terms("must-not"), k)
           }
         out.show(math.max(k, 20), truncate = false)

@@ -1953,6 +1953,26 @@ object SparkEntry {
          |  AND levenshtein(term, 'scna') <= 2
          |ORDER BY dist, freq DESC, term LIMIT 5""".stripMargin)),
 
+    ("q_search_after_indexed", (s: SparkSession, dir: String) => {
+      // keyset page 2 served from the index: cursor = page 1's last
+      // (rounded score, index docId), applied inside the shard kernel —
+      // no deep-offset materialization. Shares q_search_after's oracle
+      // (rows 11-20 of the same ranking) via the monotone id mapping.
+      val se = docIndexSearch(s, dir)
+      val page1 = se.boolTopK(Nil, Seq("spark", "window"), Nil, 10).collect()
+      val cur = page1.last
+      se.searchAfter(Seq("spark", "window"),
+          cur.getAs[Double]("score"), cur.getAs[Long]("docId"), k = 10)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some {
+      val base = bm25Sql(Seq("spark", "window"), k = 20)
+      s"""WITH page AS ($base)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER
+         |    (ORDER BY score DESC, doc_id) AS rn FROM page)
+         |WHERE rn > 10""".stripMargin
+    }),
+
     ("q_temperature_sample", (s: SparkSession, dir: String) => {
       graft.ops.Sampling.temperatureSample(docs(s, dir), "doc_id", "lang",
         temperature = 2.0, targetFraction = 0.3)

@@ -71,7 +71,25 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     * no per-doc hashing, no joins), one global TakeOrdered over shards × k
     * candidate rows. Semantics identical to [[Search.boolTopK]]. */
   def boolTopK(must: Seq[String], should: Seq[String], mustNot: Seq[String],
-      k: Int, excludeDocId: Long = -1L): DataFrame = {
+      k: Int, excludeDocId: Long = -1L): DataFrame =
+    boolTopKFrom(must, should, mustNot, k, excludeDocId,
+      afterScore = Double.NaN, afterDocId = -1L)
+
+  /** Keyset pagination served from the index (OpenSearch `search_after`):
+    * the cursor predicate — (rounded score, docId) strictly after the
+    * previous page's last row — is applied INSIDE the shard kernel before
+    * per-shard selection, so page N+1 costs the same pruned postings read
+    * as page 1 (no deep `from` offset materialization — the exact reason
+    * search_after exists). Semantics identical to [[Search.searchAfter]]
+    * over the rounded brute ranking. */
+  def searchAfter(queryTerms: Seq[String], afterScore: Double,
+      afterDocId: Long, k: Int): DataFrame =
+    boolTopKFrom(Nil, queryTerms, Nil, k, excludeDocId = -1L,
+      afterScore = afterScore, afterDocId = afterDocId)
+
+  private def boolTopKFrom(must: Seq[String], should: Seq[String],
+      mustNot: Seq[String], k: Int, excludeDocId: Long,
+      afterScore: Double, afterDocId: Long): DataFrame = {
     val mustN = norm(must).distinct.sorted
     val notN = norm(mustNot).distinct.sorted
     val scoreTerms = (mustN ++ norm(should)).distinct.sorted
@@ -83,10 +101,11 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     val (n, avgdl, kk) = (reader.globals.n, reader.globals.avgdl, k)
     val (st, ms, ns, ex) =
       (scoreTerms.toArray, mustN.toSet, notN.toSet, excludeDocId)
+    val (as, ad) = (afterScore, afterDocId)
     val perShard = seg.groupByKey(_.shard)
       .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
         IndexSearch.shardBoolTopK(n, avgdl, kk, dfByTerm.value,
-          st, ms, ns, ex)(shard, rows))
+          st, ms, ns, ex, as, ad)(shard, rows))
     perShard.toDF("docId", "score")
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
@@ -179,7 +198,8 @@ object IndexSearch {
     * captures primitives and the broadcast df map, never the reader. */
   def shardBoolTopK(n: Long, avgdl: Double, k: Int,
       dfByTerm: Map[String, Long], scoreTerms: Array[String],
-      mustSet: Set[String], notSet: Set[String], excludeDocId: Long)(
+      mustSet: Set[String], notSet: Set[String], excludeDocId: Long,
+      afterScore: Double = Double.NaN, afterDocId: Long = -1L)(
       shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
     val byTerm = rows.toArray.groupBy(_.term)
     if (byTerm.isEmpty || k <= 0) return Iterator.empty
@@ -225,12 +245,21 @@ object IndexSearch {
       })
     }
     val nMust = mustSet.size
+    val hasCursor = !afterScore.isNaN
     val topk = new TopKHeap(k)
     var x = 0
     while (x < size) {
       if (seen(x) && !banned(x) && mustCnt(x) == nMust) {
         val docId = lo + x
-        if (docId != excludeDocId) topk.offer(docId, round4(score(x)))
+        if (docId != excludeDocId) {
+          val rs = round4(score(x))
+          // keyset cursor: only rows strictly after (afterScore, afterDocId)
+          // in (score desc, docId asc) order compete — same predicate
+          // Search.searchAfter applies to the rounded brute ranking
+          if (!hasCursor || rs < afterScore ||
+              (rs == afterScore && docId > afterDocId))
+            topk.offer(docId, rs)
+        }
       }
       x += 1
     }

@@ -51,6 +51,9 @@ class CliSpec extends AnyFunSuite {
       "--facets", "lang", "w00002"))
     Cli.main(Array("search", "--index", s"$work/idx", "--k", "3",
       "--suggest", "w00001"))
+    Cli.main(Array("search", "--index", s"$work/idx", "--k", "3",
+      "--after-score", top(2).getAs[Double]("score").toString,
+      "--after-id", top(2).getAs[Long]("docId").toString, "w00001", "the"))
     assert(!spark.sparkContext.isStopped)
   }
 }

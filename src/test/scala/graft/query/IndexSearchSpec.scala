@@ -120,6 +120,21 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("searchAfter ≡ brute keyset page 2/3 (cursor inside the shard kernel)") {
+    val terms = Seq("the", "w00002")
+    val scored = BruteForce.scoreAll(docs, "docId", "text",
+        terms.map(graft.analyze.Analyzer.lowerLikeCatalyst))
+      .withColumn("score", round(col("score"), 4))
+    var cursor = rows(search.boolTopK(Nil, terms, Nil, 10)).last
+    for (page <- 2 to 3) {
+      val brute = rows(Search.searchAfter(scored, "docId", "score",
+        cursor._2, cursor._1, 10))
+      val served = rows(search.searchAfter(terms, cursor._2, cursor._1, 10))
+      assert(served == brute, s"page $page diverged:\n brute=$brute\n index=$served")
+      cursor = served.last
+    }
+  }
+
   test("generational index: bool/mlt/facets stay brute-identical across appends") {
     val genDir = TestSpark.tmpDir("graft-idx-search-gen")
     val params = IndexParams(buckets = 8, shardSize = 128, blockSize = 32,
