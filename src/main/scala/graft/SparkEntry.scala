@@ -1620,6 +1620,71 @@ object SparkEntry {
         |       CAST(NULL AS BIGINT) AS seq_in_batch
         |FROM base WHERE event_bytes + 26 > 200""".stripMargin)),
 
+    ("q_sqs_sink", (s: SparkSession, dir: String) => {
+      // the ENCODE side of the sqs sink: TWO-LEVEL greedy packaging —
+      // events into messages (count + byte caps, strict-< append quirk),
+      // messages into SendMessageBatch requests (10-message / 256 KiB API
+      // caps) — per queue. The oracle replays the nested sequential fold
+      // as a DuckDB RECURSIVE CTE (lateral aliases carry the flush/append
+      // decisions); per-event request/message/seq must match bit-for-bit.
+      val e = events(s, dir)
+      val fixture = e.select(
+        concat(lit("https://sqs/q-"), (col("event_id") % 6).cast("string"))
+          .as("q"),
+        expr("event_id DIV 5").as("ts"),
+        col("event_id").as("id"),
+        expr("repeat('a', CAST(CASE WHEN event_id % 13 = 0 THEN 150 " +
+          "ELSE 10 + event_id % 7 END AS INT))").as("body"))
+      graft.sinks.SqsSink.assignBatches(fixture, "q", "ts", "id", "body",
+          graft.sinks.SqsSink.Thresholds(
+            maxEventsPerMessage = 4, maxMessageBytes = 120))
+        .select(col("queue_url"), col("src_id"), col("ts"),
+          col("event_bytes"), col("request_idx"), col("message_idx"),
+          col("seq_in_message"))
+    }, Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT 'https://sqs/q-' || (event_id % 6) AS queue_url,
+        |         event_id // 5 AS ts,
+        |         event_id AS src_id,
+        |         CAST(CASE WHEN event_id % 13 = 0 THEN 150
+        |                   ELSE 10 + event_id % 7 END AS BIGINT) AS event_bytes
+        |  FROM events
+        |), ok AS (
+        |  SELECT *, row_number() OVER (PARTITION BY queue_url
+        |                               ORDER BY ts, src_id) AS rn
+        |  FROM base
+        |), st AS (
+        |  SELECT queue_url, rn, src_id, ts, event_bytes,
+        |         CAST(1 AS BIGINT) AS request_idx,
+        |         CAST(1 AS BIGINT) AS message_idx,
+        |         CAST(1 AS BIGINT) AS seq_in_message,
+        |         event_bytes AS msg_bytes,
+        |         event_bytes AS req_bytes
+        |  FROM ok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.queue_url, o.rn, o.src_id, o.ts, o.event_bytes,
+        |    CASE WHEN l1.fl THEN s.request_idx + 1 ELSE s.request_idx END,
+        |    CASE WHEN l3.ap THEN l2.fm ELSE l2.fm + 1 END,
+        |    CASE WHEN l3.ap THEN l2.fc + 1 ELSE CAST(1 AS BIGINT) END,
+        |    CASE WHEN l3.ap THEN l2.fs + o.event_bytes ELSE o.event_bytes END,
+        |    (CASE WHEN l1.fl THEN 0 ELSE s.req_bytes END) + o.event_bytes
+        |  FROM st s
+        |  JOIN ok o ON o.queue_url = s.queue_url AND o.rn = s.rn + 1,
+        |  LATERAL (SELECT
+        |    (s.req_bytes + o.event_bytes > 262144 OR
+        |     ((NOT (s.seq_in_message < 4 AND s.msg_bytes + o.event_bytes <= 120))
+        |      AND s.message_idx = 10)) AS fl) l1,
+        |  LATERAL (SELECT
+        |    CASE WHEN l1.fl THEN 0 ELSE s.message_idx END AS fm,
+        |    CASE WHEN l1.fl THEN 0 ELSE s.seq_in_message END AS fc,
+        |    CASE WHEN l1.fl THEN 0 ELSE s.msg_bytes END AS fs) l2,
+        |  LATERAL (SELECT
+        |    (l2.fm > 0 AND l2.fc < 4 AND l2.fs + o.event_bytes < 120) AS ap) l3
+        |)
+        |SELECT queue_url, src_id, ts, event_bytes, request_idx, message_idx,
+        |       seq_in_message
+        |FROM st""".stripMargin)),
+
     ("q_sqs_receive", (s: SparkSession, dir: String) => {
       // analytic fixture: each event becomes one SQS ReceiveMessage
       // response payload (public wire shape) with body/attributes derived
