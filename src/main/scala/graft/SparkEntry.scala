@@ -485,6 +485,25 @@ object SparkEntry {
           element_at(col("attributes"), "uid").as("uid_attr"))
     }, Some(otelSpansOracleSql)),
 
+    ("q_otlp_export", (s: SparkSession, dir: String) => {
+      // the EXPORT direction (reference otlp-sink): the flattened span
+      // rows re-encode as batched ExportTraceServiceRequests through the
+      // own-kernel proto writer (one ResourceSpans per event, batches =
+      // field-1 concatenation), then the engine's OWN wire decoder reads
+      // the payloads back — and the result must satisfy q_otel_spans'
+      // oracle, pinning decode∘export ≡ identity end to end on 10k spans.
+      val rows = otelSpanFixture(events(s, dir))
+      val payloads = graft.sinks.OtlpExport.traceRequests(rows,
+        graft.sinks.OtlpExport.Thresholds(maxEvents = 512))
+      graft.sources.OtelJson.spansFromProto(
+          payloads.select("payload"), "payload")
+        .select(col("spanId"), col("traceId"), col("parentSpanId"),
+          col("name"), col("kind"), col("serviceName"),
+          col("startTimeUnixNano"), col("endTimeUnixNano"),
+          col("durationInNanos"), col("traceGroup"),
+          element_at(col("attributes"), "uid").as("uid_attr"))
+    }, Some(otelSpansOracleSql)),
+
     ("q_otel_service_map", (s: SparkSession, dir: String) => {
       // otel_apm_service_map / service-map-stateful: cross-service
       // parent→child span pairs become destination+target relationship
