@@ -1783,6 +1783,125 @@ object SparkEntry {
         | event_id % 100000 AS kafka_ts
         |FROM events""".stripMargin)),
 
+    ("q_ddb_cdc", (s: SparkSession, dir: String) => {
+      // analytic fixture: each event becomes one DynamoDB Streams record
+      // (public GetRecords wire shape) built closed-form from event_id —
+      // a recursively-typed AttributeValue NewImage, S/N keys, a TTL
+      // service principal on every even REMOVE, and sequence numbers of
+      // mixed digit lengths so the per-second version counter must order
+      // numerically (length-first). The oracle re-derives every column —
+      // including the unmarshalled `data` JSON text — from events.
+      val e = events(s, dir)
+      val ev = when(col("event_id") % 3 === 0, "INSERT")
+        .when(col("event_id") % 3 === 1, "MODIFY").otherwise("REMOVE")
+      val sec = (col("event_id") % 50).cast("string")
+      val ttl = col("event_id") % 3 === 2 && col("event_id") % 2 === 0
+      val img = concat(
+        lit("""{"name":{"S":""""), col("event_type"),
+        lit(""""},"qty":{"N":""""), (col("event_id") % 7).cast("string"),
+        lit(""".5"},"ok":{"BOOL":"""), (col("event_id") % 2 === 0).cast("string"),
+        lit("""},"tags":{"L":[{"S":"t"""), (col("event_id") % 4).cast("string"),
+        lit(""""}]},"meta":{"M":{"src":{"S":"gw"}}}}"""))
+      val rec = concat(
+        lit("""{"eventID":"e"""), col("event_id").cast("string"),
+        lit("""","eventName":""""), ev,
+        lit("""","dynamodb":{"ApproximateCreationDateTime":"""), sec,
+        lit(""","Keys":{"pk":{"S":"u"""), (col("event_id") % 11).cast("string"),
+        lit(""""},"sk":{"N":""""), col("event_id").cast("string"),
+        lit(""""}},"NewImage":"""), img,
+        lit(""","SequenceNumber":""""), col("event_id").cast("string"),
+        lit(""""}"""),
+        when(ttl, lit(""","userIdentity":{"PrincipalId":"dynamodb.amazonaws.com","Type":"Service"}"""))
+          .otherwise(lit("")),
+        lit("}"))
+      graft.sources.Cdc.ddbStream(e.select(rec.as("rec")), "rec",
+          graft.sources.Cdc.DdbConf("tbl", "pk", Some("sk")))
+        .select(col("table_name"), col("dynamodb_event_name"),
+          col("opensearch_action"), col("dynamodb_timestamp"),
+          col("sequence_number"), col("partition_key"), col("sort_key"),
+          col("primary_key"), col("ttl_delete").cast("int").as("ttl_i"),
+          col("data"), col("document_version"))
+    }, Some(
+      """WITH b AS (SELECT event_id, event_type,
+        |  CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'INSERT'
+        |    WHEN 1 THEN 'MODIFY' ELSE 'REMOVE' END AS ev,
+        |  event_id % 50 AS sec, CAST(event_id AS VARCHAR) AS seq
+        | FROM events)
+        |SELECT 'tbl' AS table_name, ev AS dynamodb_event_name,
+        | CASE WHEN ev = 'REMOVE' THEN 'delete' ELSE 'index' END
+        |   AS opensearch_action,
+        | sec * 1000 AS dynamodb_timestamp, seq AS sequence_number,
+        | 'u' || (event_id % 11) AS partition_key, seq AS sort_key,
+        | 'u' || (event_id % 11) || '|' || seq AS primary_key,
+        | CAST(ev = 'REMOVE' AND event_id % 2 = 0 AS INT) AS ttl_i,
+        | '{"name":"' || event_type || '","qty":' || (event_id % 7)
+        |   || '.5,"ok":'
+        |   || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+        |   || ',"tags":["t' || (event_id % 4)
+        |   || '"],"meta":{"src":"gw"}}' AS data,
+        | sec * 1000000 + row_number() OVER
+        |   (PARTITION BY sec ORDER BY length(seq), seq) - 1
+        |   AS document_version
+        |FROM b""".stripMargin)),
+
+    ("q_mongo_cdc", (s: SparkSession, dir: String) => {
+      // analytic fixture: each event becomes one MongoDB change-stream
+      // event in canonical Extended JSON (public wire shape) — insert/
+      // update/replace carry a fullDocument with $numberLong/$numberDouble/
+      // $date wrappers; delete carries only the documentKey. The decoder
+      // must apply the BsonHelper relaxed-with-converters rendering and
+      // the per-second (clusterTime t, ordered by i) version counter; the
+      // oracle re-derives the relaxed JSON text closed-form from events.
+      val e = events(s, dir)
+      val op = when(col("event_id") % 4 === 0, "insert")
+        .when(col("event_id") % 4 === 1, "update")
+        .when(col("event_id") % 4 === 2, "replace").otherwise("delete")
+      val idS = col("event_id").cast("string")
+      val fullDoc = concat(
+        lit("""{"_id":{"$numberLong":""""), idS,
+        lit(""""},"name":""""), col("event_type"),
+        lit("""","score":{"$numberDouble":""""), (col("event_id") % 9).cast("string"),
+        lit(""".25"},"when":{"$date":{"$numberLong":""""), idS,
+        lit("""000"}},"tags":[{"$numberInt":"1"},"x"]}"""))
+      val wire = concat(
+        lit("""{"_id":{"_data":"rt"""), idS,
+        lit(""""},"operationType":""""), op,
+        lit("""","clusterTime":{"$timestamp":{"t":"""),
+        (col("event_id") % 40).cast("string"),
+        lit(""","i":"""), idS,
+        lit("""}},"ns":{"db":"appdb","coll":"users"},"documentKey":{"_id":{"$numberLong":""""),
+        idS, lit(""""}}"""),
+        when(op === "delete", lit(""))
+          .otherwise(concat(lit(""","fullDocument":"""), fullDoc)),
+        lit("}"))
+      graft.sources.Cdc.mongoChange(e.select(wire.as("ev")), "ev")
+        .select(col("documentdb_collection"), col("documentdb_event_name"),
+          col("opensearch_action"), col("documentdb_timestamp"),
+          col("partition_key"), col("primary_key"),
+          col("documentdb_id_bson_type"), col("data"),
+          col("document_version"))
+    }, Some(
+      """WITH b AS (SELECT event_id, event_type,
+        |  CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'insert'
+        |    WHEN 1 THEN 'update' WHEN 2 THEN 'replace'
+        |    ELSE 'delete' END AS op,
+        |  event_id % 40 AS t FROM events)
+        |SELECT 'appdb.users' AS documentdb_collection,
+        | op AS documentdb_event_name,
+        | CASE WHEN op = 'delete' THEN 'delete' ELSE 'index' END
+        |   AS opensearch_action,
+        | t * 1000 AS documentdb_timestamp,
+        | CAST(event_id AS VARCHAR) AS partition_key,
+        | CAST(event_id AS VARCHAR) AS primary_key,
+        | 'Int64' AS documentdb_id_bson_type,
+        | CASE WHEN op = 'delete' THEN '{"_id":' || event_id || '}'
+        |   ELSE '{"_id":' || event_id || ',"name":"' || event_type
+        |     || '","score":' || (event_id % 9) || '.25,"when":'
+        |     || event_id || '000,"tags":[1,"x"]}' END AS data,
+        | t * 1000000 + row_number() OVER
+        |   (PARTITION BY t ORDER BY event_id) - 1 AS document_version
+        |FROM b""".stripMargin)),
+
     ("q_collapse_topk", (s: SparkSession, dir: String) => {
       val scored = docs(s, dir).select(col("doc_id"),
         concat(lit("host"), (col("doc_id") % 13).cast("string")).as("host"),
