@@ -1902,6 +1902,61 @@ object SparkEntry {
         |   (PARTITION BY t ORDER BY event_id) - 1 AS document_version
         |FROM b""".stripMargin)),
 
+    ("q_sns_sink", (s: SparkSession, dir: String) => {
+      // SNS PublishBatch assignment: FIFO topic, batch_size 7, group id
+      // resolved from the event_type field, dedup id defaulted. ts is
+      // event_id % 1000 so thousands of rank ties exercise the
+      // (ts, src_id) total order through the two-phase distributed rank.
+      val e = events(s, dir)
+      val msg = concat(lit("evt "), col("event_type"), lit(" "),
+        col("event_id").cast("string"))
+      graft.sinks.SnsSink.assignBatches(
+        e.select(col("event_id"), (col("event_id") % 1000).as("tsec"),
+          msg.as("msg"), col("event_type")),
+        "tsec", "event_id", "msg",
+        graft.sinks.SnsSink.Conf("arn:aws:sns:us-east-1:1:logs.fifo",
+          batchSize = 7, messageGroupId = Some("event_type")))
+    }, Some(
+      """WITH b AS (SELECT event_id, event_type, event_id % 1000 AS ts,
+        |  row_number() OVER (ORDER BY event_id % 1000, event_id) - 1
+        |    AS rnk FROM events)
+        |SELECT 'arn:aws:sns:us-east-1:1:logs.fifo' AS topic_arn,
+        | event_id AS src_id, ts,
+        | 'evt ' || event_type || ' ' || event_id AS message,
+        | rnk // 7 + 1 AS request_idx, rnk % 7 + 1 AS seq_in_request,
+        | event_type AS message_group_id,
+        | 'd-' || event_id AS message_deduplication_id
+        |FROM b""".stripMargin)),
+
+    ("q_sns_payloads", (s: SparkSession, dir: String) => {
+      // the wire side of the same assignment: one PublishBatch JSON body
+      // per request, entries in sequence order — the oracle re-renders
+      // the exact JSON text with string_agg.
+      val e = events(s, dir)
+      val msg = concat(lit("evt "), col("event_type"), lit(" "),
+        col("event_id").cast("string"))
+      graft.sinks.SnsSink.publishBatchPayloads(
+        graft.sinks.SnsSink.assignBatches(
+          e.select(col("event_id"), (col("event_id") % 1000).as("tsec"),
+            msg.as("msg"), col("event_type")),
+          "tsec", "event_id", "msg",
+          graft.sinks.SnsSink.Conf("arn:aws:sns:us-east-1:1:logs.fifo",
+            batchSize = 7, messageGroupId = Some("event_type"))))
+    }, Some(
+      """WITH b AS (SELECT event_id, event_type,
+        |  row_number() OVER (ORDER BY event_id % 1000, event_id) - 1
+        |    AS rnk FROM events)
+        |SELECT 'arn:aws:sns:us-east-1:1:logs.fifo' AS topic_arn,
+        | rnk // 7 + 1 AS request_idx,
+        | count(*) AS n_entries,
+        | '[' || string_agg(
+        |   '{"Id":"' || (rnk % 7 + 1) || '","Message":"evt '
+        |     || event_type || ' ' || event_id
+        |     || '","MessageGroupId":"' || event_type
+        |     || '","MessageDeduplicationId":"d-' || event_id || '"}',
+        |   ',' ORDER BY rnk % 7 + 1) || ']' AS payload
+        |FROM b GROUP BY rnk // 7 + 1""".stripMargin)),
+
     ("q_collapse_topk", (s: SparkSession, dir: String) => {
       val scored = docs(s, dir).select(col("doc_id"),
         concat(lit("host"), (col("doc_id") % 13).cast("string")).as("host"),
