@@ -1957,6 +1957,45 @@ object SparkEntry {
         |   ',' ORDER BY rnk % 7 + 1) || ']' AS payload
         |FROM b GROUP BY rnk // 7 + 1""".stripMargin)),
 
+    ("q_kafka_encode", (s: SparkSession, dir: String) => {
+      // produce-side encode: events → spark-sql-kafka write schema with
+      // the client's murmur2 default-partitioner placement. Keys are
+      // exactly 4 ASCII bytes so the oracle UNROLLS MurmurHash2's 32-bit
+      // modular arithmetic in SQL — the partitioner kernel is pinned
+      // bit-for-bit, not just shape-checked.
+      val e = events(s, dir)
+      val value = concat(lit("""{"id":"""), col("event_id").cast("string"),
+        lit(""","etype":""""), col("event_type"), lit(""""}"""))
+      val keyed = e.select(col("event_id").as("id"), value.as("body"))
+        .withColumn("k3", lpad((col("id") % 1000).cast("string"), 3, "0"))
+      graft.sources.Queues.produce(keyed, "logs", "k${k3}", "body",
+          numPartitions = 12)
+        .select(col("topic"), col("partition").as("part_id"),
+          col("key").cast("string").as("key_s"),
+          col("value").cast("string").as("value_s"))
+    }, Some(
+      """WITH b AS (SELECT event_id, event_type,
+        |  'k' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') AS key_s
+        | FROM events),
+        | m AS (SELECT *,
+        |  CAST(ascii(substr(key_s,1,1)) + ascii(substr(key_s,2,1))*256
+        |   + ascii(substr(key_s,3,1))*65536
+        |   + ascii(substr(key_s,4,1))*16777216 AS BIGINT) AS k0 FROM b),
+        | s1 AS (SELECT *, (k0 * 1540483477) % 4294967296 AS k1 FROM m),
+        | s2 AS (SELECT *, xor(k1, k1 // 16777216) AS k2 FROM s1),
+        | s3 AS (SELECT *, (k2 * 1540483477) % 4294967296 AS kf,
+        |   CAST(2538058376 AS BIGINT) * 1540483477 % 4294967296 AS h1
+        |  FROM s2),
+        | s4 AS (SELECT *, xor(h1, kf) AS h2 FROM s3),
+        | s5 AS (SELECT *, xor(h2, h2 // 8192) AS h3 FROM s4),
+        | s6 AS (SELECT *, (h3 * 1540483477) % 4294967296 AS h4 FROM s5),
+        | s7 AS (SELECT *, xor(h4, h4 // 32768) AS h5 FROM s6)
+        |SELECT 'logs' AS topic,
+        | CAST((h5 % 2147483648) % 12 AS INT) AS part_id, key_s,
+        | '{"id":' || event_id || ',"etype":"' || event_type || '"}'
+        |   AS value_s
+        |FROM s7""".stripMargin)),
+
     ("q_collapse_topk", (s: SparkSession, dir: String) => {
       val scored = docs(s, dir).select(col("doc_id"),
         concat(lit("host"), (col("doc_id") % 13).cast("string")).as("host"),

@@ -125,6 +125,81 @@ object Queues {
     }
   }
 
+  /** Kafka's client-side default partitioner hash — MurmurHash2 (Austin
+    * Appleby's public-domain algorithm) with the Kafka client's seed
+    * `0x9747b28c`, reimplemented from the published algorithm. Spec'd
+    * against independently computed vectors including the Kafka
+    * project's published test values ("21" → -973932308). */
+  def murmur2(data: Array[Byte]): Int = {
+    val m = 0x5bd1e995
+    val r = 24
+    val length = data.length
+    var h = 0x9747b28c ^ length
+    var i = 0
+    while (i + 4 <= length) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 4
+    }
+    (length & 3) match {
+      case 3 =>
+        h ^= (data(i + 2) & 0xff) << 16
+        h ^= (data(i + 1) & 0xff) << 8
+        h ^= data(i) & 0xff
+        h *= m
+      case 2 =>
+        h ^= (data(i + 1) & 0xff) << 8
+        h ^= data(i) & 0xff
+        h *= m
+      case 1 =>
+        h ^= data(i) & 0xff
+        h *= m
+      case _ => ()
+    }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  /** PRODUCE side (reference kafka-plugins/.../KafkaCustomProducer.java:
+    * `send(topicName, key, value)` with the partition key templated from
+    * the event, `KafkaSinkConfig.getPartitionKey`): shape events into the
+    * spark-sql-kafka WRITE schema — `(topic, partition, key, value)`
+    * binary columns — so `df.write.format("kafka")` ships them unchanged
+    * once the connector jar is present (the produce call is the
+    * documented egress seam, like every emitter).
+    *
+    * The reference leaves partition choice to the Kafka client; we
+    * pre-assign it with the client's OWN default algorithm —
+    * `murmur2(keyBytes) & 0x7fffffff % numPartitions` — making placement
+    * deterministic and replayable (null/empty keys, which the client
+    * sticky-partitions nondeterministically, land on partition null =
+    * client's choice). Zero shuffles: one projection.
+    *
+    * `keyTemplate` uses the reference's `${field}` format-string syntax
+    * (`event.formatString`, compiled by [[graft.pipeline.FormatString]]). */
+  def produce(df: DataFrame, topicName: String, keyTemplate: String,
+      valueCol: String, numPartitions: Int): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions >= 1, got $numPartitions")
+    val key = graft.pipeline.FormatString.compile(keyTemplate)
+    val part = udf { (k: String) =>
+      if (k == null || k.isEmpty) None
+      else Some((murmur2(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        & 0x7fffffff) % numPartitions)
+    }
+    df.select(
+      lit(topicName).as("topic"),
+      part(key).as("partition"),
+      key.cast("binary").as("key"),
+      col(valueCol).cast("binary").as("value"))
+  }
+
   // --------------------------------------------------------------- sqs
 
   /** ReceiveMessage response JSON schema (public SQS wire shape). */

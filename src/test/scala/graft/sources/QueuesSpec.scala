@@ -158,4 +158,51 @@ class QueuesSpec extends AnyFunSuite {
       "resp", "q").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
   }
+
+  // ----------------------------------------------------- kafka produce
+
+  test("murmur2 matches independently computed vectors (incl. Kafka's published ones)") {
+    // computed with a separate Python MurmurHash2 implementation;
+    // "21" and "foobar" are the Kafka project's own published values
+    val vectors = Seq(
+      "" -> 275646681, "a" -> -1563381124, "ab" -> 316155434,
+      "abc" -> 479470107, "abcd" -> -1323649548, "kafka" -> -798503068,
+      "k-07" -> -1493134496, "hello-world" -> 1993811437,
+      "21" -> -973932308, "foobar" -> -790332482)
+    vectors.foreach { case (s, want) =>
+      assert(Queues.murmur2(s.getBytes("UTF-8")) === want, s"key '$s'")
+    }
+  }
+
+  test("produce: wire schema, templated key, deterministic default-partitioner placement") {
+    val df = Seq((7L, "click", """{"id":7}"""), (9L, "view", """{"id":9}"""))
+      .toDF("id", "etype", "body")
+    val out = Queues.produce(df, "logs", "k-${id}", "body", numPartitions = 12)
+      .orderBy("key").collect()
+    assert(out.map(_.getAs[String]("topic")).toSeq == Seq("logs", "logs"))
+    assert(new String(out(0).getAs[Array[Byte]]("key")) == "k-7")
+    assert(new String(out(0).getAs[Array[Byte]]("value")) == """{"id":7}""")
+    // partition = murmur2 & 0x7fffffff % 12, same kernel
+    out.foreach { r =>
+      val k = new String(r.getAs[Array[Byte]]("key"))
+      assert(r.getAs[Int]("partition") ==
+        (Queues.murmur2(k.getBytes) & 0x7fffffff) % 12)
+    }
+    // encode ∘ decode = identity on the wire columns
+    val wire = Queues.produce(df, "logs", "k-${id}", "body", 12)
+      .withColumn("offset", monotonically_increasing_id())
+      .withColumn("timestamp", current_timestamp())
+    val back = Queues.decode(wire, topic("plaintext"))
+      .select("kafka_key", "message").as[(String, String)].collect().toSet
+    assert(back == Set("k-7" -> """{"id":7}""", "k-9" -> """{"id":9}"""))
+  }
+
+  test("produce: empty key → null partition (client sticky choice); plan has no shuffle") {
+    val df = Seq((1L, "x")).toDF("id", "body")
+    val row = Queues.produce(df, "t", "", "body", 4).collect()(0)
+    assert(row.isNullAt(row.fieldIndex("partition")))
+    val plan = Queues.produce(df, "t", "k-${id}", "body", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"produce must not shuffle:\n$plan")
+  }
 }
