@@ -44,7 +44,9 @@ object Bench {
     "q_otel_service_map",
     // round-4 operators
     "q_dedup_lines", "q_bpe_encode", "q_kmv_distinct", "q_ann_pq",
-    "q_kinesis_deagg", "q_snippets", "q_bool_topk", "q_url_normalize")
+    "q_kinesis_deagg", "q_snippets", "q_bool_topk", "q_url_normalize",
+    // round-5 operators
+    "q_ddb_cdc", "q_mongo_cdc", "q_sns_sink", "q_kafka_encode")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.

@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SNS sink — the ENCODE side (reference
@@ -18,11 +19,17 @@ import org.apache.spark.sql.functions._
   * flushes purely on entry COUNT — so batch assignment is a pure
   * function of each event's global (ts, src_id) rank and needs no
   * sequential kernel. That makes it parallelizable where the byte folds
-  * are not: the rank is computed with the same two-phase prefix-sum
-  * used by `Curation.packSequences` (per-ts-chunk counts → ≤ ~2^20
-  * driver scalars → broadcast offsets → bounded within-chunk fold), NOT
+  * are not: the rank comes from a RANGE-partitioned two-phase count
+  * (repartitionByRange on the order key → per-partition counts, ≤ P
+  * driver scalars → prefix offsets + within-partition row_number), NOT
   * a single-partition `row_number() OVER (ORDER BY ts)` window that
-  * would funnel 10^12 rows through one task.
+  * would funnel 10^12 rows through one task. Range partitioning keeps
+  * every group sampler-balanced even when billions of events share one
+  * hot second (a per-ts-chunk fold — the packSequences recipe — would
+  * collect a hot second into one task; ts is not unique the way
+  * packSequences' doc ids are). The ranked input is localCheckpoint'd
+  * so the partition ids the count job saw are the ones the assignment
+  * job reads — range-sampler bounds are not re-drawn between jobs.
   *
   * Deliberate deviations, documented:
   *  - entry ids: the reference stamps `new Random().nextInt()` per entry
@@ -55,11 +62,12 @@ object SnsSink {
     * event: `(topic_arn, src_id, ts, message, request_idx,
     * seq_in_request [, message_group_id, message_deduplication_id])` —
     * request numbering 1-based in (ts, src_id) order. Distributed: one
-    * keyed exchange on the ts-chunk, bounded groups, no driver funnel
-    * beyond the ≤ ~2^20 chunk counters. */
+    * range exchange + one pid-keyed window over sampler-balanced
+    * groups; driver state is ≤ P partition counts. */
   def assignBatches(df: DataFrame, tsCol: String, idCol: String,
       messageCol: String, conf: Conf): DataFrame = {
     val b = conf.effectiveBatch
+    val spark = df.sparkSession
     val base = df.select(
       col(tsCol).cast("long").as("ts"),
       col(idCol).cast("long").as("src_id"),
@@ -69,43 +77,29 @@ object SnsSink {
       conf.messageDeduplicationId.map(f => df.col(f).cast("string"))
         .getOrElse(lit(null).cast("string")).as("md"))
 
-    // phase 1: per-ts-chunk counts → driver prefix (tiny) → broadcast.
-    // Chunk width derived from the ts RANGE so at most ~2^20 chunks
-    // exist at any corpus size (packSequences precedent).
-    val r = base.agg(min("ts"), max("ts")).head()
-    require(r.isNullAt(0) || r.getLong(0) >= 0,
-      "ts must be a non-negative epoch (DIV chunking)")
-    val chunkW =
-      if (r.isNullAt(0)) 1L
-      else math.max(1L, (r.getLong(1) - r.getLong(0) + (1L << 20)) >> 20)
-    val chunkOf = expr(s"ts DIV $chunkW")
-    val sums = base.groupBy(chunkOf.as("c")).agg(count(lit(1)).as("cn"))
-      .collect().map(x => x.getLong(0) -> x.getLong(1)).sortBy(_._1)
-    val offsets = scala.collection.mutable.LongMap.empty[Long]
+    // phase 1: range-partition on the order key (composite is unique →
+    // sampler-balanced even under hot-second skew) and pin the layout;
+    // per-partition counts → driver prefix (≤ P scalars).
+    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val pinned = base.repartitionByRange(p, col("ts"), col("src_id"))
+      .localCheckpoint()
+    val withPid = pinned.withColumn("_pid", spark_partition_id())
+    val counts = withPid.groupBy("_pid").count()
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).sortBy(_._1)
     var acc = 0L
-    sums.foreach { case (c, cn) => offsets(c) = acc; acc += cn }
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val offsets = counts.map { case (pid, n) =>
+      val o = pid -> acc; acc += n; o
+    }.toMap
 
-    // phase 2: within-chunk (ts, src_id)-sorted fold assigns the global
-    // zero-based rank; batch coordinates are closed-form from it.
-    val rankFold = udf { (c: Long, evs: Seq[Row]) =>
-      var k = bc.value(c)
-      evs.map { e =>
-        val out = (e.getLong(0), e.getLong(1), e.getString(2),
-          e.getString(3), e.getString(4), k)
-        k += 1
-        out
-      }
-    }
-    val ranked = base
-      .groupBy(chunkOf.as("c"))
-      .agg(sort_array(collect_list(struct(
-        col("ts"), col("src_id"), col("message"), col("mg"), col("md"))))
-        .as("evs"))
-      .select(explode(rankFold(col("c"), col("evs"))).as("e"))
-      .select(col("e._1").as("ts"), col("e._2").as("src_id"),
-        col("e._3").as("message"), col("e._4").as("mg"),
-        col("e._5").as("md"), col("e._6").as("rank"))
+    // phase 2: global rank = partition offset + within-partition
+    // row_number; each window group IS one balanced range partition.
+    val w = Window.partitionBy(col("_pid"))
+      .orderBy(col("ts"), col("src_id"))
+    val ranked = withPid
+      .withColumn("rank",
+        element_at(typedLit(offsets), col("_pid")) +
+          row_number().over(w) - 1)
+      .drop("_pid")
 
     val reqIdx = expr(s"rank DIV $b") + 1
     val out = ranked.select(
