@@ -1996,6 +1996,53 @@ object SparkEntry {
         |   AS value_s
         |FROM s7""".stripMargin)),
 
+    ("q_http_sink", (s: SparkSession, dir: String) => {
+      // the ENCODE side of the http sink: single-buffer greedy fold —
+      // flush-before-add on request bytes (empty-buffer flush is a
+      // no-op, so oversized events ride alone; no DLQ in this sink),
+      // flush-after-add on event count — sharded per worker. The oracle
+      // replays the exact sequential fold as a RECURSIVE CTE per shard.
+      val e = events(s, dir)
+      val fixture = e.select(
+        expr("event_id DIV 3").as("ts"),
+        col("event_id").as("id"),
+        expr("repeat('b', CAST(10 + (event_id * 13) % 90 AS INT))").as("msg"))
+      graft.sinks.HttpSink.assignBatches(fixture, "ts", "id", "msg",
+          graft.sinks.HttpSink.Thresholds(
+            maxEvents = 5, maxRequestBytes = 250), shards = 6)
+        .select(col("shard"), col("src_id"), col("ts"),
+          col("event_bytes"), col("request_idx"), col("seq_in_request"))
+    }, Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT event_id % 6 AS shard, event_id // 3 AS ts,
+        |         event_id AS src_id,
+        |         CAST(10 + (event_id * 13) % 90 AS BIGINT) AS event_bytes
+        |  FROM events
+        |), ok AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard
+        |                               ORDER BY ts, src_id) AS rn
+        |  FROM base
+        |), st AS (
+        |  SELECT shard, rn, src_id, ts, event_bytes,
+        |         CAST(1 AS BIGINT) AS request_idx,
+        |         CAST(1 AS BIGINT) AS seq_in_request,
+        |         event_bytes AS buf_bytes
+        |  FROM ok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.src_id, o.ts, o.event_bytes,
+        |    s.request_idx + CASE WHEN l.fl OR l.bf THEN 1 ELSE 0 END,
+        |    CASE WHEN l.fl OR l.bf THEN 1 ELSE s.seq_in_request + 1 END,
+        |    CASE WHEN l.fl OR l.bf THEN o.event_bytes
+        |         ELSE s.buf_bytes + o.event_bytes END
+        |  FROM ok o JOIN st s ON o.shard = s.shard AND o.rn = s.rn + 1,
+        |  LATERAL (SELECT s.seq_in_request >= 5 AS fl,
+        |    (NOT (s.seq_in_request >= 5))
+        |      AND s.buf_bytes + o.event_bytes > 250 AS bf) l
+        |)
+        |SELECT shard, src_id, ts, event_bytes, request_idx,
+        |       seq_in_request
+        |FROM st""".stripMargin)),
+
     ("q_collapse_topk", (s: SparkSession, dir: String) => {
       val scored = docs(s, dir).select(col("doc_id"),
         concat(lit("host"), (col("doc_id") % 13).cast("string")).as("host"),
