@@ -535,6 +535,41 @@ object PipelineYaml {
         inputs.getOrElse(key, inputs.getOrElse(pipelineName,
           throw new IllegalArgumentException(
             s"in_memory source: no input registered for '$key'")))
+      case "dynamodb" =>
+        // reference dynamodb-source config shape (TableConfig/StreamConfig):
+        // tables[0].table_arn + tables[0].stream.view_on_remove. The Streams
+        // wire records (one GetRecords JSON per row) arrive via
+        // inputs(pipelineName) — the network consumer is the same seam as
+        // kafka/sqs/kinesis. Key names come from DescribeTable at runtime
+        // in the reference; offline they are explicit table options
+        // (partition_key required, sort_key optional) — documented
+        // deviation, loud when absent.
+        val records = inputs.getOrElse(pipelineName,
+          throw new IllegalArgumentException(
+            "dynamodb source: pass the Streams wire records via " +
+              s"inputs(\"$pipelineName\") (network consumer seam)"))
+        val table = mapList(o, "tables").headOption.getOrElse(
+          throw new IllegalArgumentException("dynamodb source needs tables"))
+        val arn = reqStr(table, "table_arn", "dynamodb.tables")
+        val conf = graft.sources.Cdc.DdbConf(
+          tableName = arn.substring(arn.lastIndexOf('/') + 1),
+          partitionKey = reqStr(table, "partition_key",
+            "dynamodb.tables (no DescribeTable offline)"),
+          sortKey = optStr(table, "sort_key"),
+          viewOnRemove = optMap(table, "stream").get("view_on_remove")
+            .map(_.toString).getOrElse("NEW_IMAGE"))
+        graft.sources.Cdc.ddbStream(records, records.columns.head, conf)
+      case "documentdb" | "mongodb" =>
+        // reference mongodb/.../CollectionConfig: collections[0].collection
+        // ("db.coll"); change-stream events (canonical Extended JSON, one
+        // per row) arrive via inputs(pipelineName) — same consumer seam.
+        val records = inputs.getOrElse(pipelineName,
+          throw new IllegalArgumentException(
+            s"${p.name} source: pass the change-stream events via " +
+              s"inputs(\"$pipelineName\") (network consumer seam)"))
+        val coll = mapList(o, "collections").headOption
+          .flatMap(c => optStr(c, "collection"))
+        graft.sources.Cdc.mongoChange(records, records.columns.head, coll)
       case other =>
         inputs.getOrElse(pipelineName, throw new IllegalArgumentException(
           s"source plugin '$other' has no batch analog; pass a DataFrame via " +

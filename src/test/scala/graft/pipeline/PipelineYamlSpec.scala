@@ -379,4 +379,57 @@ class PipelineYamlSpec extends AnyFunSuite {
     // semantics leave the LAST rule's type in eventAction
     assert(out(3) == "upsert")
   }
+
+  test("dynamodb source compiles config to the CDC decode over the consumer seam") {
+    val yaml =
+      """cdc:
+        |  source:
+        |    dynamodb:
+        |      tables:
+        |        - table_arn: "arn:aws:dynamodb:us-east-1:1:table/orders"
+        |          partition_key: pk
+        |          sort_key: sk
+        |          stream:
+        |            view_on_remove: OLD_IMAGE
+        |  sink:
+        |    - stdout:
+        |""".stripMargin
+    val rec =
+      """{"eventName":"REMOVE","dynamodb":{"ApproximateCreationDateTime":9,
+        |"NewImage":{"a":{"S":"new"}},"OldImage":{"a":{"S":"old"}},
+        |"Keys":{"pk":{"S":"p1"},"sk":{"N":"3"}},"SequenceNumber":"5"}}"""
+        .stripMargin.replace("\n", "")
+    val out = PipelineYaml.compile(spark, yaml, Map("cdc" -> Seq(rec).toDF("r")))
+      .head.df.collect()(0)
+    assert(out.getAs[String]("table_name") == "orders")
+    assert(out.getAs[String]("data") == """{"a":"old"}""") // view_on_remove honored
+    assert(out.getAs[String]("primary_key") == "p1|3")
+    assert(out.getAs[String]("opensearch_action") == "delete")
+    // missing seam input is loud
+    val e = intercept[IllegalArgumentException](
+      PipelineYaml.compile(spark, yaml))
+    assert(e.getMessage.contains("consumer seam"))
+  }
+
+  test("documentdb source compiles config to the change-stream decode") {
+    val yaml =
+      """cdc:
+        |  source:
+        |    documentdb:
+        |      collections:
+        |        - collection: "app.users"
+        |  sink:
+        |    - stdout:
+        |""".stripMargin
+    val ev =
+      """{"operationType":"insert","clusterTime":{"$timestamp":{"t":7,"i":1}},
+        |"ns":{"db":"d","coll":"c"},"documentKey":{"_id":{"$numberInt":"4"}},
+        |"fullDocument":{"_id":{"$numberInt":"4"},"v":"x"}}"""
+        .stripMargin.replace("\n", "")
+    val out = PipelineYaml.compile(spark, yaml, Map("cdc" -> Seq(ev).toDF("r")))
+      .head.df.collect()(0)
+    assert(out.getAs[String]("documentdb_collection") == "app.users")
+    assert(out.getAs[String]("data") == """{"_id":4,"v":"x"}""")
+    assert(out.getAs[String]("opensearch_action") == "index")
+  }
 }
