@@ -71,6 +71,35 @@ object SinkCompiler {
           maxEvents = num(o, "max_events", 512).toInt,
           maxBatchBytes = num(o, "max_batch_size", 4L * 1024 * 1024)))
 
+      case "sns" =>
+        val conf = SnsSink.Conf(
+          topicArn = req(o, "topic_arn", "sns"),
+          batchSize = num(o, "batch_size", 10).toInt,
+          messageGroupId = o.get("message_group_id").map(_.toString),
+          messageDeduplicationId =
+            o.get("message_deduplication_id").map(_.toString))
+        SnsSink.publishBatchPayloads(SnsSink.assignBatches(
+          withEnvelope, "_order", "_id", "_body", conf))
+
+      case "http" =>
+        val th = HttpSink.Thresholds(
+          maxEvents = num(o, "event_count", 100).toInt,
+          maxRequestBytes = num(o, "max_request_size", 50L * 1024 * 1024))
+        HttpSink.requestPayloads(HttpSink.assignBatches(
+          withEnvelope, "_order", "_id", "_body", th,
+          shards = num(o, "workers", 32).toInt))
+
+      case "kafka" =>
+        // serialize the event row like the other encode sinks; the
+        // reference's partition_key is the same ${} format string
+        val d2 = df.withColumn("_body",
+          to_json(struct(df.columns.map(col): _*)))
+        graft.sources.Queues.produce(d2,
+          topicName = req(o, "topic", "kafka"),
+          keyTemplate = str(o, "partition_key", ""),
+          valueCol = "_body",
+          numPartitions = num(o, "partition_count", 12).toInt)
+
       case "file" =>
         df.write.mode("overwrite").json(req(o, "path", "file"))
         df
@@ -79,8 +108,9 @@ object SinkCompiler {
 
       case other => throw new IllegalArgumentException(
         s"unsupported terminal sink '$other' — supported here: " +
-          "cloudwatch_logs, sqs, otlp, file, stdout (opensearch rides " +
-          "index.IndexBuilder, prometheus rides sinks.PromRemoteWrite)")
+          "cloudwatch_logs, sqs, sns, http, kafka, otlp, file, stdout " +
+          "(opensearch rides index.IndexBuilder, prometheus rides " +
+          "sinks.PromRemoteWrite)")
     }
   }
 }

@@ -74,9 +74,73 @@ class SinkCompilerSpec extends AnyFunSuite {
         |""".stripMargin
     val outs = PipelineYaml.compile(spark, yaml, Map("events" -> input))
     assert(SinkCompiler.compile(outs.head).count() == 4)
-    val bad = outs.head.copy(plugin = outs.head.plugin.copy(name = "sns"))
+    val bad = outs.head.copy(plugin = outs.head.plugin.copy(name = "personalize"))
     val ex = intercept[IllegalArgumentException](SinkCompiler.compile(bad))
     assert(ex.getMessage.contains("unsupported terminal sink"))
+  }
+
+  test("yaml sns sink → PublishBatch payloads with FIFO field resolution") {
+    val yaml =
+      """p:
+        |  source:
+        |    in_memory:
+        |      testing_key: events
+        |  sink:
+        |    - sns:
+        |        topic_arn: "arn:aws:sns:us-east-1:1:t.fifo"
+        |        batch_size: 3
+        |        message_group_id: svc
+        |""".stripMargin
+    val outs = PipelineYaml.compile(spark, yaml, Map("events" -> input))
+    val a = SinkCompiler.compile(outs.head)
+      .orderBy("request_idx").collect()
+    assert(a.map(r => (r.getAs[Long]("request_idx"),
+      r.getAs[Long]("n_entries"))).toSeq == Seq((1L, 3L), (2L, 1L)))
+    assert(a.head.getAs[String]("payload").contains("\"MessageGroupId\":\"app\""))
+  }
+
+  test("yaml http sink → sharded request payloads under event_count") {
+    val yaml =
+      """p:
+        |  source:
+        |    in_memory:
+        |      testing_key: events
+        |  sink:
+        |    - http:
+        |        url: "https://collector.example/ingest"
+        |        event_count: 2
+        |        workers: 1
+        |""".stripMargin
+    val outs = PipelineYaml.compile(spark, yaml, Map("events" -> input))
+    val p = SinkCompiler.compile(outs.head)
+      .orderBy("shard", "request_idx").collect()
+    assert(p.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 2L))
+    assert(p.head.getAs[String]("payload").split("\n").length == 2)
+  }
+
+  test("yaml kafka sink → produce write schema with templated partition key") {
+    val yaml =
+      """p:
+        |  source:
+        |    in_memory:
+        |      testing_key: events
+        |  sink:
+        |    - kafka:
+        |        topic: logs
+        |        partition_key: "k-${svc}"
+        |        partition_count: 4
+        |""".stripMargin
+    val outs = PipelineYaml.compile(spark, yaml, Map("events" -> input))
+    val w = SinkCompiler.compile(outs.head).collect()
+    assert(w.forall(_.getAs[String]("topic") == "logs"))
+    val k = w.map(r => new String(r.getAs[Array[Byte]]("key"))).toSet
+    assert(k == Set("k-app", "k-db"))
+    w.foreach { r =>
+      val key = new String(r.getAs[Array[Byte]]("key"))
+      assert(r.getAs[Int]("partition") ==
+        (graft.sources.Queues.murmur2(key.getBytes) & 0x7fffffff) % 4)
+      assert(new String(r.getAs[Array[Byte]]("value")).contains("\"svc\""))
+    }
   }
 
   test("missing required destination option fails with the option named") {
