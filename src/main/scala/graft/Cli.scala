@@ -94,7 +94,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) fail("subcommand required: build | query | phrase | search | ingest-iceberg | compact")
+    if (args.isEmpty) fail("subcommand required: build | query | phrase | search | ingest-iceberg | compact | pipeline")
     val (flags, positional) = parse(args.toSeq.tail)
     def index = flags.getOrElse("index", fail("--index required"))
     lazy val (spark, ownSession) = session(s"graft-${args.head}")
@@ -171,6 +171,30 @@ object Cli {
           case Some(g) => s"[graft] compacted into generation $g"
           case None => "[graft] nothing to compact"
         })
+
+      case "pipeline" =>
+        // run a reference-shaped pipelines.yaml from spark-submit:
+        //   pipeline --yaml <file> [--input name=parquet,name=parquet]
+        //            [--out <dir>]
+        // --input feeds the in_memory / consumer-seam sources; --out is
+        // where opensearch-sink index parquet lands (PipelineYaml.run).
+        val yamlPath = flags.getOrElse("yaml", fail("--yaml <file> required"))
+        val yamlText = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(yamlPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val inputs = flags.get("input").map { spec =>
+          spec.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(n, p) => n -> spark.read.parquet(p)
+              case _ => fail(s"--input entries are name=path, got '$kv'")
+            }
+          }.toMap
+        }.getOrElse(Map.empty[String, org.apache.spark.sql.DataFrame])
+        val outs = graft.pipeline.PipelineYaml.run(
+          spark, yamlText, inputs, outDir = flags.get("out"))
+        outs.foreach { so =>
+          println(s"[graft] sink ${so.plugin.name}: ${so.df.count()} rows")
+        }
 
       case other => fail(s"unknown subcommand '$other'")
     }

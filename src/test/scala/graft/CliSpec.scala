@@ -56,4 +56,34 @@ class CliSpec extends AnyFunSuite {
       "--after-id", top(2).getAs[Long]("docId").toString, "w00001", "the"))
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("pipeline subcommand runs a pipelines.yaml with parquet-fed inputs") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("cli-pipe")
+    Seq((1L, 10L, "GET /api 200"), (2L, 20L, "GET /api 500"))
+      .toDF("event_id", "ts", "message")
+      .write.parquet(s"$work/in")
+    val yaml =
+      s"""p:
+         |  source:
+         |    in_memory:
+         |      testing_key: events
+         |  processor:
+         |    - grok:
+         |        match:
+         |          message: ['%{WORD:verb} %{URIPATH:path} %{NUMBER:status}']
+         |  sink:
+         |    - file:
+         |        path: $work/out
+         |        format: parquet
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$work/pipe.yaml"), yaml)
+    Cli.main(Array("pipeline", "--yaml", s"$work/pipe.yaml",
+      "--input", s"events=$work/in", "--out", s"$work/os"))
+    val out = spark.read.parquet(s"$work/out")
+    assert(out.count() == 2)
+    assert(out.where(col("status") === "500").count() == 1)
+    assert(!spark.sparkContext.isStopped)
+  }
 }
