@@ -1358,6 +1358,26 @@ object SparkEntry {
               | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
               | FROM documents""".stripMargin)),
 
+    ("q_token_diversity", (s: SparkSession, dir: String) => {
+      // type-token ratio + unigram entropy; both sides fold -p*ln(p) in
+      // term-sorted order (Spark aggregate over sort_array ≡ DuckDB
+      // list_sum over list(... ORDER BY term)) before the shared
+      // round(,6), so IEEE accumulation order matches bit-for-bit.
+      TextAnalysis.tokenDiversity(docs(s, dir), "doc_id", "text")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         | c AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+         | d AS (SELECT doc_id, sum(c) AS n_tokens,
+         |        count(*) AS n_types,
+         |        list(CAST(c AS DOUBLE) ORDER BY term) AS cs
+         |   FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(n_types AS BIGINT) AS n_types,
+         | round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+         | round(list_sum(list_transform(cs,
+         |   x -> -(x / n_tokens) * ln(x / n_tokens))), 6) AS unigram_entropy
+         |FROM d""".stripMargin)),
+
     ("q_fingerprint", (s: SparkSession, dir: String) => {
       // md5 token-hash mode → the rolling FNV fold is reproducible in SQL
       // (list_reduce with wrapping HUGEINT multiplication); xxh64 default

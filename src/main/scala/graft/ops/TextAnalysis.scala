@@ -89,6 +89,39 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
   }
 
+  /** Token-diversity signals (Gopher-adjacent quality features): distinct
+    * token count, type-token ratio, and unigram Shannon entropy (nats)
+    * over the analyzer's token stream. Docs with zero tokens drop (no
+    * distribution to measure).
+    *
+    * Determinism contract: the entropy sum runs as a LEFT FOLD over the
+    * doc's (term, count) pairs sorted by term — `aggregate` over a
+    * `sort_array`'d list — so the IEEE accumulation order is a pure
+    * function of the document, never of partitioning; the DuckDB oracle
+    * mirrors the same fold over `list(... ORDER BY term)`. Both round at
+    * 1e-6, far above fold-order noise.
+    *
+    * Scale shape: two shuffles, both keyed by (doc, term) / doc — no hot
+    * key beyond one document's vocabulary, which is bounded by doc length
+    * (same bound qualityScore's token array already implies). */
+  def tokenDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"),
+      explode(Analyzer.tokensCol(col(textCol))).as("term"))
+    val counts = t.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val byDoc = counts.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sort_array(collect_list(struct(col("term"), col("c")))).as("tc"))
+    val n = col("n_tokens").cast("double")
+    byDoc.select(
+      col("doc_id"), col("n_tokens"), col("n_types"),
+      round(col("n_types").cast("double") / n, 6).as("type_token_ratio"),
+      round(aggregate(col("tc"), lit(0.0), (acc, x) => {
+        val p = x.getField("c").cast("double") / n
+        acc - p * log(p)
+      }), 6).as("unigram_entropy"))
+  }
+
   // ------------------------------------------------- repetition signals
 
   /** Word n-grams as space-joined strings; empty array when the document

@@ -83,4 +83,33 @@ class TextSignalsSpec extends AnyFunSuite {
       .select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
     assert(got(0) == 0.0 && math.abs(got(1) - 1.0) < 1e-12 && got(2) == 0.0)
   }
+
+  test("token diversity: hand-computed entropy, TTR, zero-token docs drop") {
+    val df = Seq(
+      (1L, "a a b"),          // p = (2/3, 1/3)
+      (2L, "x x x x"),        // single type → entropy 0
+      (3L, "!!! ...")).toDF("doc_id", "text") // zero tokens → dropped
+    val out = TextAnalysis.tokenDiversity(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_tokens") == 3L && r1.getAs[Long]("n_types") == 2L)
+    assert(r1.getAs[Double]("type_token_ratio") == 0.666667)
+    val want = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(math.abs(r1.getAs[Double]("unigram_entropy") - want) < 1e-6)
+    assert(out(1).getAs[Double]("unigram_entropy") == 0.0)
+    assert(out(1).getAs[Double]("type_token_ratio") == 0.25)
+  }
+
+  test("token diversity is partition-invariant (sorted fold, not map-order)") {
+    val docs = (1L to 50L).map(i =>
+      (i, (1L to 40L).map(j => s"w${(i * j) % 13}").mkString(" ")))
+    val a = TextAnalysis.tokenDiversity(
+      docs.toDF("doc_id", "text").repartition(1), "doc_id", "text")
+    val b = TextAnalysis.tokenDiversity(
+      docs.toDF("doc_id", "text").repartition(17), "doc_id", "text")
+    val key = (d: org.apache.spark.sql.DataFrame) => d.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(key(a) == key(b))
+  }
 }
