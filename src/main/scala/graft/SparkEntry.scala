@@ -1378,6 +1378,27 @@ object SparkEntry {
          |   x -> -(x / n_tokens) * ln(x / n_tokens))), 6) AS unigram_entropy
          |FROM d""".stripMargin)),
 
+    ("q_chunk_passages", (s: SparkSession, dir: String) => {
+      // overlapping token-window chunking (window 32, stride 24): chunk
+      // boundaries, tail coverage, and the re-joined chunk text all
+      // re-derived by the oracle from the same token stream.
+      graft.ops.Curation.chunkPassages(docs(s, dir), "doc_id", "text",
+        window = 32, stride = 24)
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+         | d AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
+         | k AS (SELECT *, CASE WHEN n <= 32 THEN 1
+         |        ELSE CAST(ceil(CAST(n - 32 AS DOUBLE)/24) AS INT) + 1
+         |        END AS nc FROM d),
+         | e AS (SELECT doc_id, l, n,
+         |        unnest(generate_series(0, nc - 1)) AS i FROM k)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         | CAST(i*24 AS BIGINT) AS start_tok,
+         | CAST(least(32, n - i*24) AS BIGINT) AS n_tokens,
+         | array_to_string(l[i*24 + 1 : least(i*24 + 32, CAST(n AS INT))],
+         |   ' ') AS chunk
+         |FROM e""".stripMargin)),
+
     ("q_fingerprint", (s: SparkSession, dir: String) => {
       // md5 token-hash mode → the rolling FNV fold is reproducible in SQL
       // (list_reduce with wrapping HUGEINT multiplication); xxh64 default

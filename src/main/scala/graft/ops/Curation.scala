@@ -187,6 +187,42 @@ object Curation {
         .otherwise(expr(s"start_offset DIV $budgetTokens")))
   }
 
+  /** Overlapping token-window chunking (RAG passages / training context
+    * windows, the HF `return_overflowing_tokens` convention): chunk i
+    * covers tokens `[i*stride, i*stride + window)`; chunk count is
+    * `ceil((n - window) / stride) + 1` (one chunk when `n <= window`),
+    * so the tail is covered exactly once and no start index exceeds the
+    * document. Zero-token docs produce no chunks. One row per chunk:
+    * `(doc_id, chunk_idx 0-based, start_tok, n_tokens, chunk)` with the
+    * chunk re-joined by single spaces (analyzer tokens carry no
+    * whitespace of their own).
+    *
+    * Scale shape: pure Column algebra — tokenize, one `sequence` +
+    * `transform`, one explode; zero shuffles, rows fan out in place. */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride in [1, window], got $stride")
+    val toks = Analyzer.tokensCol(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= window, lit(1)).otherwise(
+      ceil((n - window).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol).as("doc_id"), toks.as("_toks"), n.as("_n"),
+        nChunks.as("_k"))
+      .where(col("_n") > 0)
+      .select(col("doc_id"), col("_n"),
+        explode(transform(sequence(lit(0), col("_k") - 1), i => struct(
+          i.as("chunk_idx"),
+          (i * stride).as("start_tok"),
+          slice(col("_toks"), i * stride + 1, lit(window)).as("toks")))).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        size(col("c.toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("c.toks")).as("chunk"))
+  }
+
   // ------------------------------------------------- PII redaction
 
   /** (type, regex, replacement) in APPLICATION ORDER. The regexes are

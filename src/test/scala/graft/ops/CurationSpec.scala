@@ -196,4 +196,36 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
+
+  test("chunkPassages: boundaries, tail coverage, degenerate docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10
+      (2L, "one two"),                                // n <= window → 1 chunk
+      (3L, "...")).toDF("doc_id", "text")             // 0 tokens → none
+    val out = Curation.chunkPassages(df, "doc_id", "text",
+        window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // n=10, w=4, s=3 → ceil(6/3)+1 = 3 chunks at 0,3,6 — tail [6,10) len 4
+    assert(d1.map(r => (r.getAs[Long]("start_tok"),
+      r.getAs[Long]("n_tokens"), r.getAs[String]("chunk"))).toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"), (3L, 4L, "t4 t5 t6 t7"),
+      (6L, 4L, "t7 t8 t9 t10")))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk") == "one two"
+      && d2(0).getAs[Long]("n_tokens") == 2L)
+    assert(!out.exists(_.getLong(0) == 3L))
+    // a short tail: n=11 → chunks at 0,3,6,9? ceil(7/3)+1 = 4; start 9 len 2
+    val tail = Curation.chunkPassages(
+      Seq((9L, (1 to 11).map("w" + _).mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 3).orderBy("chunk_idx").collect()
+    assert(tail.map(r => (r.getAs[Long]("start_tok"),
+      r.getAs[Long]("n_tokens"))).toSeq ==
+      Seq((0L, 4L), (3L, 4L), (6L, 4L), (9L, 2L)))
+    // zero shuffles: explode-in-place plan
+    val plan = Curation.chunkPassages(df, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
