@@ -1399,6 +1399,27 @@ object SparkEntry {
          |   ' ') AS chunk
          |FROM e""".stripMargin)),
 
+    ("q_sessionize", (s: SparkSession, dir: String) => {
+      // gap-based sessionization (batch session_window): per-user
+      // sessions split on >8h inactivity; the oracle is the classic
+      // gaps-and-islands derivation. Tie seconds can never straddle a
+      // session boundary, so aggregates are order-deterministic.
+      graft.pipeline.Aggregates.sessionize(
+        events(s, dir), Seq("user_id"), "ts", "8h")
+    }, Some(
+      """WITH b AS (SELECT user_id,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        | l AS (SELECT user_id, t,
+        |   CASE WHEN lag(t) OVER w IS NULL
+        |     OR t - lag(t) OVER w > 28800 THEN 1 ELSE 0 END AS nw
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        | s AS (SELECT user_id, t, sum(nw) OVER (PARTITION BY user_id
+        |   ORDER BY t ROWS UNBOUNDED PRECEDING) AS session_idx FROM l)
+        |SELECT user_id, session_idx, min(t) AS session_start,
+        | max(t) AS session_end, count(*) AS n_events,
+        | max(t) - min(t) AS duration_s
+        |FROM s GROUP BY 1, 2""".stripMargin)),
+
     ("q_fingerprint", (s: SparkSession, dir: String) => {
       // md5 token-hash mode → the rolling FNV fold is reproducible in SQL
       // (list_reduce with wrapping HUGEINT multiplication); xxh64 default

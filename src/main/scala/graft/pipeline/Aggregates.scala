@@ -160,6 +160,39 @@ object Aggregates {
       .drop("_sess", "_admit")
   }
 
+  /** Gap-based sessionization — the batch form of Structured Streaming's
+    * `session_window` (the tail sampler reuses the same island
+    * derivation internally): per key, ordered by event time, a new
+    * session opens when the gap to the previous event exceeds `gap`.
+    * One row per SESSION: `(keys…, session_idx 1-based per key,
+    * session_start, session_end, n_events, duration_s)`, times in epoch
+    * seconds. Events tied on the same second always share a session, so
+    * the output is deterministic under any tie order.
+    *
+    * Scale shape: one keyed shuffle; the lag/cumsum windows and the
+    * final aggregate all share the key partitioning (no second
+    * exchange), groups are per key — the same bound every per-key
+    * aggregate here carries. */
+  def sessionize(df: DataFrame, keys: Seq[String], ts: String,
+      gap: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(unix_timestamp(col(ts)))
+    val t = unix_timestamp(col(ts))
+    val prevTs = lag(t, 1).over(w)
+    df
+      .withColumn("_t", t)
+      .withColumn("_new", when(prevTs.isNull ||
+        col("_t") - prevTs > lit(gapSeconds(gap)), 1).otherwise(0))
+      .withColumn("session_idx", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy((keys.map(col) :+ col("session_idx")): _*)
+      .agg(
+        min(col("_t")).as("session_start"),
+        max(col("_t")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(col("_t")) - min(col("_t"))).as("duration_s"))
+  }
+
   private def gapSeconds(gap: String): Long = {
     val t = gap.trim.toLowerCase(java.util.Locale.ROOT)
     val num = t.takeWhile(c => c.isDigit).toLong

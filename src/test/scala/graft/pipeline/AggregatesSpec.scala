@@ -204,4 +204,26 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(rows == Set((1L, 2L, true), (1L, 1L, false), (2L, 1L, false)))
   }
+
+  test("batch sessionize: gap splits, 1-based per-key indices, durations") {
+    val ts0 = 1700000000L
+    def t(s: Long) = new java.sql.Timestamp((ts0 + s) * 1000L)
+    val d = Seq(
+      (1L, t(0)), (1L, t(30)), (1L, t(50)),   // session 1: 3 events, 50 s
+      (1L, t(200)),                           // gap 150 > 60 → session 2
+      (2L, t(0)), (2L, t(400))                // two singleton sessions
+    ).toDF("user_id", "ts")
+    val out = Aggregates.sessionize(d, Seq("user_id"), "ts", "60s")
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_s"),
+        r.getAs[Long]("session_start")))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 50L, ts0), (1L, 2L, 1L, 0L, ts0 + 200),
+      (2L, 1L, 1L, 0L, ts0), (2L, 2L, 1L, 0L, ts0 + 400)))
+    // the windows and the aggregate share one exchange on the key
+    val plan = Aggregates.sessionize(d, Seq("user_id"), "ts", "60s")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 2, plan)
+  }
 }
