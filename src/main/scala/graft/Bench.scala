@@ -46,7 +46,8 @@ object Bench {
     "q_dedup_lines", "q_bpe_encode", "q_kmv_distinct", "q_ann_pq",
     "q_kinesis_deagg", "q_snippets", "q_bool_topk", "q_url_normalize",
     // round-5 operators
-    "q_ddb_cdc", "q_mongo_cdc", "q_sns_sink", "q_kafka_encode")
+    "q_ddb_cdc", "q_mongo_cdc", "q_sns_sink", "q_kafka_encode",
+    "q_http_sink", "q_token_diversity", "q_chunk_passages", "q_sessionize")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.
