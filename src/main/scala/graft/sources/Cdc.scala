@@ -149,6 +149,9 @@ object Cdc {
     val dec = udf((s: String) => decodeDdbRecord(s, conf))
     var d = "_ddb"
     while (df.columns.contains(d)) d += "_"
+    // collision-proof temp (a fixed "_ts_sec" would silently drop a
+    // caller column of the same name at the final drop)
+    val tsSec = d + "_sec"
     val keep = df.columns.filterNot(_ == jsonCol).map(col)
     val base = df.withColumn(d, dec(col(jsonCol)))
       .select(keep ++ Seq(
@@ -157,7 +160,7 @@ object Cdc {
         when(col(s"$d.eventName") === "REMOVE", "delete")
           .otherwise("index").as("opensearch_action"),
         col(s"$d.tsMillis").as("dynamodb_timestamp"),
-        col(s"$d.tsSec").as("_ts_sec"),
+        col(s"$d.tsSec").as(tsSec),
         col(s"$d.seqNo").as("sequence_number"),
         col(s"$d.partitionKey").as("partition_key"),
         col(s"$d.sortKey").as("sort_key"),
@@ -167,9 +170,9 @@ object Cdc {
         col(s"$d.ttlDelete").as("ttl_delete"),
         col(s"$d.dataJson").as("data"),
         col(s"$d.err").as("err")): _*)
-    withVersion(base, col("_ts_sec"),
+    withVersion(base, col(tsSec),
       Seq(length(col("sequence_number")), col("sequence_number")))
-      .drop("_ts_sec")
+      .drop(tsSec)
   }
 
   /** calculateTieBreakingVersionFromTimestamp as a window:
@@ -319,6 +322,9 @@ object Cdc {
     val dec = udf(decodeMongoEvent _)
     var d = "_mc"
     while (df.columns.contains(d)) d += "_"
+    // collision-proof temps (see ddbStream)
+    val tsSec = d + "_sec"
+    val orderI = d + "_i"
     val keep = df.columns.filterNot(_ == jsonCol).map(col)
     val base = df.withColumn(d, dec(col(jsonCol)))
       .where(col(s"$d.crud") || col(s"$d.err").isNotNull)
@@ -329,14 +335,14 @@ object Cdc {
         when(col(s"$d.eventName") === "delete", "delete")
           .otherwise("index").as("opensearch_action"),
         (col(s"$d.tsSec") * 1000L).as("documentdb_timestamp"),
-        col(s"$d.tsSec").as("_ts_sec"),
-        col(s"$d.orderI").as("_order_i"),
+        col(s"$d.tsSec").as(tsSec),
+        col(s"$d.orderI").as(orderI),
         col(s"$d.partitionKey").as("partition_key"),
         col(s"$d.partitionKey").as("primary_key"),
         col(s"$d.idBsonType").as("documentdb_id_bson_type"),
         col(s"$d.dataJson").as("data"),
         col(s"$d.err").as("err")): _*)
-    withVersion(base, col("_ts_sec"), Seq(col("_order_i")))
-      .drop("_ts_sec", "_order_i")
+    withVersion(base, col(tsSec), Seq(col(orderI)))
+      .drop(tsSec, orderI)
   }
 }
