@@ -600,6 +600,42 @@ object SparkEntry {
           element_at(col("attributes"), "instrumentationScope.name").as("scope_name"))
     }, Some(otelLogsOracleSql)),
 
+    ("q_otlp_logs_export", (s: SparkSession, dir: String) => {
+      // the logs EXPORT direction: flattened log rows (the OtelLogs
+      // decode shape, built closed-form) re-encode as batched
+      // ExportLogsServiceRequests through the own-kernel proto writer,
+      // the engine's OWN wire decoder reads the payloads back, and the
+      // result must satisfy q_otel_logs' oracle — decode∘export ≡
+      // identity, the logs analog of q_otlp_export.
+      val e = events(s, dir)
+      val timeNs = unix_micros(col("ts")) * 1000L
+      val rows = e.select(
+        timeNs.as("timeUnixNano"),
+        (timeNs + 500000L).as("observedTimeUnixNano"),
+        concat(lit("svc-"), col("event_type")).as("serviceName"),
+        (col("event_id") % 5 + 9).cast("int").as("severityNumber"),
+        when(col("event_id") % 2 === 0, "INFO").otherwise("WARN")
+          .as("severityText"),
+        concat(lit("evt "), col("event_type")).as("body"),
+        lpad(lower(hex(col("user_id"))), 32, "0").as("traceId"),
+        lpad(lower(hex(col("event_id"))), 16, "0").as("spanId"),
+        map(
+          lit("log.attributes.uid"), col("user_id").cast("string"),
+          lit("instrumentationScope.name"), lit("graft"),
+          lit("resource.attributes.service@name"),
+          concat(lit("svc-"), col("event_type"))).as("attributes"))
+      val payloads = graft.sinks.OtlpExport.logRequests(rows,
+        graft.sinks.OtlpExport.Thresholds(maxEvents = 256))
+      graft.sources.OtelLogs.logsFromProto(
+          payloads.select("payload"), "payload")
+        .select(col("timeUnixNano"), col("observedTimeUnixNano"),
+          col("serviceName"), col("severityNumber"), col("severityText"),
+          col("body"), col("traceId"), col("spanId"),
+          element_at(col("attributes"), "log.attributes.uid").as("uid_attr"),
+          element_at(col("attributes"), "instrumentationScope.name")
+            .as("scope_name"))
+    }, Some(otelLogsOracleSql)),
+
     ("q_event_json", (s: SparkSession, dir: String) => {
       // reference event_json round-trip: events rows -> per-partition
       // wrapped documents -> decode back (data columns + _meta)

@@ -90,11 +90,78 @@ object OtlpExport {
     * packing in row order (flush BEFORE add on the byte cap, flush AFTER
     * add on the count cap — the buffer-worker contract); zero shuffles. */
   def traceRequests(spanRows: DataFrame,
-      th: Thresholds = Thresholds()): DataFrame = {
-    val spark = spanRows.sparkSession
+      th: Thresholds = Thresholds()): DataFrame =
+    batched(spanRows, OtlpExport.encodeRow, th, "n_spans")
+
+  /** One length-delimited `ResourceLogs` field-1 record per flattened log
+    * row ([[graft.sources.OtelLogs]] output shape) — the logs analog of
+    * [[encodeRow]]. The flatten's merged attribute map splits back by
+    * prefix: `log.attributes.*` → record attributes (`@` → `.` reversed),
+    * `resource.attributes.*` → the resource (when absent, `serviceName`
+    * alone becomes `service.name`), `instrumentationScope.name/version` →
+    * the scope. Values ride as stringValue — identity is bounded by the
+    * flatten, exactly like the trace export. */
+  private[sinks] def encodeLogRow(r: Row): Array[Byte] = {
+    def optS(name: String): Option[String] =
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        Some(r.getString(r.fieldIndex(name)))
+      else None
+    def longS(name: String): Option[String] =
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        Some(r.getLong(r.fieldIndex(name)).toString)
+      else None
+    def optI(name: String): Option[Int] =
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        Some(r.getInt(r.fieldIndex(name)))
+      else None
+    val attrs: Map[String, String] =
+      if (!r.schema.fieldNames.contains("attributes") ||
+          r.isNullAt(r.fieldIndex("attributes"))) Map.empty
+      else r.getAs[Map[String, String]]("attributes")
+    def bucket(prefix: String): Seq[PKV] = attrs.toSeq
+      .collect { case (k, v) if k.startsWith(prefix) =>
+        PKV(k.stripPrefix(prefix).replace('@', '.'),
+          PAny(Option(v), None, None, None)) }
+      .sortBy(_.key)
+    val resAttrs = bucket("resource.attributes.")
+    val scope = (attrs.get("instrumentationScope.name"),
+        attrs.get("instrumentationScope.version")) match {
+      case (None, None) => None
+      case (n, v) => Some(PScope(n, v))
+    }
+    val rec = LLogRecord(
+      timeUnixNano = longS("timeUnixNano"),
+      observedTimeUnixNano = longS("observedTimeUnixNano"),
+      severityNumber = optI("severityNumber"),
+      severityText = optS("severityText"),
+      body = optS("body").map(b => PAny(Some(b), None, None, None)),
+      attributes = bucket("log.attributes."),
+      droppedAttributesCount = optI("droppedAttributesCount"),
+      flags = optI("flags"),
+      traceId = optS("traceId"),
+      spanId = optS("spanId"))
+    val rl = LResourceLogs(
+      resource =
+        if (resAttrs.nonEmpty) Some(PResource(resAttrs))
+        else optS("serviceName").map(svc => PResource(Seq(
+          PKV("service.name", PAny(Some(svc), None, None, None))))),
+      scopeLogs = Seq(LScopeLogs(scope, Seq(rec))))
+    OtlpProto.encodeLogsRequest(LLogsRequest(Seq(rl)))
+  }
+
+  /** Batched logs export: one row per `ExportLogsServiceRequest` —
+    * `(payload binary, n_records, payload_bytes)`. Same field-1
+    * concatenation trick and per-partition fold as [[traceRequests]]
+    * (`ExportLogsServiceRequest` is `repeated ResourceLogs = 1`). */
+  def logRequests(logRows: DataFrame,
+      th: Thresholds = Thresholds()): DataFrame =
+    batched(logRows, OtlpExport.encodeLogRow, th, "n_records")
+
+  private def batched(rows: DataFrame, enc: Row => Array[Byte],
+      th: Thresholds, countName: String): DataFrame = {
+    val spark = rows.sparkSession
     import spark.implicits._
-    val encoded: Dataset[Array[Byte]] = spanRows.mapPartitions(
-      _.map(OtlpExport.encodeRow))(
+    val encoded: Dataset[Array[Byte]] = rows.mapPartitions(_.map(enc))(
       org.apache.spark.sql.Encoders.BINARY)
     val (me, mb) = (th.maxEvents, th.maxBatchBytes)
     encoded.mapPartitions { it =>
@@ -113,6 +180,6 @@ object OtlpExport {
       }
       flush()
       out.iterator
-    }.toDF("payload", "n_spans", "payload_bytes")
+    }.toDF("payload", countName, "payload_bytes")
   }
 }

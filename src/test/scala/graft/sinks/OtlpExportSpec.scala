@@ -94,4 +94,63 @@ class OtlpExportSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"export must not shuffle:\n$plan")
   }
+
+  test("logs: decode(export(rows)) == rows, attribute buckets split back by prefix") {
+    val logs = Seq(
+      (1000000L, 1500000L, "svc-a", 9, "INFO", "started",
+        "0af7651916cd43dd8448eb211c80319c", "b7ad6b7169203331",
+        Map("log.attributes.uid" -> "7",
+          "log.attributes.http@method" -> "GET", // '@' → '.' on the wire
+          "instrumentationScope.name" -> "graft",
+          "resource.attributes.service@name" -> "svc-a")),
+      (2000000L, 2500000L, "svc-b", 17, "ERROR", "boom",
+        "1bf7651916cd43dd8448eb211c80319d", "11f067aa0ba902b8",
+        Map("instrumentationScope.name" -> "graft",
+          "resource.attributes.service@name" -> "svc-b")))
+      .toDF("timeUnixNano", "observedTimeUnixNano", "serviceName",
+        "severityNumber", "severityText", "body", "traceId", "spanId",
+        "attributes")
+    val back = graft.sources.OtelLogs.logsFromProto(
+      OtlpExport.logRequests(logs).select("payload"), "payload")
+    val got = back.orderBy("timeUnixNano")
+      .select("timeUnixNano", "observedTimeUnixNano", "serviceName",
+        "severityNumber", "severityText", "body", "traceId", "spanId")
+      .collect().map(_.toSeq)
+    assert(got(0) == Seq(1000000L, 1500000L, "svc-a", 9, "INFO", "started",
+      "0af7651916cd43dd8448eb211c80319c", "b7ad6b7169203331"))
+    assert(got(1) == Seq(2000000L, 2500000L, "svc-b", 17, "ERROR", "boom",
+      "1bf7651916cd43dd8448eb211c80319d", "11f067aa0ba902b8"))
+    // the merged attribute map reconstructs exactly (incl. the '@' key)
+    val m = back.orderBy("timeUnixNano")
+      .select("attributes").collect()(0).getAs[Map[String, String]](0)
+    assert(m == Map("log.attributes.uid" -> "7",
+      "log.attributes.http@method" -> "GET",
+      "instrumentationScope.name" -> "graft",
+      "resource.attributes.service@name" -> "svc-a"))
+    // serviceName alone (no resource bucket) still lands as service.name
+    val bare = Seq((1L, 2L, "svc-x", 5, "DEBUG", "b", "", "",
+      Map.empty[String, String]))
+      .toDF("timeUnixNano", "observedTimeUnixNano", "serviceName",
+        "severityNumber", "severityText", "body", "traceId", "spanId",
+        "attributes")
+    val bb = graft.sources.OtelLogs.logsFromProto(
+      OtlpExport.logRequests(bare).select("payload"), "payload").collect()(0)
+    assert(bb.getAs[String]("serviceName") == "svc-x")
+  }
+
+  test("logs: batching caps hold and no records are lost") {
+    val logs = (1L to 23L).map(i => (i, i + 1, "svc", 9, "INFO", s"m$i",
+      "", "", Map.empty[String, String]))
+      .toDF("timeUnixNano", "observedTimeUnixNano", "serviceName",
+        "severityNumber", "severityText", "body", "traceId", "spanId",
+        "attributes")
+      .coalesce(1)
+    val p = OtlpExport.logRequests(logs, Thresholds(maxEvents = 10)).collect()
+    assert(p.map(_.getAs[Long]("n_records")).sum == 23L)
+    assert(p.forall(_.getAs[Long]("n_records") <= 10L))
+    val back = graft.sources.OtelLogs.logsFromProto(
+      OtlpExport.logRequests(logs, Thresholds(maxEvents = 10))
+        .select("payload"), "payload")
+    assert(back.count() == 23L)
+  }
 }
