@@ -1526,7 +1526,9 @@ object SparkEntry {
          | l AS (SELECT d.doc_id,
          |   coalesce(a.dot, 0) / greatest(coalesce(a.nt, 0), 1) - 0.1 AS logit
          |  FROM documents d LEFT JOIN a USING (doc_id))
-         |SELECT doc_id, round(logit, 6) AS logit,
+         |SELECT doc_id,
+         | CASE WHEN round(logit, 6) = 0 THEN 0.0
+         |      ELSE round(logit, 6) END AS logit,
          | round(1.0 / (1.0 + exp(-logit)), 6) AS prob FROM l""".stripMargin)),
 
     ("q_sample_stratified", (s: SparkSession, dir: String) => {
@@ -2691,7 +2693,212 @@ object SparkEntry {
         .withColumnRenamed("docId", "url")
     }, Some(bm25Sql(Seq("the", "w00002"), 10,
       table = "read_parquet('${GRAFT_OUT}/fixture_corpus/*.parquet')",
-      idCol = "url")))
+      idCol = "url"))),
+
+    ("q_warc_decode", (s: SparkSession, dir: String) => {
+      // analytic fixture: documents become per-bucket WARC files — one
+      // response record per doc (every 13th doc preceded by its request
+      // record), odd buckets in the Common-Crawl gzip-member layout —
+      // then decoded back by the own-kernel reader. The oracle re-derives
+      // every decoded column INCLUDING the HTTP framing's Content-Length
+      // closed-form from the documents table.
+      val iso = udf { (id: Long) =>
+        java.time.Instant.ofEpochSecond(1767225600L + id % 2592000L).toString
+      }
+      val encFile = udf {
+        (ds: Seq[org.apache.spark.sql.Row], gz: Boolean) =>
+          val recs = ds.sortBy(_.getLong(0)).flatMap { r =>
+            val id = r.getLong(0)
+            val url = s"https://docs.example.org/d/$id"
+            val resp = graft.sources.Warc.responseRecord(
+              url, r.getString(2), r.getString(1).getBytes("UTF-8"))
+            if (id % 13 == 0)
+              Seq(graft.sources.Warc.requestRecord(url, r.getString(2)), resp)
+            else Seq(resp)
+          }
+          graft.sources.Warc.encodeFile(recs, gzipMembers = gz)
+      }
+      val files = docs(s, dir)
+        .select((col("doc_id") % 37).as("bucket"),
+          struct(col("doc_id"), col("text"),
+            iso(col("doc_id")).as("date")).as("d"))
+        .groupBy("bucket").agg(collect_list("d").as("ds"))
+        .select(col("bucket"),
+          encFile(col("ds"), col("bucket") % 2 === 1).as("content"))
+      graft.sources.Warc.records(files, "content")
+        .select(col("bucket"), col("record_pos"), col("warc_type"),
+          col("target_uri"), col("http_status"), col("warc_date"),
+          when(col("warc_type") === "response", col("content_length"))
+            .as("content_length"),
+          col("payload").cast("string").as("payload_str"))
+    }, Some(
+      """WITH base AS (
+        | SELECT doc_id, doc_id % 37 AS bucket, text,
+        |  strftime(TIMESTAMP '2026-01-01 00:00:00'
+        |           + (doc_id % 2592000) * INTERVAL 1 SECOND,
+        |           '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+        |  'https://docs.example.org/d/' || doc_id AS target_uri,
+        |  CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 1 END AS nrec
+        | FROM documents),
+        |pos AS (
+        | SELECT *, CAST(COALESCE(SUM(nrec) OVER (PARTITION BY bucket
+        |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND 1 PRECEDING), 0) AS INT) AS base_pos
+        | FROM base)
+        |SELECT bucket, record_pos, warc_type, target_uri, http_status,
+        |       warc_date, content_length, payload_str
+        |FROM (
+        | SELECT bucket, base_pos AS record_pos, 'request' AS warc_type,
+        |   target_uri, CAST(NULL AS INT) AS http_status, warc_date,
+        |   CAST(NULL AS BIGINT) AS content_length, '' AS payload_str
+        | FROM pos WHERE nrec = 2
+        | UNION ALL
+        | SELECT bucket, base_pos + nrec - 1, 'response', target_uri,
+        |   200, warc_date,
+        |   62 + strlen(CAST(strlen(text) AS VARCHAR)) + strlen(text),
+        |   text
+        | FROM pos)""".stripMargin)),
+
+    ("q_robots_filter", (s: SparkSession, dir: String) => {
+      // analytic fixture: 23 hosts each publish a deterministic
+      // robots.txt (specific group for graftbot/friendbot, an otherbot
+      // group, a * group, per-host extra rules); each doc becomes one URL
+      // in one of 7 path shapes. The ENGINE parses the text and applies
+      // RFC 9309 group selection + longest-match precedence; the oracle
+      // re-derives every admission decision closed-form.
+      val robotsBody = udf { (k: Long) =>
+        val sb = new StringBuilder
+        sb ++= s"# synthetic robots for host h$k\n"
+        sb ++= "User-agent: otherbot\nDisallow: /\n\n"
+        sb ++= "User-agent: graftbot\nUser-agent: friendbot\n"
+        sb ++= "Disallow: /private\nAllow: /private/ok$\n"
+        sb ++= "Disallow: /pub/*.tmp\n"
+        if (k % 3 == 0) sb ++= "Disallow: /search\n"
+        if (k % 4 == 0) sb ++= "Allow: /\nDisallow: /media\n"
+        sb ++= "\nUser-agent: *\nDisallow: /media\n"
+        sb.toString
+      }
+      val hosts = docs(s, dir).select((col("doc_id") % 23).as("k")).distinct()
+        .select(concat(lit("h"), col("k"), lit(".example.com")).as("host"),
+          robotsBody(col("k")).as("content"))
+      val rules = graft.ops.Robots.rulesFor(hosts, "host", "content",
+        agent = "graftbot")
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 23, lit(".example.com"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("/private/p"), col("doc_id")))
+          .when(col("doc_id") % 7 === 1, lit("/private/ok"))
+          .when(col("doc_id") % 7 === 2,
+            concat(lit("/pub/a"), col("doc_id"), lit(".tmp")))
+          .when(col("doc_id") % 7 === 3,
+            concat(lit("/pub/a"), col("doc_id"), lit(".html")))
+          .when(col("doc_id") % 7 === 4, lit(""))
+          .when(col("doc_id") % 7 === 5,
+            concat(lit("/media/img"), col("doc_id")))
+          .otherwise(concat(lit("/search?q=w"), col("doc_id")))).as("url"))
+      graft.ops.Robots.filter(urls, "url", rules)
+        .select("doc_id", "url", "robots_allowed")
+    }, Some(
+      """SELECT doc_id,
+        | 'https://h' || (doc_id % 23) || '.example.com' ||
+        | CASE doc_id % 7
+        |   WHEN 0 THEN '/private/p' || doc_id
+        |   WHEN 1 THEN '/private/ok'
+        |   WHEN 2 THEN '/pub/a' || doc_id || '.tmp'
+        |   WHEN 3 THEN '/pub/a' || doc_id || '.html'
+        |   WHEN 4 THEN ''
+        |   WHEN 5 THEN '/media/img' || doc_id
+        |   ELSE '/search?q=w' || doc_id
+        | END AS url,
+        | CASE doc_id % 7
+        |   WHEN 0 THEN FALSE
+        |   WHEN 1 THEN TRUE
+        |   WHEN 2 THEN FALSE
+        |   WHEN 3 THEN TRUE
+        |   WHEN 4 THEN TRUE
+        |   WHEN 5 THEN (doc_id % 23) % 4 <> 0
+        |   ELSE (doc_id % 23) % 3 <> 0
+        | END AS robots_allowed
+        |FROM documents""".stripMargin)),
+
+    ("q_hybrid_rrf", (s: SparkSession, dir: String) => {
+      // hybrid lexical+vector retrieval: BM25 top-20 fused with
+      // cosine top-20 by reciprocal-rank fusion (k0=60). Both input
+      // lists round scores before ranking so ranks are engine-stable;
+      // the oracle replays both lists AND the fusion.
+      val terms = Seq("the", "w00002").distinct.sorted
+      val lex = BruteForce.scoreAll(docs(s, dir), "doc_id", "text", terms)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(desc("score"), col("docId")).limit(20)
+        .withColumnRenamed("docId", "doc_id")
+      val qv = annQueryVec(64)
+      val vec = embeddings(s, dir).select(col("vec_id").as("doc_id"),
+          round(Similarity.cosine(col("embedding"),
+            array(qv.map(lit): _*)), 4).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+      graft.query.Hybrid.rrf(Seq(lex, vec), "doc_id", "score", k = 10)
+    }, Some(
+      s"""WITH bm AS (${bm25Sql(Seq("the", "w00002"), 20)}),
+         | bmr AS (SELECT doc_id,
+         |   row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+         | cs AS (${annBruteSql(annQueryVec(64), 20)}),
+         | csr AS (SELECT vec_id AS doc_id,
+         |   row_number() OVER (ORDER BY cosine DESC, vec_id) AS r FROM cs),
+         | u AS (SELECT doc_id, r FROM bmr
+         |       UNION ALL SELECT doc_id, r FROM csr)
+         |SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf_score,
+         | count(*) AS n_lists
+         |FROM u GROUP BY 1
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    ("q_prefix_topk_indexed", (s: SparkSession, dir: String) => {
+      // index-served prefix query: expansion from termstats/ (sorted,
+      // capped), scored as a should-bool over bucket-pruned postings;
+      // the oracle re-derives the same expansion with LIKE and replays
+      // BM25 — rank identity across engine, index, and DuckDB.
+      docIndexSearch(s, dir).prefixTopK("w001", k = 12, maxExpansions = 25)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(prefixSql("w001", maxExpansions = 25, k = 12))),
+
+    ("q_date_histogram_indexed", (s: SparkSession, dir: String) => {
+      // OpenSearch date_histogram beside a query, served from the index:
+      // match set = decoded postings, buckets = ISO week truncation of a
+      // docId-keyed timestamp dimension (closed-form from doc_id so the
+      // oracle replays it).
+      val meta = s.read.parquet(s"${docIndexDir(s, dir)}/docs")
+        .select(col("docId"), expr(
+          "timestampadd(DAY, CAST(CAST(substring(url, 2) AS BIGINT) % 90" +
+            " AS INT), TIMESTAMP '2026-01-01 00:00:00')").as("ts"))
+      docIndexSearch(s, dir)
+        .dateHistogram(Seq("spark", "merge"), meta, "ts", "week")
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         | m AS (SELECT DISTINCT doc_id FROM toks
+         |       WHERE term IN ('merge', 'spark'))
+         |SELECT date_trunc('week', TIMESTAMP '2026-01-01 00:00:00'
+         |         + (doc_id % 90) * INTERVAL 1 DAY) AS bucket,
+         |       count(*) AS doc_count
+         |FROM m GROUP BY 1""".stripMargin)),
+
+    ("q_range_agg_indexed", (s: SparkSession, dir: String) => {
+      // OpenSearch range agg beside a query: half-open [lo,hi) buckets
+      // plus unbounded tails over a docId-keyed numeric dimension.
+      val meta = s.read.parquet(s"${docIndexDir(s, dir)}/docs")
+        .select(col("docId"),
+          (expr("CAST(substring(url, 2) AS BIGINT)") % 100)
+            .cast("double").as("v"))
+      docIndexSearch(s, dir)
+        .rangeAgg(Seq("the"), meta, "v", bounds = Seq(10.0, 50.0, 90.0))
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         | m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'the'),
+         | v AS (SELECT doc_id, CAST(doc_id % 100 AS DOUBLE) AS v FROM m)
+         |SELECT CASE WHEN v >= 90.0 THEN '[90.0,inf)'
+         |            WHEN v >= 50.0 THEN '[50.0,90.0)'
+         |            WHEN v >= 10.0 THEN '[10.0,50.0)'
+         |            ELSE '(-inf,10.0)' END AS bucket,
+         |       count(*) AS doc_count
+         |FROM v GROUP BY 1""".stripMargin))
   )
 
   // ---------------------------------------------------------- helpers
@@ -2762,6 +2969,30 @@ object SparkEntry {
        | exp AS (SELECT DISTINCT term FROM toks
        |   WHERE abs(length(term) - ${q.length}) <= $maxDist
        |     AND levenshtein(term, '$q') <= $maxDist),
+       | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |        WHERE term IN (SELECT term FROM exp) GROUP BY 1, 2),
+       | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | scored AS (
+       |  SELECT tf.doc_id,
+       |   ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+       |        / (CAST(df.df AS DOUBLE) + 0.5))
+       |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+       |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |        / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
+       |SELECT doc_id, round(sum(s), 4) AS score FROM scored GROUP BY 1
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** DuckDB replay of the prefix-expanded BM25 top-k: the expansion CTE
+    * is the sorted, capped LIKE slice of the corpus dictionary (the
+    * engine takes the same slice from the index's termstats/), feeding
+    * the standard BM25 CTE chain. */
+  private def prefixSql(prefix: String, maxExpansions: Int, k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       | exp AS (SELECT term FROM (SELECT DISTINCT term FROM toks
+       |   WHERE term LIKE '$prefix%') ORDER BY term LIMIT $maxExpansions),
        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
        | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks

@@ -89,7 +89,13 @@ object Inference {
       (acc, t) => acc + element_at(w, bucket(t) + 1))
     val n = greatest(size(toks), lit(1)).cast("double")
     val logit = dot / n + lit(bias)
-    df.select(col(idCol), round(logit, 6).as("logit"),
+    // canonicalize IEEE negative zero: a logit that rounds to -0.0 on one
+    // engine and +0.0 on another (tiny negative accumulation) must not
+    // depend on accumulation sign — -0.0 == 0.0 is true, so the `when`
+    // rewrites both to +0.0
+    val r = round(logit, 6)
+    df.select(col(idCol),
+      when(r === 0.0, lit(0.0)).otherwise(r).as("logit"),
       round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("prob"))
   }
 

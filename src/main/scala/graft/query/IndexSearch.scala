@@ -180,6 +180,55 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     docsMeta.join(matchingDocIds(queryTerms), Seq("docId"), "left_semi")
       .groupBy(col(facetCol))
       .agg(count(lit(1)).as("doc_count"))
+
+  /** Prefix query (OpenSearch `prefix`/leading-`*`-less `wildcard`):
+    * expansion comes from the index's termstats/ dictionary — ascending
+    * term order capped at `maxExpansions` (OpenSearch's
+    * `index.max_expansions` contract) — then scores as a `should` bool
+    * over the postings. The corpus is never tokenized; the dictionary
+    * scan is vocabulary-sized and the cap keeps the postings read
+    * bounded no matter how hot the prefix. */
+  def prefixTopK(prefix: String, k: Int, maxExpansions: Int = 50)
+      : DataFrame = {
+    val p = Analyzer.lowerLikeCatalyst(prefix)
+    val expanded = termStats.filter(col("term").startsWith(p))
+      .select("term").as[String].collect().sorted.take(maxExpansions).toSeq
+    if (expanded.isEmpty) Seq.empty[(Long, Double)].toDF("docId", "score")
+    else boolTopK(Nil, expanded, Nil, k)
+  }
+
+  /** Date-histogram aggregation over the match set (OpenSearch
+    * `date_histogram` beside a query): matching docIds semi-join a
+    * caller-supplied (docId, ts) metadata frame, truncate to the
+    * calendar `interval` (`date_trunc` semantics), count. The metadata
+    * side is the docs/ artifact or any docId-keyed dimension — the
+    * match set arrives as decoded postings, the corpus is never read. */
+  def dateHistogram(queryTerms: Seq[String], meta: DataFrame,
+      tsCol: String, interval: String): DataFrame =
+    meta.join(matchingDocIds(queryTerms), Seq("docId"), "left_semi")
+      .groupBy(date_trunc(interval, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+
+  /** Numeric range aggregation over the match set (OpenSearch `range`
+    * agg): half-open [lo, hi) buckets from `bounds` plus the two
+    * unbounded tails; same semi-join shape as [[dateHistogram]]. */
+  def rangeAgg(queryTerms: Seq[String], meta: DataFrame,
+      valueCol: String, bounds: Seq[Double]): DataFrame = {
+    require(bounds == bounds.sorted && bounds.distinct == bounds,
+      "bounds must be strictly ascending")
+    val v = col(valueCol)
+    val labels = bounds.zip(bounds.drop(1).map(_.toString) :+ "inf")
+      .map { case (lo, hi) => s"[$lo,$hi)" }
+    // ascending fold leaves the highest matching bound outermost, so the
+    // bucket is the greatest lower bound ≤ v
+    val bucket = bounds.zip(labels).foldLeft(
+      lit(s"(-inf,${bounds.head})")) { case (acc, (b, lab)) =>
+        when(v >= b, lit(lab)).otherwise(acc)
+    }
+    meta.join(matchingDocIds(queryTerms), Seq("docId"), "left_semi")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+  }
 }
 
 object IndexSearch {

@@ -161,4 +161,59 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(gen.facets(Seq("w00003"), "lang")
       .as[(String, Long)].collect().toMap == bruteFacets)
   }
+
+  test("prefixTopK ≡ brute bool over the sorted capped expansion") {
+    for ((prefix, max, k) <- Seq(("w0000", 50, 12), ("w001", 5, 10),
+        ("the", 50, 8), ("zzz", 50, 5))) {
+      val expansion = graft.analyze.Analyzer.tokens(docs, "docId", "text")
+        .select("term").distinct().as[String].collect()
+        .filter(_.startsWith(prefix)).sorted.take(max).toSeq
+      val brute =
+        if (expansion.isEmpty) Nil
+        else rows(Search.boolTopK(docs, "docId", "text",
+          Nil, expansion, Nil, k))
+      val served = rows(search.prefixTopK(prefix, k, maxExpansions = max))
+      assert(served == brute, s"prefix($prefix, max=$max) diverged")
+    }
+    // empty expansion keeps the (docId, score) schema contract
+    assert(search.prefixTopK("zzz", 5).columns.toSeq ==
+      Seq("docId", "score"))
+  }
+
+  test("dateHistogram ≡ manual week-bucket counts over the match set") {
+    val meta = docs.select(col("docId"),
+      expr("timestampadd(DAY, CAST(docId % 90 AS INT), " +
+        "TIMESTAMP '2026-01-01 00:00:00')").as("ts"))
+    val terms = Seq("w00002", "w00005")
+    val matched = search.matchingDocIds(terms)
+    val manual = meta.join(matched, Seq("docId"), "left_semi")
+      .groupBy(date_trunc("week", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val served = search.dateHistogram(terms, meta, "ts", "week")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(served == manual)
+    assert(served.values.sum == matched.count())
+  }
+
+  test("rangeAgg: half-open buckets, unbounded tails, full coverage") {
+    val meta = docs.select(col("docId"),
+      (col("docId") % 100).cast("double").as("v"))
+    val out = search.rangeAgg(Seq("the"), meta, "v",
+      bounds = Seq(10.0, 50.0, 90.0))
+      .as[(String, Long)].collect().toMap
+    val matched = search.matchingDocIds(Seq("the"))
+    val vals = meta.join(matched, Seq("docId"), "left_semi")
+      .select("v").as[Double].collect()
+    assert(out.getOrElse("(-inf,10.0)", 0L) == vals.count(_ < 10.0))
+    assert(out.getOrElse("[10.0,50.0)", 0L) ==
+      vals.count(v => v >= 10.0 && v < 50.0))
+    assert(out.getOrElse("[50.0,90.0)", 0L) ==
+      vals.count(v => v >= 50.0 && v < 90.0))
+    assert(out.getOrElse("[90.0,inf)", 0L) == vals.count(_ >= 90.0))
+    assert(out.values.sum == vals.length)
+    assertThrows[IllegalArgumentException] {
+      search.rangeAgg(Seq("the"), meta, "v", Seq(5.0, 5.0))
+    }
+  }
 }
