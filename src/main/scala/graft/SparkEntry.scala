@@ -2898,7 +2898,40 @@ object SparkEntry {
          |            WHEN v >= 10.0 THEN '[10.0,50.0)'
          |            ELSE '(-inf,10.0)' END AS bucket,
          |       count(*) AS doc_count
-         |FROM v GROUP BY 1""".stripMargin))
+         |FROM v GROUP BY 1""".stripMargin)),
+
+    ("q_delete_topk", (s: SparkSession, dir: String) => {
+      // delete-by-query (OpenSearch _delete_by_query): tombstone every
+      // doc matching 'slow', reopen, query. Lucene visibility semantics
+      // make the oracle exact: deleted docs leave RESULTS immediately but
+      // still count in N/avgdl/df until compaction — i.e. the post-delete
+      // ranking is bit-identical to a bool query with mustNot='slow',
+      // which is what the oracle replays. A fresh index is built per run
+      // (deletion mutates it; the shared gate index must stay pristine).
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft-delidx").toString
+      val pages = docs(s, dir).select(
+          format_string("d%09d", col("doc_id")).as("url"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("warc_ts"),
+          encode(concat(lit("<html><body><p>"), col("text"),
+            lit("</p></body></html>")), "UTF-8").as("html"),
+          col("text"), col("lang"))
+        .as[graft.corpus.Page]
+      graft.index.IncrementalIndex.append(s, d, pages,
+        graft.index.IndexParams(buckets = 8, shardSize = 64,
+          blockSize = 32, idBuckets = 1), "delete-gate")
+      new graft.query.IndexSearch(s, d).deleteByQuery(Seq("slow"))
+      val served = new graft.query.IndexSearch(s, d) // fresh tombstone view
+        .boolTopK(Nil, Seq("hash", "spark"), Nil, 15)
+      val m = graft.index.IncrementalIndex.genDirs(s, d)
+        .map { case (_, g) => s.read.parquet(s"$g/docs") }
+        .reduce(_.unionByName(_))
+        .select(col("docId"),
+          expr("CAST(substring(url, 2) AS BIGINT)").as("doc_id"))
+      served.join(m, "docId").select(col("doc_id"), col("score"))
+        .orderBy(desc("score"), col("doc_id"))
+    }, Some(boolSql(must = Nil, should = Seq("hash", "spark"),
+      mustNot = Seq("slow"), k = 15)))
   )
 
   // ---------------------------------------------------------- helpers

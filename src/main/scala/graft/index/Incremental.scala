@@ -111,6 +111,89 @@ object IncrementalIndex {
     }
   }
 
+  /** First docId the NEXT generation may assign. Equal to [[totalDocs]]
+    * until a deletion-applying compaction leaves holes in the docId
+    * space — from then on a sum of live counts UNDERCOUNTS and re-using
+    * it as an offset would collide new docIds with surviving ones. Each
+    * generation's ceiling is `idOffset + n` from its committed postings
+    * manifest (atomic with the generation itself — no crash window), or
+    * the `idceiling.json` a compaction target records before building
+    * (its manifest idOffset is meaningless: compaction preserves the
+    * folded generations' docIds instead of assigning). */
+  def idCeiling(spark: SparkSession, indexDir: String): Long = {
+    val root = new Path(indexDir)
+    if (!fs(spark, indexDir).exists(root)) return 0L
+    genDirs(spark, indexDir).map { case (_, d) =>
+      IndexIO.readString(s"$d/idceiling.json").map(_.trim.toLong)
+        .getOrElse {
+          if (d == indexDir &&
+            IndexIO.readString(s"$indexDir/globals.json").isEmpty) 0L
+          else Manifest.read(d, "postings")
+            .flatMap(_.params.get("idOffset")).map(_.toLong).getOrElse(0L) +
+            Globals.read(d).n
+        }
+    }.foldLeft(0L)(math.max)
+  }
+
+  // ------------------------------------------------------------------
+  // Deletions — Lucene-style tombstones. A delete batch is a parquet
+  // directory of docIds under indexDir/deletes/; readers exclude
+  // tombstoned docs from RESULTS while corpus stats (N, avgdl, df) keep
+  // counting them — exactly OpenSearch/Lucene visibility semantics, where
+  // deleted docs affect scores until segments merge. A compaction applies
+  // deletions PHYSICALLY (rows leave the docs table, stats shrink) and
+  // drops the consumed tombstones.
+
+  private val DelRe = "^del-(\\d+)$".r
+
+  /** Tombstone a batch of docIds: committed atomically by directory
+    * rename, numbered after the existing batches. `ids` must be a single
+    * BIGINT `docId` column (or castable). */
+  def deleteDocs(spark: SparkSession, indexDir: String,
+      ids: org.apache.spark.sql.DataFrame): Unit = {
+    val f = fs(spark, indexDir)
+    val delRoot = new Path(s"$indexDir/deletes")
+    f.mkdirs(delRoot)
+    val next = f.listStatus(delRoot).toSeq.collect {
+      case st if st.isDirectory => st.getPath.getName match {
+        case DelRe(k) => Some(k.toInt)
+        case _ => None
+      }
+    }.flatten.foldLeft(-1)(math.max) + 1
+    val tmp = new Path(delRoot, s"_tmp-del-$next")
+    ids.select(ids.columns.head).toDF("docId")
+      .select(org.apache.spark.sql.functions.col("docId").cast("long"))
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!f.rename(tmp, new Path(delRoot, s"del-$next")))
+      throw new java.io.IOException(
+        s"tombstone commit rename failed under $delRoot")
+  }
+
+  /** Names of committed tombstone batches, sorted. */
+  def deleteBatches(spark: SparkSession, indexDir: String): Seq[String] = {
+    val delRoot = new Path(s"$indexDir/deletes")
+    val f = fs(spark, indexDir)
+    if (!f.exists(delRoot)) Seq.empty
+    else f.listStatus(delRoot).toSeq.collect {
+      case st if st.isDirectory => st.getPath.getName match {
+        case DelRe(_) => Some(st.getPath.getName)
+        case _ => None
+      }
+    }.flatten.sortBy { case DelRe(k) => k.toInt }
+  }
+
+  /** Union of tombstoned docIds across the given batches (default: all
+    * committed batches); None when there are none. */
+  def deletedIds(spark: SparkSession, indexDir: String,
+      batches: Seq[String] = null): Option[org.apache.spark.sql.DataFrame] = {
+    val bs = Option(batches)
+      .getOrElse(deleteBatches(spark, indexDir))
+    if (bs.isEmpty) None
+    else Some(bs.map(b => spark.read.parquet(s"$indexDir/deletes/$b"))
+      .reduce(_.unionByName(_)).distinct())
+  }
+
   /** Append one batch of pages as the next generation. Returns the
     * generation number. Founding `params` (buckets/shardSize/blockSize/
     * idBuckets/codec) are VERIFIED against the committed generations'
@@ -159,8 +242,10 @@ object IncrementalIndex {
       .filterNot(k => supersededBy(s"$indexDir/gen-$k").nonEmpty)
       .sorted.headOption
       .getOrElse(if (existing.isEmpty) 0 else existing.max + 1)
-    val offset = genDirs(spark, indexDir)
-      .collect { case (k, d) if d != indexDir => Globals.read(d).n }.sum
+    // ceiling, not sum-of-live-counts: a deletion-applying compaction
+    // leaves docId holes, and an offset below the surviving max id would
+    // collide ([[idCeiling]])
+    val offset = idCeiling(spark, indexDir)
     new IndexBuilder(spark, s"$indexDir/gen-$gen",
       params.copy(idOffset = offset))
       .build(pages, inputDesc)
@@ -215,6 +300,17 @@ object IncrementalIndex {
         val gens = genDirs(spark, indexDir)
         if (gens.size <= 1 || gens.exists(_._2 == indexDir)) return None
         val t = onDisk.max + 1
+        // the target's manifest idOffset is meaningless (docIds are
+        // preserved, not assigned) — record the folded ceiling FIRST so
+        // post-compaction appends can never collide into docId holes
+        IndexIO.writeString(s"$indexDir/gen-$t/idceiling.json",
+          idCeiling(spark, indexDir).toString)
+        // snapshot the tombstone batches this compaction will CONSUME —
+        // resume must apply the same set, and deletes landing after this
+        // instant must survive the compaction (they stay read-side until
+        // the next one)
+        IndexIO.writeString(s"$indexDir/gen-$t/consumed_deletes.json",
+          deleteBatches(spark, indexDir).mkString("[", ",", "]"))
         IndexIO.writeString(s"$indexDir/gen-$t/supersedes.json",
           gens.map(_._1).mkString("[", ",", "]"))
         t
@@ -222,14 +318,29 @@ object IncrementalIndex {
     val genDir = s"$indexDir/gen-$target"
     val superseded = supersededBy(genDir)
     val srcDirs = superseded.map(k => s"$indexDir/gen-$k")
+    val consumed = IndexIO.readString(s"$genDir/consumed_deletes.json")
+      .map(_.trim.stripPrefix("[").stripSuffix("]").split(",")
+        .toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
     val b = new IndexBuilder(spark, genDir, params)
     def committed(stage: String): Boolean =
       Manifest.read(genDir, stage).exists(_.status == "committed")
     if (!committed("docs")) {
-      val docs = srcDirs.map(d => spark.read.parquet(s"$d/docs"))
+      val merged = srcDirs.map(d => spark.read.parquet(s"$d/docs"))
         .reduce(_.unionByName(_))
+      // apply consumed tombstones PHYSICALLY (docIds keep their values —
+      // holes are fine, shards are ranges); stats shrink to survivors,
+      // matching Lucene merge semantics
+      val docs = deletedIds(spark, indexDir, consumed) match {
+        case Some(del) => merged.join(
+          org.apache.spark.sql.functions.broadcast(del),
+          Seq("docId"), "left_anti")
+        case None => merged
+      }
       docs.write.mode(SaveMode.Overwrite).parquet(b.docsPath)
-      val n = srcDirs.map(d => Globals.read(d).n).sum
+      val n =
+        if (consumed.isEmpty) srcDirs.map(d => Globals.read(d).n).sum
+        else spark.read.parquet(b.docsPath).count()
       // carry the folded generations' SOURCE descriptors forward: source
       // cursors (e.g. consumed Iceberg snapshot ids) are derived from
       // committed generations' docs manifests and must survive compaction
@@ -241,9 +352,14 @@ object IncrementalIndex {
     if (!committed("tf")) b.stageTf()
     if (!committed("stats")) b.stageStats()
     if (!committed("postings")) b.stagePostings()
-    // the commit flipped visibility; superseded dirs are dead weight now
+    // the commit flipped visibility; superseded dirs and consumed
+    // tombstones are dead weight now
     srcDirs.foreach { d =>
       try { f.delete(new Path(d), true); () } catch { case _: Exception => () }
+    }
+    consumed.foreach { batch =>
+      try { f.delete(new Path(s"$indexDir/deletes/$batch"), true); () }
+      catch { case _: Exception => () }
     }
     Some(target)
   }
@@ -256,11 +372,22 @@ object IncrementalIndex {
   def compact(spark: SparkSession, indexDir: String, outDir: String,
       params: IndexParams): Unit = {
     val gens = genDirs(spark, indexDir)
-    val docs = gens.map { case (_, d) => spark.read.parquet(s"$d/docs") }
+    val merged = gens.map { case (_, d) => spark.read.parquet(s"$d/docs") }
       .reduce(_.unionByName(_))
+    // major compaction to a new location applies ALL tombstones; outDir
+    // starts clean (no deletes/ carried over)
+    val del = deletedIds(spark, indexDir)
+    val docs = del match {
+      case Some(ids) => merged.join(
+        org.apache.spark.sql.functions.broadcast(ids), Seq("docId"),
+        "left_anti")
+      case None => merged
+    }
     val b = new IndexBuilder(spark, outDir, params)
     docs.write.mode(SaveMode.Overwrite).parquet(b.docsPath)
-    val n = gens.map { case (_, d) => Globals.read(d).n }.sum
+    val n =
+      if (del.isEmpty) gens.map { case (_, d) => Globals.read(d).n }.sum
+      else spark.read.parquet(b.docsPath).count()
     b.commitDocs(n, s"compact(${gens.size} gens of $indexDir)")
     b.stageTf()
     b.stageStats()

@@ -37,7 +37,7 @@ final case class SegmentRead(
   * (/root/reference/data-prepper-plugins/opensearch/... sink +
   * source/opensearch/OpenSearchSource.java) with an in-engine executor.
   */
-final class IndexReader(spark: SparkSession, indexDir: String) {
+final class IndexReader(spark: SparkSession, val indexDir: String) {
   import spark.implicits._
 
   /** (gen, dir) pairs — (0, indexDir) for a standalone index. Visible to
@@ -75,6 +75,30 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
     bs.head
   }
 
+  /** Tombstoned docIds ([[IncrementalIndex.deleteDocs]]), sorted for
+    * binary search in the shard kernels; null when none. Loaded once per
+    * reader (a reader opened before a delete keeps its snapshot — same
+    * point-in-time visibility a Lucene IndexReader has). Tombstones are
+    * churn between compactions, bounded like Lucene's .liv bitmaps — the
+    * cap fails loudly with the fix (compact) rather than letting an
+    * unbounded delete backlog grow into a driver/broadcast hazard. */
+  private[query] val deletedSorted: Array[Long] = {
+    IncrementalIndex.deletedIds(spark, indexDir) match {
+      case None => null
+      case Some(df) =>
+        val arr = df.as[Long].collect()
+        require(arr.length <= IndexReader.MaxResidentDeletes,
+          s"${arr.length} tombstoned docIds exceed the resident cap " +
+            s"(${IndexReader.MaxResidentDeletes}) — run " +
+            "IncrementalIndex.maybeCompact/compactGenerations to apply " +
+            "deletions physically before opening a reader")
+        if (arr.isEmpty) null
+        else { java.util.Arrays.sort(arr); arr }
+    }
+  }
+  private[query] val deletedBc =
+    spark.sparkContext.broadcast(deletedSorted)
+
   /** Segment rows for the query terms, bucket-pruned, across all
     * generations. */
   def segmentsFor(terms: Seq[String]): Dataset[SegmentRead] = {
@@ -106,9 +130,11 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
     // hoist to locals: eta-expansion must capture primitives, not `this`
     val (n, avgdl, kk) = (globals.n, globals.avgdl, k)
     val dfByTerm = spark.sparkContext.broadcast(mergedDfMap(seg))
+    val del = deletedBc
     val perShard = seg.groupByKey(_.shard)
       .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
-        IndexReader.shardTopK(n, avgdl, kk, dfByTerm.value)(shard, rows))
+        IndexReader.shardTopK(n, avgdl, kk, dfByTerm.value,
+          del.value)(shard, rows))
     perShard.toDF("docId", "score")
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
@@ -123,9 +149,11 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
     val seg = segmentsFor(terms)
     val (n, avgdl, kk) = (globals.n, globals.avgdl, k)
     val dfByTerm = spark.sparkContext.broadcast(mergedDfMap(seg))
+    val del = deletedBc
     val perShard = seg.groupByKey(_.shard)
       .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
-        IndexReader.shardTopK(n, avgdl, kk, dfByTerm.value)(shard, rows))
+        IndexReader.shardTopK(n, avgdl, kk, dfByTerm.value,
+          del.value)(shard, rows))
     perShard.select(new TopKAggregator(k).toColumn).head()
   }
 
@@ -150,9 +178,10 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
     val idfSum = phrase
       .map(t => Bm25.idf(globals.n, dfByTerm.getOrElse(t, 0L))).sum
     val (avgdl, kk, ph) = (globals.avgdl, k, phrase)
+    val del = deletedBc
     val perShard = seg.groupByKey(_.shard)
       .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
-        Phrase.shardTopK(avgdl, kk, ph, idfSum)(shard, rows))
+        Phrase.shardTopK(avgdl, kk, ph, idfSum, del.value)(shard, rows))
     perShard.toDF("docId", "score")
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
@@ -218,7 +247,7 @@ final class IndexReader(spark: SparkSession, indexDir: String) {
         new TermCursor(t, Bm25.idf(globals.n, df), blocks, globals.avgdl)
       }
     }.toArray
-    Wand.topK(cursors, k)
+    Wand.topK(cursors, k, deletedSorted)
   }
 
 }
@@ -244,6 +273,15 @@ object IndexReader {
     * 10^12-doc scale cannot take down the serving driver. */
   val DefaultMaxBytesPerTerm: Long = 64L << 20
 
+  /** Resident-tombstone cap: 4M docIds (32 MB sorted longs) — far above
+    * any sane between-compaction delete churn, far below broadcast
+    * hazard territory. */
+  val MaxResidentDeletes: Int = 1 << 22
+
+  /** Membership test against the sorted tombstone array (null = none). */
+  @inline def isDeleted(del: Array[Long], id: Long): Boolean =
+    del != null && java.util.Arrays.binarySearch(del, id) >= 0
+
   /** Merged document frequency: each generation baked its own df into its
     * rows, generations are disjoint doc sets, so the true df is the sum of
     * one df per generation present. */
@@ -262,9 +300,10 @@ object IndexReader {
     * closure captures only (n, avgdl, k, dfByTerm), never the reader
     * instance. `dfByTerm` carries the GLOBAL per-term df (a shard only
     * sees its own generations' rows). */
-  def shardTopK(n: Long, avgdl: Double, k: Int, dfByTerm: Map[String, Long])(
+  def shardTopK(n: Long, avgdl: Double, k: Int, dfByTerm: Map[String, Long],
+      deleted: Array[Long] = null)(
       shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] =
-    Wand.topK(buildCursors(rows, n, avgdl, dfByTerm), k).iterator
+    Wand.topK(buildCursors(rows, n, avgdl, dfByTerm), k, deleted).iterator
 
   private def buildCursors(rows: Iterator[SegmentRead], n: Long,
       avgdl: Double, dfByTerm: Map[String, Long]): Array[TermCursor] = {

@@ -102,10 +102,11 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     val (st, ms, ns, ex) =
       (scoreTerms.toArray, mustN.toSet, notN.toSet, excludeDocId)
     val (as, ad) = (afterScore, afterDocId)
+    val del = reader.deletedBc
     val perShard = seg.groupByKey(_.shard)
       .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
         IndexSearch.shardBoolTopK(n, avgdl, kk, dfByTerm.value,
-          st, ms, ns, ex, as, ad)(shard, rows))
+          st, ms, ns, ex, as, ad, del.value)(shard, rows))
     perShard.toDF("docId", "score")
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
@@ -168,9 +169,27 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     * bucket-pruned postings (no tf/dl decode; gap payloads only). */
   def matchingDocIds(queryTerms: Seq[String]): DataFrame = {
     val terms = norm(queryTerms).distinct.sorted
+    val del = reader.deletedBc
     reader.segmentsFor(terms)
-      .flatMap(r => PForDelta.decodeGaps(r.gaps, r.n, r.firstDocId))
+      .flatMap(r => PForDelta.decodeGaps(r.gaps, r.n, r.firstDocId)
+        .filter(id => !IndexReader.isDeleted(del.value, id)))
       .toDF("docId").distinct()
+  }
+
+  /** Delete-by-query (the OpenSearch `_delete_by_query` surface this
+    * engine's index replaces): tombstone every CURRENTLY-VISIBLE doc
+    * matching any query term ([[graft.index.IncrementalIndex.deleteDocs]]
+    * — Lucene visibility: results exclude them immediately, stats keep
+    * counting them until a compaction applies them physically). Returns
+    * the number of docs tombstoned. Readers opened BEFORE the delete keep
+    * their snapshot — open a new [[IndexSearch]]/[[IndexReader]] to see
+    * it. */
+  def deleteByQuery(queryTerms: Seq[String]): Long = {
+    val ids = matchingDocIds(queryTerms)
+    val n = ids.count()
+    if (n > 0)
+      graft.index.IncrementalIndex.deleteDocs(spark, reader.indexDir, ids)
+    n
   }
 
   /** Facet counts over the full match set (OpenSearch `terms` agg beside
@@ -248,7 +267,8 @@ object IndexSearch {
   def shardBoolTopK(n: Long, avgdl: Double, k: Int,
       dfByTerm: Map[String, Long], scoreTerms: Array[String],
       mustSet: Set[String], notSet: Set[String], excludeDocId: Long,
-      afterScore: Double = Double.NaN, afterDocId: Long = -1L)(
+      afterScore: Double = Double.NaN, afterDocId: Long = -1L,
+      deleted: Array[Long] = null)(
       shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
     val byTerm = rows.toArray.groupBy(_.term)
     if (byTerm.isEmpty || k <= 0) return Iterator.empty
@@ -300,7 +320,8 @@ object IndexSearch {
     while (x < size) {
       if (seen(x) && !banned(x) && mustCnt(x) == nMust) {
         val docId = lo + x
-        if (docId != excludeDocId) {
+        if (docId != excludeDocId &&
+            !IndexReader.isDeleted(deleted, docId)) {
           val rs = round4(score(x))
           // keyset cursor: only rows strictly after (afterScore, afterDocId)
           // in (score desc, docId asc) order compete — same predicate

@@ -136,7 +136,8 @@ object Phrase {
   /** Executor-side per-shard phrase top-k — top-level so the Spark closure
     * captures only scalars + the phrase. `idfSum` is computed driver-side
     * from the GLOBAL merged dfs (a shard only sees its own generations). */
-  def shardTopK(avgdl: Double, k: Int, phrase: Seq[String], idfSum: Double)(
+  def shardTopK(avgdl: Double, k: Int, phrase: Seq[String], idfSum: Double,
+      deleted: Array[Long] = null)(
       shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
     val byTerm = rows.toArray.groupBy(_.term)
     // a shard missing ANY slot term cannot match the phrase
@@ -162,7 +163,8 @@ object Phrase {
         j += 1
       }
       if (aligned) {
-        val ptf = phraseTf(cursors)
+        val ptf =
+          if (IndexReader.isDeleted(deleted, target)) 0 else phraseTf(cursors)
         if (ptf > 0)
           topk.offer(target,
             Bm25.score(idfSum, ptf.toDouble, cursors(0).dl.toDouble, avgdl))

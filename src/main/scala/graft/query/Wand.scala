@@ -112,8 +112,14 @@ final class TermCursor(val term: String, val idf: Double,
   */
 object Wand {
 
-  /** Top-k for one shard given its cursors (any order; re-sorted inside). */
-  def topK(cursors0: Array[TermCursor], k: Int): Array[Scored] = {
+  /** Top-k for one shard given its cursors (any order; re-sorted inside).
+    * `deleted` is the sorted tombstone array ([[graft.index
+    * .IncrementalIndex.deleteDocs]]): tombstoned docs are skipped at
+    * emission — they still shape idf/avgdl (Lucene visibility semantics)
+    * and block-max skipping stays sound because skipping can only ever
+    * DROP candidates. */
+  def topK(cursors0: Array[TermCursor], k: Int,
+      deleted: Array[Long] = null): Array[Scored] = {
     val cursors = cursors0.filter(!_.exhausted).sortBy(_.term)
     if (cursors.isEmpty || k <= 0) return Array.empty
     val topk = new TopKHeap(k)
@@ -180,15 +186,17 @@ object Wand {
         } else {
           // fully score pivot: contributions in ascending term order
           // (cursors array is term-sorted → iterate it, not `order`)
-          var s = 0.0
-          var j = 0
-          while (j < m) {
-            val c = cursors(j)
-            if (c.curDoc == pivot) s += c.score
-            j += 1
+          if (!IndexReader.isDeleted(deleted, pivot)) {
+            var s = 0.0
+            var j = 0
+            while (j < m) {
+              val c = cursors(j)
+              if (c.curDoc == pivot) s += c.score
+              j += 1
+            }
+            topk.offer(pivot, s)
           }
-          topk.offer(pivot, s)
-          j = 0
+          var j = 0
           while (j < m) {
             val c = cursors(j)
             if (c.curDoc == pivot) c.advance()

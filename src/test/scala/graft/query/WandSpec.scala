@@ -84,6 +84,52 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("WAND with tombstones ≡ naive scorer filtered, stats unchanged") {
+    var seed = 900L
+    for (_ <- 0 until 100) {
+      val rng = new SplitMix64(seed * 104729)
+      val nDocs = 40 + rng.nextInt(150)
+      val dl = Array.tabulate(nDocs)(_ => 20L + rng.nextInt(200))
+      val n = nDocs.toLong
+      val avgdl = dl.sum.toDouble / n.toDouble
+      val terms = (0 until 4).map(i => f"t$i%03d")
+      val postings = terms.map { t =>
+        t -> (0 until nDocs).flatMap { d =>
+          if (rng.nextDouble() < 0.4)
+            Some((d.toLong, 1L + rng.nextInt(9), dl(d)))
+          else None
+        }
+      }.toMap.filter(_._2.nonEmpty)
+      val qSorted = postings.keys.toSeq.sorted
+      val df = qSorted.map(t => t -> postings(t).size.toLong).toMap
+      val deleted = (0 until nDocs)
+        .filter(_ => rng.nextDouble() < 0.3).map(_.toLong).toArray
+      val delSet = deleted.toSet
+      // naive: idf/avgdl still computed over ALL docs (Lucene
+      // visibility), deleted docs just never emitted
+      val naive = (0 until nDocs).flatMap { d =>
+        var s = 0.0
+        var any = false
+        qSorted.foreach { t =>
+          postings(t).find(_._1 == d.toLong).foreach { case (_, tf, dlv) =>
+            s += Bm25.score(Bm25.idf(n, df(t)), tf.toDouble, dlv.toDouble, avgdl)
+            any = true
+          }
+        }
+        if (any && !delSet(d.toLong)) Some(Scored(d.toLong, s)) else None
+      }.sortBy(x => (-x.score, x.docId)).take(10)
+      val cursors = qSorted.map { t =>
+        buildCursor(t, postings(t), Bm25.idf(n, df(t)), avgdl,
+          1 + rng.nextInt(12))
+      }.toArray
+      val wand = Wand.topK(cursors, 10, deleted)
+      assert(wand.map(_.docId).toSeq == naive.map(_.docId),
+        s"tombstone rank mismatch seed=$seed")
+      wand.zip(naive).foreach { case (w, o) => assert(w.score == o.score) }
+      seed += 1
+    }
+  }
+
   test("ties broken by ascending docId") {
     // identical docs → identical scores; top-k must prefer smaller docIds
     val n = 50L
