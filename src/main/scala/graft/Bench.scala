@@ -47,7 +47,9 @@ object Bench {
     "q_kinesis_deagg", "q_snippets", "q_bool_topk", "q_url_normalize",
     // round-5 operators
     "q_ddb_cdc", "q_mongo_cdc", "q_sns_sink", "q_kafka_encode",
-    "q_http_sink", "q_token_diversity", "q_chunk_passages", "q_sessionize")
+    "q_http_sink", "q_token_diversity", "q_chunk_passages", "q_sessionize",
+    // late-r5: crawl-format decode, crawl curation, hybrid retrieval
+    "q_warc_decode", "q_robots_filter", "q_hybrid_rrf")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.

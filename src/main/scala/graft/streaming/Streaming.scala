@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -109,6 +109,65 @@ object Streaming {
       val rows = graft.sources.Iceberg.readAdded(spark, tableDir, sid)
       graft.index.IncrementalIndex.append(spark, indexDir,
         rows.as[graft.corpus.Page], params, s"iceberg-snap-$sid")
+      graft.index.IncrementalIndex.maybeCompact(spark, indexDir, params,
+        maxGenerations)
+    }
+    todo
+  }
+
+  /** WARC crawl archives → [[graft.corpus.Page]] rows: response records
+    * with an HTTP 200 html payload become pages (url = WARC-Target-URI,
+    * warc_ts = WARC-Date, html = the HTTP body); `text` is the
+    * deterministic extraction the index build re-verifies byte-identical,
+    * `lang` the engine's lang-id heuristic. Everything is projections +
+    * one explode — one task per archive file. */
+  def pagesFromWarc(spark: SparkSession,
+      pathGlob: String): Dataset[graft.corpus.Page] = {
+    import spark.implicits._
+    val extractUdf = udf((html: Array[Byte]) =>
+      graft.extract.HtmlText.extract(html))
+    val recs = graft.sources.Warc.read(spark, pathGlob)
+      .where(col("warc_type") === "response" && col("http_status") === 200 &&
+        col("err").isNull &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("target_uri").as("url"),
+        to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX")
+          .as("warc_ts"),
+        col("payload").as("html"))
+      .withColumn("text", extractUdf(col("html")))
+    graft.ops.TextAnalysis.langId(recs, "text", out = "lang")
+      .select("url", "warc_ts", "html", "text", "lang")
+      .as[graft.corpus.Page]
+  }
+
+  /** Consume-then-stop ingest from a DIRECTORY OF WARC ARCHIVES — the
+    * raw-crawl analog of [[indexAppendFromIceberg]]: each unconsumed
+    * archive file becomes one index generation, in file-name order. The
+    * cursor is derived from committed generations' docs manifests
+    * (`warc-file=<name>` tokens), so a kill between generation commit and
+    * any cursor write cannot double-ingest, and in-place compaction
+    * carries the tokens forward. Returns the file names ingested this
+    * call (empty = caught up). */
+  def indexAppendFromWarc(spark: SparkSession, warcDir: String,
+      indexDir: String, params: graft.index.IndexParams,
+      maxGenerations: Int = 8): Seq[String] = {
+    val FileTok = "warc-file=([^;\\s]+)".r
+    val consumed: Set[String] = graft.index.IncrementalIndex
+      .genDirs(spark, indexDir)
+      .filter(_._2 != indexDir)
+      .flatMap { case (_, d) =>
+        graft.index.Manifest.read(d, "docs").toSeq.flatMap(_.inputs)
+          .flatMap(in => FileTok.findAllMatchIn(in).map(_.group(1)))
+      }.toSet
+    val root = new org.apache.hadoop.fs.Path(warcDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val todo = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && (st.getPath.getName.endsWith(".warc") ||
+        st.getPath.getName.endsWith(".warc.gz")))
+      .map(_.getPath.getName).filterNot(consumed).sorted
+    todo.foreach { name =>
+      graft.index.IncrementalIndex.append(spark, indexDir,
+        pagesFromWarc(spark, s"$warcDir/$name"), params, s"warc-file=$name")
       graft.index.IncrementalIndex.maybeCompact(spark, indexDir, params,
         maxGenerations)
     }
