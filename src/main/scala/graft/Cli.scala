@@ -20,16 +20,22 @@ import graft.query.IndexReader
   * spark-submit --class graft.Cli <jar> search --index /data/index --k 10 \
   *   [--must a,b --must-not c] [--fuzzy serch --max-dist 1] \
   *   [--mlt <docId> --mlt-terms 8] [--facets lang] [--suggest serch] \
+  *   [--prefix w00 | --wildcard w0*1 --max-expansions 50] \
   *   [--after-score 7.1234 --after-id 42]  # keyset page N+1 \
   *   free terms
   * spark-submit --class graft.Cli <jar> ingest-iceberg --iceberg /data/tbl --index /data/index
+  * spark-submit --class graft.Cli <jar> ingest-warc --warc-dir /data/crawl --index /data/index
+  * spark-submit --class graft.Cli <jar> delete  --index /data/index stale terms
   * spark-submit --class graft.Cli <jar> compact --index /data/index
   * }}}
   *
   * `search` is the index-served OpenSearch-query-shape surface
   * ([[graft.query.IndexSearch]]): bool (must/should/must_not), fuzzy,
-  * more-like-this, facet counts, and "did you mean" suggestions — all
-  * answered from postings/termstats, never a corpus scan.
+  * more-like-this, facet counts, prefix/wildcard expansion, and "did you
+  * mean" suggestions — all answered from postings/termstats, never a
+  * corpus scan. `delete` is `_delete_by_query` (tombstones; `compact`
+  * applies them physically), `ingest-warc` consumes raw crawl archives
+  * file-by-file into generations.
   *
   * Cluster sizing lives entirely in spark-submit flags (`--num-executors`
   * etc.); nothing here depends on parallelism — docId assignment, build
@@ -140,6 +146,12 @@ object Cli {
             if (qs.isEmpty) fail("--facets needs query terms")
             srch.facets(qs, flags("facets"))
           }
+          else if (flags.contains("prefix"))
+            srch.prefixTopK(flags("prefix"), k,
+              flags.getOrElse("max-expansions", "50").toInt)
+          else if (flags.contains("wildcard"))
+            srch.wildcardTopK(flags("wildcard"), k,
+              flags.getOrElse("max-expansions", "50").toInt)
           else if (flags.contains("after-score")) {
             val qs = if (positional.nonEmpty) positional else terms("should")
             if (qs.isEmpty) fail("search --after-score needs query terms")
@@ -164,6 +176,24 @@ object Cli {
           maxGenerations = flags.getOrElse("max-generations", "8").toInt)
         println(s"[graft] ingested snapshots: ${
           if (ingested.isEmpty) "none (caught up)" else ingested.mkString(", ")}")
+
+      case "ingest-warc" =>
+        // consume-then-stop from a directory of crawl archives: each
+        // unconsumed .warc/.warc.gz file becomes one index generation
+        val dir = flags.getOrElse("warc-dir", fail("--warc-dir <dir> required"))
+        val ingested = graft.streaming.Streaming.indexAppendFromWarc(
+          spark, dir, index, params(flags),
+          maxGenerations = flags.getOrElse("max-generations", "8").toInt)
+        println(s"[graft] ingested archives: ${
+          if (ingested.isEmpty) "none (caught up)" else ingested.mkString(", ")}")
+
+      case "delete" =>
+        // _delete_by_query: tombstone every doc matching the terms;
+        // `compact` applies tombstones physically
+        if (positional.isEmpty) fail("delete needs query terms")
+        val n = new graft.query.IndexSearch(spark, index)
+          .deleteByQuery(positional.map(graft.analyze.Analyzer.lowerLikeCatalyst))
+        println(s"[graft] tombstoned $n docs (run `compact` to apply physically)")
 
       case "compact" =>
         val gen = IncrementalIndex.compactGenerations(spark, index, params(flags))

@@ -2860,6 +2860,14 @@ object SparkEntry {
         .transform(indexIdsToDocIds(s, dir))
     }, Some(prefixSql("w001", maxExpansions = 25, k = 12))),
 
+    ("q_wildcard_topk_indexed", (s: SparkSession, dir: String) => {
+      // index-served wildcard query: anchored glob over the termstats
+      // dictionary (LIKE with * → %), sorted capped expansion, scored as
+      // a should-bool — oracle re-derives the expansion and BM25 chain.
+      docIndexSearch(s, dir).wildcardTopK("w0*1", k = 10, maxExpansions = 25)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(likeTopKSql("w0%1", maxExpansions = 25, k = 10))),
+
     ("q_date_histogram_indexed", (s: SparkSession, dir: String) => {
       // OpenSearch date_histogram beside a query, served from the index:
       // match set = decoded postings, buckets = ISO week truncation of a
@@ -3018,14 +3026,17 @@ object SparkEntry {
        |SELECT doc_id, round(sum(s), 4) AS score FROM scored GROUP BY 1
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
-  /** DuckDB replay of the prefix-expanded BM25 top-k: the expansion CTE
-    * is the sorted, capped LIKE slice of the corpus dictionary (the
-    * engine takes the same slice from the index's termstats/), feeding
-    * the standard BM25 CTE chain. */
+  /** DuckDB replay of a dictionary-expanded BM25 top-k (prefix and
+    * wildcard queries): the expansion CTE is the sorted, capped LIKE
+    * slice of the corpus dictionary (the engine takes the same slice
+    * from the index's termstats/), feeding the standard BM25 CTE chain. */
   private def prefixSql(prefix: String, maxExpansions: Int, k: Int): String =
+    likeTopKSql(s"$prefix%", maxExpansions, k)
+
+  private def likeTopKSql(like: String, maxExpansions: Int, k: Int): String =
     s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
        | exp AS (SELECT term FROM (SELECT DISTINCT term FROM toks
-       |   WHERE term LIKE '$prefix%') ORDER BY term LIMIT $maxExpansions),
+       |   WHERE term LIKE '$like') ORDER BY term LIMIT $maxExpansions),
        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
        | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks

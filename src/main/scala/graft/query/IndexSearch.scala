@@ -216,6 +216,22 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     else boolTopK(Nil, expanded, Nil, k)
   }
 
+  /** Wildcard query (OpenSearch `wildcard`, `*` = any run): full-term
+    * glob against the termstats/ dictionary via LIKE (anchored both
+    * ends; literal `%`/`_` escaped), ascending term order capped at
+    * `maxExpansions`, scored as a should-bool — the same
+    * dictionary-then-postings shape as [[prefixTopK]]. */
+  def wildcardTopK(pattern: String, k: Int, maxExpansions: Int = 50)
+      : DataFrame = {
+    val p = Analyzer.lowerLikeCatalyst(pattern)
+    val like = p.replace("\\", "\\\\").replace("%", "\\%")
+      .replace("_", "\\_").replace("*", "%")
+    val expanded = termStats.filter(col("term").like(like))
+      .select("term").as[String].collect().sorted.take(maxExpansions).toSeq
+    if (expanded.isEmpty) Seq.empty[(Long, Double)].toDF("docId", "score")
+    else boolTopK(Nil, expanded, Nil, k)
+  }
+
   /** Date-histogram aggregation over the match set (OpenSearch
     * `date_histogram` beside a query): matching docIds semi-join a
     * caller-supplied (docId, ts) metadata frame, truncate to the

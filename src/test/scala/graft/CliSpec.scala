@@ -54,6 +54,37 @@ class CliSpec extends AnyFunSuite {
     Cli.main(Array("search", "--index", s"$work/idx", "--k", "3",
       "--after-score", top(2).getAs[Double]("score").toString,
       "--after-id", top(2).getAs[Long]("docId").toString, "w00001", "the"))
+    Cli.main(Array("search", "--index", s"$work/idx", "--k", "3",
+      "--prefix", "w0000", "--max-expansions", "10"))
+    Cli.main(Array("search", "--index", s"$work/idx", "--k", "3",
+      "--wildcard", "w0*1", "--max-expansions", "10"))
+    assert(!spark.sparkContext.isStopped)
+  }
+
+  test("ingest-warc → delete → compact through the CLI surface") {
+    val work = TestSpark.tmpDir("cli-warc")
+    val pages = graft.corpus.SyntheticCorpus
+      .generate(spark, 60, seed = 17L).collect()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$work/crawl"))
+    pages.grouped(30).zipWithIndex.foreach { case (grp, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$work/crawl", f"seg-$i%05d.warc.gz"),
+        graft.sources.Warc.encodeFile(grp.map(p =>
+          graft.sources.Warc.responseRecord(p.url,
+            "2026-01-01T00:00:00Z", p.html)).toSeq, gzipMembers = true))
+    }
+    Cli.main(Array("ingest-warc", "--warc-dir", s"$work/crawl",
+      "--index", s"$work/idx", "--buckets", "4", "--shard-size", "64"))
+    assert(graft.index.IncrementalIndex
+      .totalDocs(spark, s"$work/idx") == 60)
+    // tombstone + query + physical apply
+    Cli.main(Array("delete", "--index", s"$work/idx", "w00300"))
+    Cli.main(Array("search", "--index", s"$work/idx", "--k", "3", "the"))
+    Cli.main(Array("compact", "--index", s"$work/idx",
+      "--buckets", "4", "--shard-size", "64"))
+    assert(graft.index.IncrementalIndex
+      .deleteBatches(spark, s"$work/idx").isEmpty)
     assert(!spark.sparkContext.isStopped)
   }
 

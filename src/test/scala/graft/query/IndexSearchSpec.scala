@@ -180,6 +180,25 @@ class IndexSearchSpec extends AnyFunSuite {
       Seq("docId", "score"))
   }
 
+  test("wildcardTopK ≡ brute bool over the anchored-glob expansion") {
+    for ((pat, max, k) <- Seq(("w0*1", 25, 10), ("*002", 10, 8),
+        ("w00*0*", 15, 10), ("zz*q", 50, 5))) {
+      val re = ("^" + pat.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
+      val expansion = graft.analyze.Analyzer.tokens(docs, "docId", "text")
+        .select("term").distinct().as[String].collect()
+        .filter(t => re.findFirstIn(t).isDefined).sorted.take(max).toSeq
+      val brute =
+        if (expansion.isEmpty) Nil
+        else rows(Search.boolTopK(docs, "docId", "text",
+          Nil, expansion, Nil, k))
+      val served = rows(search.wildcardTopK(pat, k, maxExpansions = max))
+      assert(served == brute, s"wildcard($pat, max=$max) diverged")
+    }
+    assert(search.wildcardTopK("zz*q", 5).columns.toSeq ==
+      Seq("docId", "score"))
+  }
+
   test("dateHistogram ≡ manual week-bucket counts over the match set") {
     val meta = docs.select(col("docId"),
       expr("timestampadd(DAY, CAST(docId % 90 AS INT), " +
