@@ -2868,6 +2868,59 @@ object SparkEntry {
         .transform(indexIdsToDocIds(s, dir))
     }, Some(likeTopKSql("w0%1", maxExpansions = 25, k = 10))),
 
+    ("q_explain_score", (s: SparkSession, dir: String) => {
+      // OpenSearch _explain: per-term BM25 breakdown for one (doc, query),
+      // summing to the doc's ranking score; oracle re-derives tf/df/dl/
+      // idf/contribution from the corpus with the identical association.
+      docIndexSearch(s, dir)
+        .explainScore(indexIdOf(s, dir, 42L), Seq("the", "spark", "hash"))
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         | tf AS (SELECT term, count(*) AS tf FROM toks
+         |        WHERE doc_id = 42 AND term IN ('hash', 'spark', 'the')
+         |        GROUP BY 1),
+         | df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |        WHERE term IN ('hash', 'spark', 'the') GROUP BY 1),
+         | d AS (SELECT dl FROM dl WHERE doc_id = 42)
+         |SELECT tf.term, tf.tf, df.df,
+         | round(ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE))
+         |   + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)), 6) AS idf,
+         | round(ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE))
+         |   + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+         |  * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+         |   + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+         |     / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))), 6)
+         |   AS contribution
+         |FROM tf JOIN df USING (term) CROSS JOIN g CROSS JOIN d""".stripMargin)),
+
+    ("q_index_stats", (s: SparkSession, dir: String) => {
+      // OpenSearch _stats: per-generation docs / distinct terms / total
+      // tokens, from globals.json + the termstats artifact; the gate
+      // index has one generation, so the oracle is closed-form corpus
+      // aggregates.
+      docIndexSearch(s, dir).stats
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+         |SELECT 0 AS gen,
+         | (SELECT count(*) FROM documents) AS docs,
+         | count(DISTINCT term) AS terms,
+         | count(*) AS sum_dl
+         |FROM toks""".stripMargin)),
+
+    ("q_term_vectors", (s: SparkSession, dir: String) => {
+      // OpenSearch _termvectors: one row per term of one doc — (term,
+      // tf, df) from the tf artifact (docId pushed) + termstats.
+      docIndexSearch(s, dir).termVectors(indexIdOf(s, dir, 42L))
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         | tf AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 42
+         |        GROUP BY 1),
+         | df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |        GROUP BY 1)
+         |SELECT term, tf, df FROM tf JOIN df USING (term)""".stripMargin)),
+
     ("q_date_histogram_indexed", (s: SparkSession, dir: String) => {
       // OpenSearch date_histogram beside a query, served from the index:
       // match set = decoded postings, buckets = ISO week truncation of a

@@ -216,6 +216,61 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     else boolTopK(Nil, expanded, Nil, k)
   }
 
+  /** Score explanation (OpenSearch `_explain`): the per-term BM25
+    * breakdown for one (doc, query) — (term, tf, df, idf, contribution)
+    * with the exact [[Bm25]] arithmetic the scorers use, so the sum of
+    * `contribution` IS the doc's ranking score. Reads the doc's tf rows
+    * (docId predicate pushed into the Parquet scan) and the terms'
+    * merged df — never the corpus, never full postings. */
+  def explainScore(docId: Long, queryTerms: Seq[String]): DataFrame = {
+    val terms = norm(queryTerms).distinct.sorted
+    val seg = reader.segmentsFor(terms)
+    val dfByTerm = reader.mergedDfMap(seg)
+    val (n, avgdl) = (reader.globals.n, reader.globals.avgdl)
+    // dl rides every tf row (denormalized at build time)
+    val docRows = reader.gens.map { case (_, d) =>
+      spark.read.parquet(s"$d/tf").select("docId", "term", "tf", "dl")
+    }.reduce(_.unionByName(_))
+      .filter(col("docId") === docId && col("term").isin(terms: _*))
+      .select("term", "tf", "dl").as[(String, Long, Long)].collect()
+    val docTf = docRows.map { case (t, tf, _) => t -> tf }.toMap
+    val dl = docRows.headOption.map(_._3).getOrElse(0L)
+    terms.flatMap { t =>
+      docTf.get(t).map { tf =>
+        val df = dfByTerm.getOrElse(t, 0L)
+        val idf = Bm25.idf(n, df)
+        (t, tf, df, BigDecimal(idf).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(Bm25.score(idf, tf.toDouble, dl.toDouble, avgdl))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toDF("term", "tf", "df", "idf", "contribution")
+  }
+
+  /** Index statistics (OpenSearch `_stats`): one row per visible
+    * generation — docs, distinct terms, total tokens — straight from
+    * globals.json + the termstats artifact (vocabulary-sized metadata;
+    * no postings read). */
+  def stats: DataFrame =
+    reader.gens.map { case (g, d) =>
+      val gl = graft.index.Globals.read(d)
+      val terms = spark.read.parquet(s"$d/termstats").count()
+      (g, gl.n, terms, gl.sumDl)
+    }.toDF("gen", "docs", "terms", "sum_dl")
+
+  /** Term vectors (OpenSearch `_termvectors`): one row per term of one
+    * document — (term, tf, df) from the tf artifact (docId predicate
+    * pushed) joined to the termstats dictionary. */
+  def termVectors(docId: Long): DataFrame = {
+    val tf = reader.gens.map { case (_, d) =>
+      spark.read.parquet(s"$d/tf").select("docId", "term", "tf")
+    }.reduce(_.unionByName(_))
+      .filter(col("docId") === docId)
+      .select("term", "tf")
+    tf.join(termStats.select("term", "df"), "term")
+      .select("term", "tf", "df")
+  }
+
   /** Wildcard query (OpenSearch `wildcard`, `*` = any run): full-term
     * glob against the termstats/ dictionary via LIKE (anchored both
     * ends; literal `%`/`_` escaped), ascending term order capped at

@@ -199,6 +199,55 @@ class IndexSearchSpec extends AnyFunSuite {
       Seq("docId", "score"))
   }
 
+  test("explainScore: contributions sum to the doc's ranking score") {
+    val terms = Seq("the", "w00002", "w00005")
+    val exp = search.explainScore(17L, terms)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(exp.nonEmpty)
+    // recompute from the corpus with the same arithmetic
+    val toks = graft.analyze.Analyzer.tokens(docs, "docId", "text")
+    val n = docs.count()
+    val dl = toks.filter(col("docId") === 17L).count()
+    val sumdl = toks.count()
+    val avgdl = sumdl.toDouble / n.toDouble
+    exp.foreach { case (t, tf, df, idf, contrib) =>
+      val tfm = toks.filter(col("docId") === 17L && col("term") === t).count()
+      val dfm = toks.filter(col("term") === t)
+        .select("docId").distinct().count()
+      assert(tf == tfm && df == dfm)
+      val idfm = Bm25.idf(n, dfm)
+      assert(idf == BigDecimal(idfm).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(contrib == BigDecimal(
+        Bm25.score(idfm, tfm.toDouble, dl.toDouble, avgdl))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the breakdown sums (pre-rounding ≈) to the bool ranking score
+    val full = rows(search.boolTopK(Nil, terms, Nil, 1000))
+      .find(_._1 == 17L)
+    full.foreach { case (_, score) =>
+      assert(math.abs(exp.map(_._5).sum - score) < 1e-3)
+    }
+  }
+
+  test("stats and termVectors match corpus aggregates") {
+    val toks = graft.analyze.Analyzer.tokens(docs, "docId", "text")
+    val st = search.stats.as[(Int, Long, Long, Long)].collect()
+    assert(st.map(_._2).sum == docs.count())
+    assert(st.map(_._3).sum == toks.select("term").distinct().count())
+    assert(st.map(_._4).sum == toks.count())
+    val tv = search.termVectors(17L)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val manual = toks.filter(col("docId") === 17L)
+      .groupBy("term").agg(count(lit(1)).as("tf")).as[(String, Long)]
+      .collect().sortBy(_._1)
+    assert(tv.map(t => (t._1, t._2)).toSeq == manual.toSeq)
+    tv.foreach { case (t, _, df) =>
+      assert(df == toks.filter(col("term") === t)
+        .select("docId").distinct().count())
+    }
+  }
+
   test("dateHistogram ≡ manual week-bucket counts over the match set") {
     val meta = docs.select(col("docId"),
       expr("timestampadd(DAY, CAST(docId % 90 AS INT), " +
