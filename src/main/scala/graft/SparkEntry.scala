@@ -2868,6 +2868,18 @@ object SparkEntry {
         .transform(indexIdsToDocIds(s, dir))
     }, Some(likeTopKSql("w0%1", maxExpansions = 25, k = 10))),
 
+    ("q_bool_msm_indexed", (s: SparkSession, dir: String) => {
+      // minimum_should_match: at least 2 of the 3 should clauses present
+      // (must clauses don't count toward m) — gated inside the shard
+      // kernel next to the must/must_not flags; oracle adds the HAVING
+      // count >= m semi-join to the bool chain.
+      docIndexSearch(s, dir).boolTopK(
+        must = Seq("the"), should = Seq("spark", "hash", "merge"),
+        mustNot = Nil, k = 15, minShouldMatch = 2)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(boolSql(must = Seq("the"), should = Seq("spark", "hash", "merge"),
+      mustNot = Nil, k = 15, minShouldMatch = 2))),
+
     ("q_explain_score", (s: SparkSession, dir: String) => {
       // OpenSearch _explain: per-term BM25 breakdown for one (doc, query),
       // summing to the doc's ranking score; oracle re-derives tf/df/dl/
@@ -3324,18 +3336,25 @@ object SparkEntry {
     * body over must ∪ should, a distinct-count HAVING gate for must, and a
     * NOT IN exclusion for must_not. */
   private def boolSql(must: Seq[String], should: Seq[String],
-      mustNot: Seq[String], k: Int): String = {
+      mustNot: Seq[String], k: Int, minShouldMatch: Int = 0): String = {
     val scoreTerms = (must ++ should).distinct.sorted
     val termList = scoreTerms.map(t => s"'$t'").mkString(", ")
     val mustList = must.distinct.sorted.map(t => s"'$t'").mkString(", ")
     val notList = mustNot.distinct.sorted.map(t => s"'$t'").mkString(", ")
-    val mustGate = if (must.isEmpty) ""
-      else s" JOIN hasmust USING (doc_id)"
-    val mustCte = if (must.isEmpty) ""
+    val shouldList = should.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    val useMsm = minShouldMatch > 0 && should.nonEmpty
+    val mustGate = (if (must.isEmpty) ""
+      else s" JOIN hasmust USING (doc_id)") +
+      (if (!useMsm) "" else " JOIN hasmsm USING (doc_id)")
+    val mustCte = (if (must.isEmpty) ""
       else s""",
         | hasmust AS (SELECT doc_id FROM (SELECT DISTINCT doc_id, term
         |   FROM toks WHERE term IN ($mustList))
-        |   GROUP BY 1 HAVING count(*) = ${must.distinct.size})""".stripMargin
+        |   GROUP BY 1 HAVING count(*) = ${must.distinct.size})""".stripMargin) +
+      (if (!useMsm) "" else s""",
+        | hasmsm AS (SELECT doc_id FROM (SELECT DISTINCT doc_id, term
+        |   FROM toks WHERE term IN ($shouldList))
+        |   GROUP BY 1 HAVING count(*) >= $minShouldMatch)""".stripMargin)
     val notPred = if (mustNot.isEmpty) ""
       else s"\n WHERE a.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ($notList))"
     s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),

@@ -71,8 +71,10 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     * no per-doc hashing, no joins), one global TakeOrdered over shards × k
     * candidate rows. Semantics identical to [[Search.boolTopK]]. */
   def boolTopK(must: Seq[String], should: Seq[String], mustNot: Seq[String],
-      k: Int, excludeDocId: Long = -1L): DataFrame =
+      k: Int, excludeDocId: Long = -1L,
+      minShouldMatch: Int = 0): DataFrame =
     boolTopKFrom(must, should, mustNot, k, excludeDocId,
+      minShouldMatch = minShouldMatch,
       afterScore = Double.NaN, afterDocId = -1L)
 
   /** Keyset pagination served from the index (OpenSearch `search_after`):
@@ -89,10 +91,12 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
 
   private def boolTopKFrom(must: Seq[String], should: Seq[String],
       mustNot: Seq[String], k: Int, excludeDocId: Long,
-      afterScore: Double, afterDocId: Long): DataFrame = {
+      afterScore: Double, afterDocId: Long,
+      minShouldMatch: Int = 0): DataFrame = {
     val mustN = norm(must).distinct.sorted
     val notN = norm(mustNot).distinct.sorted
-    val scoreTerms = (mustN ++ norm(should)).distinct.sorted
+    val shouldN = norm(should).distinct.sorted
+    val scoreTerms = (mustN ++ shouldN).distinct.sorted
     require(scoreTerms.nonEmpty, "bool query needs must or should terms")
     require(mustN.intersect(notN).isEmpty, "a term cannot be must AND must_not")
     val allTerms = (scoreTerms ++ notN).distinct
@@ -102,11 +106,12 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     val (st, ms, ns, ex) =
       (scoreTerms.toArray, mustN.toSet, notN.toSet, excludeDocId)
     val (as, ad) = (afterScore, afterDocId)
+    val (ss, msm) = (shouldN.toSet, minShouldMatch)
     val del = reader.deletedBc
     val perShard = seg.groupByKey(_.shard)
       .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
         IndexSearch.shardBoolTopK(n, avgdl, kk, dfByTerm.value,
-          st, ms, ns, ex, as, ad, del.value)(shard, rows))
+          st, ms, ns, ex, as, ad, del.value, ss, msm)(shard, rows))
     perShard.toDF("docId", "score")
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
@@ -339,7 +344,8 @@ object IndexSearch {
       dfByTerm: Map[String, Long], scoreTerms: Array[String],
       mustSet: Set[String], notSet: Set[String], excludeDocId: Long,
       afterScore: Double = Double.NaN, afterDocId: Long = -1L,
-      deleted: Array[Long] = null)(
+      deleted: Array[Long] = null, shouldSet: Set[String] = Set.empty,
+      minShouldMatch: Int = 0)(
       shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
     val byTerm = rows.toArray.groupBy(_.term)
     if (byTerm.isEmpty || k <= 0) return Iterator.empty
@@ -352,6 +358,7 @@ object IndexSearch {
     val size = (hi - lo + 1).toInt
     val score = new Array[Double](size)
     val mustCnt = new Array[Int](size)
+    val shouldCnt = new Array[Int](size)
     val banned = new Array[Boolean](size)
     val seen = new Array[Boolean](size)
 
@@ -361,6 +368,7 @@ object IndexSearch {
       byTerm.get(t).foreach { rs =>
         val idf = Bm25.idf(n, dfByTerm.getOrElse(t, IndexReader.mergedDf(rs)))
         val isMust = mustSet(t)
+        val isShould = shouldSet(t)
         rs.sortBy(r => (r.gen, r.firstDocId)).foreach { r =>
           val ids = PForDelta.decodeGaps(r.gaps, r.n, r.firstDocId)
           val tfs = PForDelta.decode(r.tfs, r.n)
@@ -371,6 +379,7 @@ object IndexSearch {
             score(x) += Bm25.score(idf, tfs(j).toDouble, dls(j).toDouble, avgdl)
             seen(x) = true
             if (isMust) mustCnt(x) += 1
+            if (isShould) shouldCnt(x) += 1
             j += 1
           }
         }
@@ -389,7 +398,8 @@ object IndexSearch {
     val topk = new TopKHeap(k)
     var x = 0
     while (x < size) {
-      if (seen(x) && !banned(x) && mustCnt(x) == nMust) {
+      if (seen(x) && !banned(x) && mustCnt(x) == nMust &&
+          (minShouldMatch <= 0 || shouldCnt(x) >= minShouldMatch)) {
         val docId = lo + x
         if (docId != excludeDocId &&
             !IndexReader.isDeleted(deleted, docId)) {

@@ -134,11 +134,11 @@ object Search {
     * builds for scoring (ReuseExchange collapses the scans). */
   def boolTopK(docs: DataFrame, idCol: String, textCol: String,
       must: Seq[String], should: Seq[String], mustNot: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, minShouldMatch: Int = 0): DataFrame = {
     val mustN = must.map(Analyzer.lowerLikeCatalyst).distinct.sorted
     val notN = mustNot.map(Analyzer.lowerLikeCatalyst).distinct.sorted
-    val scoreTerms = (mustN ++ should.map(Analyzer.lowerLikeCatalyst))
-      .distinct.sorted
+    val shouldN = should.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val scoreTerms = (mustN ++ shouldN).distinct.sorted
     require(scoreTerms.nonEmpty, "bool query needs must or should terms")
     require(mustN.intersect(notN).isEmpty, "a term cannot be must AND must_not")
     val toks = Analyzer.tokens(docs, idCol, textCol)
@@ -150,6 +150,16 @@ object Search {
         .filter(col("nm") === mustN.size)
         .select(col(idCol).as("docId"))
       scored = scored.join(hasAll, Seq("docId"), "left_semi")
+    }
+    if (minShouldMatch > 0 && shouldN.nonEmpty) {
+      // OpenSearch minimum_should_match: at least m distinct should
+      // clauses must be present (must clauses do not count toward m)
+      val hasM = toks.filter(col("term").isin(shouldN: _*))
+        .select(col(idCol), col("term")).distinct()
+        .groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
+        .filter(col("ns") >= minShouldMatch)
+        .select(col(idCol).as("docId"))
+      scored = scored.join(hasM, Seq("docId"), "left_semi")
     }
     if (notN.nonEmpty) {
       val excluded = toks.filter(col("term").isin(notN: _*))

@@ -199,6 +199,23 @@ class IndexSearchSpec extends AnyFunSuite {
       Seq("docId", "score"))
   }
 
+  test("minimum_should_match ≡ brute across m = 0..|should|") {
+    val (must, should) = (Seq("the"), Seq("w00002", "w00005", "w00009"))
+    for (m <- 0 to 3) {
+      val brute = rows(Search.boolTopK(docs, "docId", "text",
+        must, should, Nil, 12, minShouldMatch = m))
+      val served = rows(search.boolTopK(must, should, Nil, 12,
+        minShouldMatch = m))
+      assert(served == brute, s"msm=$m diverged")
+    }
+    // m larger than matched clauses → strictly smaller (or empty) set
+    val loose = rows(search.boolTopK(Nil, should, Nil, 100000))
+    val strict = rows(search.boolTopK(Nil, should, Nil, 100000,
+      minShouldMatch = 3))
+    assert(strict.size < loose.size)
+    assert(strict.toSet.subsetOf(loose.toSet))
+  }
+
   test("explainScore: contributions sum to the doc's ranking score") {
     val terms = Seq("the", "w00002", "w00005")
     val exp = search.explainScore(17L, terms)
