@@ -16,7 +16,7 @@ import graft.query.IndexReader
   *   --index  /data/index [--buckets 16 --shard-size 4096 --block-size 128 \
   *   --partitions 0 --positions]
   * spark-submit --class graft.Cli <jar> query  --index /data/index --k 10 web search terms
-  * spark-submit --class graft.Cli <jar> phrase --index /data/index --k 10 exact phrase words
+  * spark-submit --class graft.Cli <jar> phrase --index /data/index --k 10 [--slop 2] exact phrase words
   * spark-submit --class graft.Cli <jar> search --index /data/index --k 10 \
   *   [--must a,b --must-not c] [--fuzzy serch --max-dist 1] \
   *   [--mlt <docId> --mlt-terms 8] [--facets lang] [--suggest serch] \
@@ -120,9 +120,11 @@ object Cli {
 
       case "phrase" =>
         val k = flags.getOrElse("k", "10").toInt
+        val slop = flags.getOrElse("slop", "0").toInt
         if (positional.size < 2) fail("phrase needs >= 2 words")
         new IndexReader(spark, index)
-          .phraseTopK(positional.map(graft.analyze.Analyzer.lowerLikeCatalyst), k)
+          .phraseTopK(positional.map(graft.analyze.Analyzer.lowerLikeCatalyst),
+            k, slop)
           .show(k, truncate = false)
 
       case "search" =>

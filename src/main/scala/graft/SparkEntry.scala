@@ -158,6 +158,14 @@ object SparkEntry {
       phraseTopKRounded(docs(s, dir), Seq("row", "column", "sort"), 10)
     }, Some(phraseSql(Seq("row", "column", "sort"), 10))),
 
+    ("q_phrase_slop", (s: SparkSession, dir: String) => {
+      phraseSlopTopKRounded(docs(s, dir), Seq("table", "hash"), 2, 20)
+    }, Some(phraseSlopSql(Seq("table", "hash"), 2, 20))),
+
+    ("q_phrase_slop_trigram", (s: SparkSession, dir: String) => {
+      phraseSlopTopKRounded(docs(s, dir), Seq("row", "column", "sort"), 3, 15)
+    }, Some(phraseSlopSql(Seq("row", "column", "sort"), 3, 15))),
+
     // ---------- mutate algebra (SURVEY §2.4) ----------
     ("q_add_entries", (s: SparkSession, dir: String) => {
       graft.pipeline.Pipeline(
@@ -2417,6 +2425,87 @@ object SparkEntry {
          |WHERE rn > 10""".stripMargin
     }),
 
+    // dis_max / boosted / regexp / synonym / stats / significant_terms —
+    // round-5 search-API widening. Brute and index-served forms share one
+    // DuckDB oracle each, so the gate pins brute ≡ index ≡ DuckDB.
+    ("q_dis_max", (s: SparkSession, dir: String) => {
+      graft.query.Search.disMaxTopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window", "merge"), tieBreaker = 0.3, k = 15)
+    }, Some(disMaxSql(Seq("spark", "window", "merge"), 0.3, 15))),
+
+    ("q_dis_max_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir)
+        .disMaxTopK(Seq("spark", "window", "merge"), tieBreaker = 0.3, k = 15)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(disMaxSql(Seq("spark", "window", "merge"), 0.3, 15))),
+
+    ("q_boosted_topk", (s: SparkSession, dir: String) => {
+      graft.query.Search.boostedTopK(docs(s, dir), "doc_id", "text",
+        Seq(("spark", 2.0), ("window", 0.5), ("merge", 1.0)), k = 15)
+    }, Some(boostedSql(
+      Seq(("spark", 2.0), ("window", 0.5), ("merge", 1.0)), 15))),
+
+    ("q_boosted_topk_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir)
+        .boostedTopK(Seq(("spark", 2.0), ("window", 0.5), ("merge", 1.0)),
+          k = 15)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(boostedSql(
+      Seq(("spark", 2.0), ("window", 0.5), ("merge", 1.0)), 15))),
+
+    ("q_regexp_topk", (s: SparkSession, dir: String) => {
+      // "s[a-z]+" matches > 4 corpus terms, so maxExpansions = 4 also
+      // exercises the sorted-ascending expansion cap on both engines
+      graft.query.Search.regexpTopK(docs(s, dir), "doc_id", "text",
+        "s[a-z]+", k = 12, maxExpansions = 4)
+    }, Some(regexpSql("s[a-z]+", maxExpansions = 4, k = 12))),
+
+    ("q_regexp_topk_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir)
+        .regexpTopK("s[a-z]+", k = 12, maxExpansions = 4)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(regexpSql("s[a-z]+", maxExpansions = 4, k = 12))),
+
+    ("q_synonym_topk", (s: SparkSession, dir: String) => {
+      graft.query.Search.synonymTopK(docs(s, dir), "doc_id", "text",
+        Seq("spark"), Map("spark" -> Seq("window", "merge")), k = 12)
+    }, Some(bm25Sql(Seq("merge", "spark", "window"), k = 12))),
+
+    ("q_synonym_topk_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir)
+        .synonymTopK(Seq("spark"), Map("spark" -> Seq("window", "merge")),
+          k = 12)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(bm25Sql(Seq("merge", "spark", "window"), k = 12))),
+
+    ("q_match_stats", (s: SparkSession, dir: String) => {
+      graft.query.Search.matchStats(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window"), "n_chars")
+    }, Some(matchStatsSql(Seq("spark", "window")))),
+
+    ("q_match_stats_indexed", (s: SparkSession, dir: String) => {
+      // meta keyed by INDEX docId: the docs/ artifact's url (zero-padded
+      // doc_id) joins the documents table's value column across — one
+      // dimension join, the corpus text is never re-read
+      val meta = s.read.parquet(s"${docIndexDir(s, dir)}/docs")
+        .select(col("docId"),
+          expr("CAST(substring(url, 2) AS BIGINT)").as("doc_id"))
+        .join(docs(s, dir).select("doc_id", "n_chars"), "doc_id")
+        .select("docId", "n_chars")
+      docIndexSearch(s, dir).matchStats(Seq("spark", "window"), meta,
+        "n_chars")
+    }, Some(matchStatsSql(Seq("spark", "window")))),
+
+    ("q_significant_terms", (s: SparkSession, dir: String) => {
+      graft.query.Search.significantTerms(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window"), n = 10, minDocCount = 3)
+    }, Some(sigTermsSql(Seq("spark", "window"), n = 10, minDocCount = 3))),
+
+    ("q_significant_terms_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir).significantTerms(Seq("spark", "window"),
+        n = 10, minDocCount = 3)
+    }, Some(sigTermsSql(Seq("spark", "window"), n = 10, minDocCount = 3))),
+
     ("q_temperature_sample", (s: SparkSession, dir: String) => {
       graft.ops.Sampling.temperatureSample(docs(s, dir), "doc_id", "lang",
         temperature = 2.0, targetFraction = 0.3)
@@ -2855,18 +2944,24 @@ object SparkEntry {
       // index-served prefix query: expansion from termstats/ (sorted,
       // capped), scored as a should-bool over bucket-pruned postings;
       // the oracle re-derives the same expansion with LIKE and replays
-      // BM25 — rank identity across engine, index, and DuckDB.
-      docIndexSearch(s, dir).prefixTopK("w001", k = 12, maxExpansions = 25)
+      // BM25 — rank identity across engine, index, and DuckDB. "s"
+      // matches 6 corpus terms and the cap keeps 4 (scan/slow/small/
+      // sort) — the ascending-expansion cap is live on both engines
+      // (the original "w001" gate matched ZERO real-corpus terms — a
+      // 0-row gate proves nothing; r5 repointed it)
+      docIndexSearch(s, dir).prefixTopK("s", k = 12, maxExpansions = 4)
         .transform(indexIdsToDocIds(s, dir))
-    }, Some(prefixSql("w001", maxExpansions = 25, k = 12))),
+    }, Some(prefixSql("s", maxExpansions = 4, k = 12))),
 
     ("q_wildcard_topk_indexed", (s: SparkSession, dir: String) => {
       // index-served wildcard query: anchored glob over the termstats
       // dictionary (LIKE with * → %), sorted capped expansion, scored as
       // a should-bool — oracle re-derives the expansion and BM25 chain.
-      docIndexSearch(s, dir).wildcardTopK("w0*1", k = 10, maxExpansions = 25)
+      // "s*a*" hits 4 real corpus terms (scan/small/spark/stream) — the
+      // original "w0*1" matched zero (0-row gate, repointed r5)
+      docIndexSearch(s, dir).wildcardTopK("s*a*", k = 10, maxExpansions = 25)
         .transform(indexIdsToDocIds(s, dir))
-    }, Some(likeTopKSql("w0%1", maxExpansions = 25, k = 10))),
+    }, Some(likeTopKSql("s%a%", maxExpansions = 25, k = 10))),
 
     ("q_bool_msm_indexed", (s: SparkSession, dir: String) => {
       // minimum_should_match: at least 2 of the 3 should clauses present
@@ -3040,7 +3135,8 @@ object SparkEntry {
           col("text"), col("lang"))
         .as[graft.corpus.Page]
       new graft.index.IndexBuilder(s, d, graft.index.IndexParams(
-        buckets = 8, shardSize = 64, blockSize = 32, idBuckets = 1))
+        buckets = 8, shardSize = 64, blockSize = 32, idBuckets = 1,
+        positions = true))
         .build(pages, s"documents@$dir")
       d
     })
@@ -3139,6 +3235,60 @@ object SparkEntry {
       .orderBy(desc("score"), col("docId"))
       .limit(k)
       .withColumnRenamed("docId", "doc_id")
+
+  /** Slop-phrase top-k with rounded scores, bm25TopK's convention. */
+  private def phraseSlopTopKRounded(d: DataFrame, phrase: Seq[String],
+      slop: Int, k: Int): DataFrame =
+    BruteForce.phraseSlopScoreAll(d, "doc_id", "text", phrase, slop)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", "doc_id")
+
+  /** DuckDB replay of [[BruteForce.phraseSlopScoreAll]]: per-slot position
+    * arrays from `generate_series` + `list_filter`, the greedy ordered
+    * chain as nested lambdas (`[1]` on an empty filter → NULL → the start
+    * drops out of the match filter, exactly the Spark side's
+    * try_element_at null propagation), same slot-summed idf and BM25
+    * operand order. */
+  private def phraseSlopSql(phrase: Seq[String], slop: Int, k: Int): String = {
+    val m = phrase.length
+    val dfSelects = phrase.distinct.zipWithIndex.map { case (t, i) =>
+      s"(SELECT count(*) FROM dl WHERE list_contains(l, '$t')) AS df$i"
+    }.mkString(",\n |   ")
+    val dfIdx = phrase.distinct.zipWithIndex.toMap
+    val idfTerms = phrase.map { t =>
+      val i = dfIdx(t)
+      s"ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(dfs.df$i AS DOUBLE)) + 0.5) / (CAST(dfs.df$i AS DOUBLE) + 0.5))"
+    }.mkString(" + ")
+    // slot position arrays materialized once per row in `pos`, so the
+    // chain lambdas scan small arrays — same shape as the Spark side
+    val slotArrs = phrase.zipWithIndex.map { case (t, j) =>
+      s"list_filter(generate_series(1, len(l)), x -> l[x] = '$t') AS parr$j"
+    }.mkString(",\n |   ")
+    def chainLast(prev: String, j: Int): String =
+      if (j == m) prev
+      else chainLast(s"list_filter(parr$j, y -> y > ($prev))[1]", j + 1)
+    val matchPred = s"(${chainLast("p0", 1)}) - p0 - ${m - 1} <= $slop"
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | dl AS (SELECT doc_id, len(l) AS dl, l FROM toks),
+       | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       | dfs AS (SELECT
+       |   $dfSelects),
+       | stats AS (SELECT $idfTerms AS idfsum,
+       |   CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE) AS avgdl
+       |   FROM g, dfs),
+       | pos AS (SELECT doc_id, dl,
+       |   $slotArrs
+       |  FROM dl),
+       | ptfs AS (SELECT doc_id, dl,
+       |   len(list_filter(parr0, p0 -> $matchPred)) AS ptf FROM pos)
+       |SELECT doc_id, ptf AS phrase_tf,
+       | round(stats.idfsum * ((CAST(ptf AS DOUBLE) * 2.2) /
+       |   (CAST(ptf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / stats.avgdl)))), 4) AS score
+       |FROM ptfs, stats WHERE ptf > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 
   /** DuckDB replay of [[BruteForce.phraseScoreAll]]: same tokenizer, same
     * consecutive-position match (list_filter over candidate starts), same
@@ -3374,6 +3524,111 @@ object SparkEntry {
        | agg AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored GROUP BY 1)$mustCte
        |SELECT a.doc_id, a.score FROM agg a$mustGate$notPred
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** The shared BM25 per-(doc, term) scoring CTE chain (toks → dl → g →
+    * tf → df → scored). `scored` keeps the term column so callers can
+    * weight or max over per-term contributions. */
+  private def bm25ScoredCtes(termsIn: String): String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |        WHERE term IN ($termsIn) GROUP BY 1, 2),
+       | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |   ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+       |        / (CAST(df.df AS DOUBLE) + 0.5))
+       |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+       |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |        / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)""".stripMargin
+
+  /** DuckDB replay of [[graft.query.Search.disMaxTopK]]: per-doc
+    * max + tie·(sum − max) over the per-term BM25 scores, rounded to 4. */
+  private def disMaxSql(terms0: Seq[String], tie: Double, k: Int): String = {
+    val termList = terms0.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""${bm25ScoredCtes(termList)}
+       |SELECT doc_id, round(max(s) + $tie * (sum(s) - max(s)), 4) AS score
+       |FROM scored GROUP BY 1
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.query.Search.boostedTopK]]: each term's
+    * BM25 contribution scales by its boost before the per-doc sum. */
+  private def boostedSql(boosts: Seq[(String, Double)], k: Int): String = {
+    val termList = boosts.map(_._1).sorted.map(t => s"'$t'").mkString(", ")
+    val vals = boosts.sortBy(_._1)
+      .map { case (t, b) => s"('$t', $b)" }.mkString(", ")
+    s"""${bm25ScoredCtes(termList)},
+       | b AS (SELECT * FROM (VALUES $vals) t(term, boost))
+       |SELECT scored.doc_id, round(sum(scored.s * b.boost), 4) AS score
+       |FROM scored JOIN b USING (term) GROUP BY 1
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.query.Search.regexpTopK]]: the dictionary's
+    * full-match slice (anchored both ends, Lucene's contract), expanded
+    * ascending capped at maxExpansions, scored as a should-bool. */
+  private def regexpSql(pattern: String, maxExpansions: Int, k: Int)
+      : String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       | exp AS (SELECT term FROM (SELECT DISTINCT term FROM toks
+       |   WHERE regexp_matches(term, '^(?:$pattern)$$'))
+       |   ORDER BY term LIMIT $maxExpansions),
+       | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |        WHERE term IN (SELECT term FROM exp) GROUP BY 1, 2),
+       | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | scored AS (
+       |  SELECT tf.doc_id,
+       |   ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+       |        / (CAST(df.df AS DOUBLE) + 0.5))
+       |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+       |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |        / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
+       |SELECT doc_id, round(sum(s), 4) AS score FROM scored GROUP BY 1
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** DuckDB replay of [[graft.query.Search.matchStats]]: exact integer
+    * count/min/max/sum over the any-term match set; avg is the one
+    * division, rounded to 6. */
+  private def matchStatsSql(terms0: Seq[String]): String = {
+    val termList = terms0.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       | m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ($termList))
+       |SELECT count(*) AS doc_count,
+       | min(n_chars) AS min_v, max(n_chars) AS max_v,
+       | CAST(sum(n_chars) AS BIGINT) AS sum_v,
+       | round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |   AS avg_v
+       |FROM documents JOIN m USING (doc_id)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.query.Search.significantTerms]] (JLH):
+    * fg% = fg_df/|M|, bg% = df/N, JLH = (fg% − bg%)·(fg%/bg%) — the two
+    * divisions and one multiply in the Spark side's exact order. */
+  private def sigTermsSql(terms0: Seq[String], n: Int, minDocCount: Int)
+      : String = {
+    val termList = terms0.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT DISTINCT doc_id, term FROM
+       |   (SELECT doc_id, unnest($tokSql) AS term FROM documents)),
+       | m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ($termList)),
+       | fgc AS (SELECT CAST(count(*) AS DOUBLE) AS fgc FROM m),
+       | g AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       | fg AS (SELECT term, count(*) AS fg_df FROM toks
+       |   JOIN m USING (doc_id) GROUP BY 1),
+       | bg AS (SELECT term, count(*) AS df FROM toks GROUP BY 1)
+       |SELECT term, fg_df, df,
+       | round((CAST(fg_df AS DOUBLE) / fgc - CAST(df AS DOUBLE) / g.n)
+       |   * ((CAST(fg_df AS DOUBLE) / fgc) / (CAST(df AS DOUBLE) / g.n)), 6)
+       |   AS jlh
+       |FROM fg JOIN bg USING (term) CROSS JOIN fgc CROSS JOIN g
+       |WHERE term NOT IN ($termList) AND fg_df >= $minDocCount
+       |ORDER BY jlh DESC, term LIMIT $n""".stripMargin
   }
 
   private def bm25Sql(terms0: Seq[String], k: Int,

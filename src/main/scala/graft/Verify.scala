@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: anchored regex over query names — builder-side
+    // iteration on a query subset; the driver always runs the full set
+    val nameFilter = args.lift(2).map(_.r)
+    def wanted(name: String): Boolean =
+      nameFilter.forall(_.pattern.matcher(name).matches())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,11 +36,12 @@ object Verify {
     graft.ops.Multimodal.decodeFixture(spark, 100)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/fixture_decode")
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (wanted(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -51,6 +57,7 @@ object Verify {
     } + "\""
     val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => wanted(k) }
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace("${GRAFT_OUT}", outAbs))}" }
       .mkString("{", ",", "}")

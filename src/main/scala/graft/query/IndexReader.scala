@@ -157,12 +157,17 @@ final class IndexReader(spark: SparkSession, val indexDir: String) {
     perShard.select(new TopKAggregator(k).toColumn).head()
   }
 
-  /** Exact phrase top-k (consecutive-position match; see [[Phrase]]).
-    * Requires an index built with `IndexParams(positions = true)` — every
-    * generation's manifest is checked and a positions-less index refuses
-    * loudly rather than returning silently-empty matches. Result is
-    * (docId, score), k rows, ordered (score desc, docId asc). */
-  def phraseTopK(phrase: Seq[String], k: Int): DataFrame = {
+  /** Phrase top-k over positional postings (see [[Phrase]]): `slop = 0`
+    * (default) is the exact consecutive-position match; `slop > 0` the
+    * ordered-proximity match (`match_phrase` + `slop` — greedy
+    * minimal-stretch chains, semantics on
+    * [[BruteForce.phraseSlopScoreAll]]). Requires an index built with
+    * `IndexParams(positions = true)` — every generation's manifest is
+    * checked and a positions-less index refuses loudly rather than
+    * returning silently-empty matches. Result is (docId, score), k rows,
+    * ordered (score desc, docId asc). */
+  def phraseTopK(phrase: Seq[String], k: Int, slop: Int = 0): DataFrame = {
+    require(slop >= 0, "slop must be >= 0")
     require(phrase.nonEmpty, "empty phrase")
     gens.foreach { case (g, d) =>
       val p = graft.index.Manifest.read(d, "postings")
@@ -177,11 +182,11 @@ final class IndexReader(spark: SparkSession, val indexDir: String) {
     // slot) — same fold order as BruteForce.phraseScoreAll
     val idfSum = phrase
       .map(t => Bm25.idf(globals.n, dfByTerm.getOrElse(t, 0L))).sum
-    val (avgdl, kk, ph) = (globals.avgdl, k, phrase)
+    val (avgdl, kk, ph, sl) = (globals.avgdl, k, phrase, slop)
     val del = deletedBc
     val perShard = seg.groupByKey(_.shard)
       .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
-        Phrase.shardTopK(avgdl, kk, ph, idfSum, del.value)(shard, rows))
+        Phrase.shardTopK(avgdl, kk, ph, idfSum, del.value, sl)(shard, rows))
     perShard.toDF("docId", "score")
       .orderBy(desc("score"), asc("docId"))
       .limit(k)

@@ -292,6 +292,126 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     else boolTopK(Nil, expanded, Nil, k)
   }
 
+  /** Disjunction-max top-k served from postings (OpenSearch `dis_max`):
+    * per-doc score = best term's BM25 + `tieBreaker` × the rest — the
+    * same bucket-pruned segment read and shard fan-out as [[boolTopK]],
+    * with a second dense per-shard array tracking the max. Semantics
+    * identical to [[Search.disMaxTopK]]. */
+  def disMaxTopK(queryTerms: Seq[String], tieBreaker: Double, k: Int)
+      : DataFrame = {
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, "tie_breaker in [0,1]")
+    val terms = norm(queryTerms).distinct.sorted
+    require(terms.nonEmpty, "dis_max needs terms")
+    val seg = reader.segmentsFor(terms)
+    val dfByTerm = spark.sparkContext.broadcast(reader.mergedDfMap(seg))
+    val (n, avgdl, kk, tb) = (reader.globals.n, reader.globals.avgdl, k,
+      tieBreaker)
+    val ts = terms.toArray
+    val del = reader.deletedBc
+    val perShard = seg.groupByKey(_.shard)
+      .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
+        IndexSearch.shardDisMaxTopK(n, avgdl, kk, dfByTerm.value, ts, tb,
+          del.value)(shard, rows))
+    perShard.toDF("docId", "score")
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+  }
+
+  /** Per-term boosted top-k served from postings (OpenSearch
+    * `term^boost`): each term's contribution scales by its boost inside
+    * the shard kernel's ascending-term accumulation. Semantics identical
+    * to [[Search.boostedTopK]]. */
+  def boostedTopK(boosts: Seq[(String, Double)], k: Int): DataFrame = {
+    require(boosts.nonEmpty, "boosted query needs terms")
+    val byTerm = boosts.map { case (t, b) =>
+      (Analyzer.lowerLikeCatalyst(t), b)
+    }.toMap
+    require(byTerm.size == boosts.size, "duplicate boost term")
+    val terms = byTerm.keys.toSeq.sorted
+    val seg = reader.segmentsFor(terms)
+    val dfByTerm = spark.sparkContext.broadcast(reader.mergedDfMap(seg))
+    val (n, avgdl, kk) = (reader.globals.n, reader.globals.avgdl, k)
+    val (ts, bs) = (terms.toArray, byTerm)
+    val del = reader.deletedBc
+    val perShard = seg.groupByKey(_.shard)
+      .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
+        IndexSearch.shardBoolTopK(n, avgdl, kk, dfByTerm.value,
+          ts, Set.empty, Set.empty, -1L, Double.NaN, -1L, del.value,
+          Set.empty, 0, bs)(shard, rows))
+    perShard.toDF("docId", "score")
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+  }
+
+  /** Regexp query (OpenSearch `regexp`): full-term match against the
+    * termstats/ dictionary — anchored both ends, ascending term order
+    * capped at `maxExpansions` — scored as a should-bool; the same
+    * dictionary-then-postings shape as [[prefixTopK]]/[[wildcardTopK]].
+    * Semantics identical to [[Search.regexpTopK]]. */
+  def regexpTopK(pattern: String, k: Int, maxExpansions: Int = 50)
+      : DataFrame = {
+    val expanded = termStats.filter(col("term").rlike(s"^(?:$pattern)$$"))
+      .select("term").as[String].collect().sorted.take(maxExpansions).toSeq
+    if (expanded.isEmpty) Seq.empty[(Long, Double)].toDF("docId", "score")
+    else boolTopK(Nil, expanded, Nil, k)
+  }
+
+  /** Query-time synonym expansion served from postings: every query term
+    * expands to itself ∪ its synonym set, the union scores as a
+    * should-bool with per-term dfs (`expand=true`). Semantics identical
+    * to [[Search.synonymTopK]]. */
+  def synonymTopK(queryTerms: Seq[String],
+      synonyms: Map[String, Seq[String]], k: Int): DataFrame = {
+    val expanded = queryTerms.flatMap { t0 =>
+      val t = Analyzer.lowerLikeCatalyst(t0)
+      t +: synonyms.getOrElse(t, Nil).map(Analyzer.lowerLikeCatalyst)
+    }.distinct.sorted
+    boolTopK(Nil, expanded, Nil, k)
+  }
+
+  /** Stats aggregation over the match set (OpenSearch `stats` agg beside
+    * a query): postings-decoded docIds semi-join a docId-keyed metadata
+    * frame; count/min/max/sum exact, avg rounded to 6. Semantics
+    * identical to [[Search.matchStats]]. */
+  def matchStats(queryTerms: Seq[String], meta: DataFrame,
+      valueCol: String): DataFrame =
+    meta.join(matchingDocIds(queryTerms), Seq("docId"), "left_semi")
+      .agg(count(lit(1)).as("doc_count"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"),
+        sum(col(valueCol)).as("sum_v"),
+        round(sum(col(valueCol)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_v"))
+
+  /** Significant-terms aggregation served from the index (OpenSearch
+    * `significant_terms`, JLH): foreground df = the term's distinct docs
+    * within the match set — the tf/ artifact semi-joined to postings-
+    * decoded match docIds — background df/N from termstats/ + globals.
+    * The corpus text is never read. Semantics identical to
+    * [[Search.significantTerms]] on an undeleted index (tombstoned docs
+    * leave background stats Lucene-style until compaction). */
+  def significantTerms(queryTerms: Seq[String], n: Int,
+      minDocCount: Int = 3): DataFrame = {
+    val terms = norm(queryTerms).distinct.sorted
+    val matching = matchingDocIds(queryTerms)
+    val fgCount = matching.count()
+    require(fgCount > 0, "query matched nothing")
+    val nDocs = reader.globals.n
+    val termDocs = reader.gens.map { case (_, d) =>
+      spark.read.parquet(s"$d/tf").select("docId", "term")
+    }.reduce(_.unionByName(_))
+    val fg = termDocs.join(matching, Seq("docId"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("fg_df"))
+    val fgPct = col("fg_df").cast("double") / lit(fgCount.toDouble)
+    val bgPct = col("df").cast("double") / lit(nDocs.toDouble)
+    fg.join(termStats.select("term", "df"), "term")
+      .filter(!col("term").isin(terms: _*) && col("fg_df") >= minDocCount)
+      .select(col("term"), col("fg_df"), col("df"),
+        round((fgPct - bgPct) * (fgPct / bgPct), 6).as("jlh"))
+      .orderBy(desc("jlh"), col("term"))
+      .limit(n)
+  }
+
   /** Date-histogram aggregation over the match set (OpenSearch
     * `date_histogram` beside a query): matching docIds semi-join a
     * caller-supplied (docId, ts) metadata frame, truncate to the
@@ -345,7 +465,7 @@ object IndexSearch {
       mustSet: Set[String], notSet: Set[String], excludeDocId: Long,
       afterScore: Double = Double.NaN, afterDocId: Long = -1L,
       deleted: Array[Long] = null, shouldSet: Set[String] = Set.empty,
-      minShouldMatch: Int = 0)(
+      minShouldMatch: Int = 0, boosts: Map[String, Double] = null)(
       shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
     val byTerm = rows.toArray.groupBy(_.term)
     if (byTerm.isEmpty || k <= 0) return Iterator.empty
@@ -367,6 +487,7 @@ object IndexSearch {
       val t = scoreTerms(ti)
       byTerm.get(t).foreach { rs =>
         val idf = Bm25.idf(n, dfByTerm.getOrElse(t, IndexReader.mergedDf(rs)))
+        val boost = if (boosts == null) 1.0 else boosts.getOrElse(t, 1.0)
         val isMust = mustSet(t)
         val isShould = shouldSet(t)
         rs.sortBy(r => (r.gen, r.firstDocId)).foreach { r =>
@@ -376,7 +497,14 @@ object IndexSearch {
           var j = 0
           while (j < r.n) {
             val x = (ids(j) - lo).toInt
-            score(x) += Bm25.score(idf, tfs(j).toDouble, dls(j).toDouble, avgdl)
+            // boost multiplies the term's contribution BEFORE the
+            // ascending-term accumulation — the brute pivot's
+            // coalesce(s)·boost fold order exactly
+            score(x) +=
+              (if (boosts == null)
+                Bm25.score(idf, tfs(j).toDouble, dls(j).toDouble, avgdl)
+              else
+                Bm25.score(idf, tfs(j).toDouble, dls(j).toDouble, avgdl) * boost)
             seen(x) = true
             if (isMust) mustCnt(x) += 1
             if (isShould) shouldCnt(x) += 1
@@ -411,6 +539,66 @@ object IndexSearch {
               (rs == afterScore && docId > afterDocId))
             topk.offer(docId, rs)
         }
+      }
+      x += 1
+    }
+    topk.result().iterator
+  }
+
+  /** Executor-side per-shard dis_max scorer: the [[shardBoolTopK]] decode
+    * with a second dense array tracking the best single term's BM25.
+    * `sum` accumulates in ascending term order (each (term, doc) pair
+    * contributes exactly one posting entry, so the fold order is the
+    * brute pivot's coalesce-sum exactly); `max` is order-free and starts
+    * at 0.0 — the brute form's `greatest(coalesce(s, 0.0)…)` with BM25
+    * scores strictly positive. Emits round4(max + tie·(sum − max)). */
+  def shardDisMaxTopK(n: Long, avgdl: Double, k: Int,
+      dfByTerm: Map[String, Long], scoreTerms: Array[String],
+      tieBreaker: Double, deleted: Array[Long] = null)(
+      shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
+    val byTerm = rows.toArray.groupBy(_.term)
+    if (byTerm.isEmpty || k <= 0) return Iterator.empty
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    byTerm.valuesIterator.flatten.foreach { r =>
+      if (r.firstDocId < lo) lo = r.firstDocId
+      if (r.lastDocId > hi) hi = r.lastDocId
+    }
+    val size = (hi - lo + 1).toInt
+    val sum = new Array[Double](size)
+    val best = new Array[Double](size)
+    val seen = new Array[Boolean](size)
+
+    var ti = 0
+    while (ti < scoreTerms.length) {
+      val t = scoreTerms(ti)
+      byTerm.get(t).foreach { rs =>
+        val idf = Bm25.idf(n, dfByTerm.getOrElse(t, IndexReader.mergedDf(rs)))
+        rs.sortBy(r => (r.gen, r.firstDocId)).foreach { r =>
+          val ids = PForDelta.decodeGaps(r.gaps, r.n, r.firstDocId)
+          val tfs = PForDelta.decode(r.tfs, r.n)
+          val dls = PForDelta.decode(r.dls, r.n)
+          var j = 0
+          while (j < r.n) {
+            val x = (ids(j) - lo).toInt
+            val s = Bm25.score(idf, tfs(j).toDouble, dls(j).toDouble, avgdl)
+            sum(x) += s
+            if (s > best(x)) best(x) = s
+            seen(x) = true
+            j += 1
+          }
+        }
+      }
+      ti += 1
+    }
+    val topk = new TopKHeap(k)
+    var x = 0
+    while (x < size) {
+      if (seen(x)) {
+        val docId = lo + x
+        if (!IndexReader.isDeleted(deleted, docId))
+          topk.offer(docId,
+            round4(best(x) + tieBreaker * (sum(x) - best(x))))
       }
       x += 1
     }

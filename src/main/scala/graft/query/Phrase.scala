@@ -133,11 +133,49 @@ object Phrase {
     count
   }
 
+  /** Ordered-proximity match-start count (the `slop` path — semantics on
+    * [[BruteForce.phraseSlopScoreAll]]): for each occurrence p₀ of slot 0
+    * the GREEDY chain picks the smallest position pⱼ > pⱼ₋₁ of each later
+    * slot; the start matches when the chain exists with stretch
+    * `p_{m-1} − p₀ − (m−1)` ≤ slop. Greedy picks are monotone in p₀, so
+    * each slot keeps a monotone pointer — O(Σ tf), same complexity as the
+    * exact counter. `slop = 0` counts exactly [[phraseTf]]'s starts
+    * (greedy minimizes the stretch; PhraseSpec pins the equivalence). */
+  private def phraseTfSlop(cursors: Array[PosCursor], slop: Int): Long = {
+    val m = cursors.length
+    val arrs = new Array[(Array[Long], Int, Int)](m)
+    var j = 0
+    while (j < m) { arrs(j) = cursors(j).positions(); j += 1 }
+    val (p0, f0, u0) = arrs(0)
+    val ptr = Array.tabulate(m)(j => arrs(j)._2)
+    var count = 0L
+    var a = f0
+    while (a < u0) {
+      var prev = p0(a)
+      var ok = true
+      j = 1
+      while (ok && j < m) {
+        val (pj, _, uj) = arrs(j)
+        var q = ptr(j)
+        while (q < uj && pj(q) <= prev) q += 1
+        ptr(j) = q
+        if (q < uj) prev = pj(q) else ok = false
+        j += 1
+      }
+      if (ok && prev - p0(a) - (m - 1) <= slop) count += 1
+      a += 1
+    }
+    count
+  }
+
   /** Executor-side per-shard phrase top-k — top-level so the Spark closure
     * captures only scalars + the phrase. `idfSum` is computed driver-side
-    * from the GLOBAL merged dfs (a shard only sees its own generations). */
+    * from the GLOBAL merged dfs (a shard only sees its own generations).
+    * `slop = 0` runs the exact consecutive-position counter; `slop > 0`
+    * the greedy ordered-proximity counter — identical leapfrog skeleton
+    * (a document still must contain every slot term). */
   def shardTopK(avgdl: Double, k: Int, phrase: Seq[String], idfSum: Double,
-      deleted: Array[Long] = null)(
+      deleted: Array[Long] = null, slop: Int = 0)(
       shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
     val byTerm = rows.toArray.groupBy(_.term)
     // a shard missing ANY slot term cannot match the phrase
@@ -164,7 +202,9 @@ object Phrase {
       }
       if (aligned) {
         val ptf =
-          if (IndexReader.isDeleted(deleted, target)) 0 else phraseTf(cursors)
+          if (IndexReader.isDeleted(deleted, target)) 0
+          else if (slop == 0) phraseTf(cursors)
+          else phraseTfSlop(cursors, slop)
         if (ptf > 0)
           topk.offer(target,
             Bm25.score(idfSum, ptf.toDouble, cursors(0).dl.toDouble, avgdl))

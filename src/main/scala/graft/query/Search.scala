@@ -204,4 +204,139 @@ object Search {
       .limit(k)
       .withColumnRenamed("docId", idCol)
   }
+
+  /** Disjunction-max query (OpenSearch/Lucene `dis_max`): per-doc score =
+    * best single term's BM25 plus `tieBreaker` × the remaining terms'
+    * scores — `max + tie·(sum − max)`. `tie = 0` is pure best-field
+    * semantics, `tie = 1` degenerates to the bool `should` sum. Fold
+    * order: `sum` accumulates in ascending term order (the pivot
+    * convention); `max` is order-free. */
+  def disMaxTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], tieBreaker: Double, k: Int): DataFrame = {
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, "tie_breaker in [0,1]")
+    val norm = queryTerms.map(Analyzer.lowerLikeCatalyst)
+    val (pivoted, terms) = BruteForce.scorePivot(docs, idCol, textCol, norm)
+    val cols = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+    val sum = cols.reduceLeft(_ + _)
+    val mx = if (cols.size == 1) cols.head else greatest(cols: _*)
+    pivoted
+      .select(col("docId"),
+        round(mx + lit(tieBreaker) * (sum - mx), 4).as("score"))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", idCol)
+  }
+
+  /** Per-term boosted query (OpenSearch `term^boost`): each term's BM25
+    * contribution is multiplied by its boost before the ascending-term
+    * fixed-order sum. Unlisted behavior matches OpenSearch: boosts scale
+    * scores only — df/idf and the match set are unchanged. */
+  def boostedTopK(docs: DataFrame, idCol: String, textCol: String,
+      boosts: Seq[(String, Double)], k: Int): DataFrame = {
+    require(boosts.nonEmpty, "boosted query needs terms")
+    val byTerm = boosts.map { case (t, b) =>
+      (Analyzer.lowerLikeCatalyst(t), b)
+    }.toMap
+    require(byTerm.size == boosts.size, "duplicate boost term")
+    val (pivoted, terms) = BruteForce.scorePivot(
+      docs, idCol, textCol, byTerm.keys.toSeq)
+    val total = terms.map(t =>
+      coalesce(col(s"`$t`"), lit(0.0)) * lit(byTerm(t))).reduceLeft(_ + _)
+    pivoted
+      .select(col("docId"), round(total, 4).as("score"))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", idCol)
+  }
+
+  /** Regexp query (OpenSearch `regexp`): dictionary terms fully matching
+    * `pattern` — anchored both ends, Lucene's contract — expanded in
+    * ascending term order capped at `maxExpansions`, then scored as a
+    * `should` bool. The brute form derives its dictionary from the corpus
+    * token stream; [[IndexSearch.regexpTopK]] reads termstats/ instead. */
+  def regexpTopK(docs: DataFrame, idCol: String, textCol: String,
+      pattern: String, k: Int, maxExpansions: Int = 50): DataFrame = {
+    val dict = Analyzer.tokens(docs, idCol, textCol).select("term").distinct()
+    val expanded = dict.filter(col("term").rlike(s"^(?:$pattern)$$"))
+      .select("term").collect().map(_.getString(0)).sorted
+      .take(maxExpansions).toSeq
+    if (expanded.isEmpty)
+      docs.select(col(idCol), lit(0.0).as("score")).limit(0)
+    else BruteForce.scoreAll(docs, idCol, textCol, expanded)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", idCol)
+  }
+
+  /** Query-time synonym expansion (OpenSearch `synonym` filter applied at
+    * query time): every query term expands to itself ∪ its synonym set;
+    * the union scores as a `should` bool — each expanded term with its
+    * OWN document frequency (`expand=true` semantics). */
+  def synonymTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], synonyms: Map[String, Seq[String]],
+      k: Int): DataFrame = {
+    val expanded = queryTerms.flatMap { t0 =>
+      val t = Analyzer.lowerLikeCatalyst(t0)
+      t +: synonyms.getOrElse(t, Nil).map(Analyzer.lowerLikeCatalyst)
+    }.distinct.sorted
+    BruteForce.scoreAll(docs, idCol, textCol, expanded)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", idCol)
+  }
+
+  /** Stats aggregation beside a query (OpenSearch `stats` agg): count /
+    * min / max / sum / avg of `valueCol` over the full MATCH SET (any
+    * query term present). Integer aggregates are exact; `avg` is the one
+    * division, rounded to 6. */
+  def matchStats(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], valueCol: String): DataFrame = {
+    val terms = queryTerms.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val matching = Analyzer.tokens(docs, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+      .select(col(idCol)).distinct()
+    docs.join(matching, Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("doc_count"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"),
+        sum(col(valueCol)).as("sum_v"),
+        round(sum(col(valueCol)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_v"))
+  }
+
+  /** Significant-terms aggregation (OpenSearch `significant_terms`, JLH
+    * heuristic): terms overrepresented in the query's match set vs the
+    * corpus. fg% = fg_df/|M| (docs in the match set containing the term),
+    * bg% = df/N; JLH = (fg% − bg%) · (fg%/bg%). Query terms themselves are
+    * excluded (they are the match set's definition, not a finding), terms
+    * below `minDocCount` foreground docs are dropped, ranking is
+    * (rounded score desc, term asc). All inputs are exact integers; the
+    * two divisions and one multiply happen in the same order on both
+    * engines. */
+  def significantTerms(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], n: Int, minDocCount: Int = 3): DataFrame = {
+    val terms = queryTerms.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val termDocs = Analyzer.tokens(docs, idCol, textCol)
+      .select(col(idCol), col("term")).distinct()
+    val matching = termDocs.filter(col("term").isin(terms: _*))
+      .select(col(idCol)).distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nDocs = docs.count()
+    val fgCount = matching.count()
+    require(fgCount > 0, "query matched nothing")
+    val fg = termDocs.join(matching, Seq(idCol), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("fg_df"))
+    val bg = termDocs.groupBy("term").agg(count(lit(1)).as("df"))
+    val fgPct = col("fg_df").cast("double") / lit(fgCount.toDouble)
+    val bgPct = col("df").cast("double") / lit(nDocs.toDouble)
+    fg.join(bg, "term")
+      .filter(!col("term").isin(terms: _*) && col("fg_df") >= minDocCount)
+      .select(col("term"), col("fg_df"), col("df"),
+        round((fgPct - bgPct) * (fgPct / bgPct), 6).as("jlh"))
+      .orderBy(desc("jlh"), col("term"))
+      .limit(n)
+  }
 }

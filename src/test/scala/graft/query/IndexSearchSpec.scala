@@ -281,6 +281,79 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(served.values.sum == matched.count())
   }
 
+  test("disMaxTopK ≡ brute across the tie_breaker range") {
+    val terms = Seq("the", "w00002", "w00005")
+    for (tie <- Seq(0.0, 0.3, 1.0)) {
+      val brute = rows(Search.disMaxTopK(docs, "docId", "text", terms, tie, 12))
+      val served = rows(search.disMaxTopK(terms, tie, 12))
+      assert(served == brute, s"dis_max(tie=$tie) diverged:\n" +
+        s" brute=$brute\n index=$served")
+    }
+    // tie = 1 degenerates to the should-bool sum
+    assert(rows(search.disMaxTopK(terms, 1.0, 12)) ==
+      rows(search.boolTopK(Nil, terms, Nil, 12)))
+  }
+
+  test("boostedTopK ≡ brute per-term boosts inside the shard kernel") {
+    val boosts = Seq(("the", 0.2), ("w00002", 3.0), ("w00005", 1.0))
+    val brute = rows(Search.boostedTopK(docs, "docId", "text", boosts, 15))
+    val served = rows(search.boostedTopK(boosts, 15))
+    assert(served == brute, s"boosted diverged:\n brute=$brute\n index=$served")
+    // all-1.0 boosts ≡ the plain should-bool
+    val ones = boosts.map { case (t, _) => (t, 1.0) }
+    assert(rows(search.boostedTopK(ones, 15)) ==
+      rows(search.boolTopK(Nil, boosts.map(_._1), Nil, 15)))
+    assertThrows[IllegalArgumentException] {
+      search.boostedTopK(Seq(("the", 1.0), ("The", 2.0)), 5)
+    }
+  }
+
+  test("regexpTopK ≡ brute anchored-dictionary expansion") {
+    for ((pat, max, k) <- Seq(("w0+1", 25, 10), ("w00(02|05)", 50, 12),
+        ("th.", 50, 8), ("zzz+q", 50, 5))) {
+      val brute = rows(Search.regexpTopK(docs, "docId", "text", pat, k, max))
+      val served = rows(search.regexpTopK(pat, k, max))
+      assert(served == brute, s"regexp($pat) diverged")
+    }
+    assert(search.regexpTopK("zzz+q", 5).columns.toSeq ==
+      Seq("docId", "score"))
+  }
+
+  test("synonymTopK ≡ brute expand=true union scoring") {
+    val syn = Map("w00002" -> Seq("w00005", "w00009"), "the" -> Seq("of"))
+    for (q <- Seq(Seq("w00002"), Seq("the", "w00002"), Seq("w00013"))) {
+      val brute = rows(Search.synonymTopK(docs, "docId", "text", q, syn, 12))
+      val served = rows(search.synonymTopK(q, syn, 12))
+      assert(served == brute, s"synonym($q) diverged")
+    }
+  }
+
+  test("matchStats ≡ brute over the match set") {
+    val meta = docs.select(col("docId"),
+      (col("docId") % 97).cast("long").as("v"))
+    val bruteDocs = docs.join(meta.select("docId", "v"), Seq("docId"))
+    val terms = Seq("w00002", "w00005")
+    val brute = Search.matchStats(bruteDocs, "docId", "text", terms, "v")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val served = search.matchStats(terms, meta, "v")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(served == brute)
+    assert(served._1 == search.matchingDocIds(terms).count())
+  }
+
+  test("significantTerms ≡ brute JLH over the match set") {
+    val terms = Seq("w00002", "w00005")
+    val brute = Search.significantTerms(docs, "docId", "text", terms, 10,
+        minDocCount = 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val served = search.significantTerms(terms, 10, minDocCount = 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(brute.nonEmpty)
+    assert(served == brute, s"jlh diverged:\n brute=$brute\n index=$served")
+    // query terms themselves never appear as findings
+    assert(!served.exists(r => terms.contains(r._1)))
+  }
+
   test("rangeAgg: half-open buckets, unbounded tails, full coverage") {
     val meta = docs.select(col("docId"),
       (col("docId") % 100).cast("double").as("v"))

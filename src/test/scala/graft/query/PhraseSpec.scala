@@ -103,6 +103,70 @@ class PhraseSpec extends AnyFunSuite {
     assert(bruteTopK(Seq("zzznotaterm", "the"), 5).isEmpty)
   }
 
+  private def bruteSlopTopK(phrase: Seq[String], slop: Int, k: Int)
+      : Seq[(Long, Double)] = {
+    val docIds = spark.read.parquet(s"$indexDir/docs").select($"docId", $"url")
+    BruteForce.phraseSlopScoreAll(corpus, "url", "text", phrase, slop)
+      .withColumnRenamed("docId", "url")
+      .join(docIds, "url")
+      .select($"docId", $"phrase_tf", $"score")
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+  }
+
+  test("slop=0 ≡ exact phrase: brute AND index paths, corpus-wide") {
+    val phrase = firstPhrase(2, 5)
+    // brute: slop-0 scorer matches the exact scorer on every doc
+    val exact = BruteForce.phraseScoreAll(corpus, "url", "text", phrase)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val slop0 = BruteForce.phraseSlopScoreAll(corpus, "url", "text", phrase, 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(slop0 == exact)
+    // index: slop-0 kernel ≡ exact kernel
+    val r = new IndexReader(spark, indexDir)
+    val i0 = r.phraseTopK(phrase, 15, slop = 0)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(i0 == indexTopK(phrase, 15))
+  }
+
+  test("slop phrase: index ≡ brute force, rank and bit-identical scores") {
+    val phrase = firstPhrase(2, 5)
+    for (slop <- Seq(1, 2, 4)) {
+      val b = bruteSlopTopK(phrase, slop, 15)
+      val i = new IndexReader(spark, indexDir).phraseTopK(phrase, 15, slop)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      assert(b.nonEmpty, s"slop=$slop phrase $phrase matched nothing")
+      assert(i == b, s"slop=$slop phrase=$phrase\nindex=$i\nbrute=$b")
+    }
+  }
+
+  test("slop trigram: index ≡ brute across blocks and shards") {
+    val phrase = firstPhrase(3, 2)
+    val b = bruteSlopTopK(phrase, 2, 10)
+    val i = new IndexReader(spark, indexDir).phraseTopK(phrase, 10, slop = 2)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(b.nonEmpty)
+    assert(i == b)
+  }
+
+  test("slop semantics: hand-computed greedy minimal-stretch matches") {
+    // tokens: a x b | a b | a x x b | b a  → phrase (a, b)
+    val df = Seq(
+      (1L, "a x b"),        // stretch 1 → slop>=1
+      (2L, "a b"),          // stretch 0 → any slop
+      (3L, "a x x b"),      // stretch 2 → slop>=2
+      (4L, "b a"),          // wrong order → never (ordered semantics)
+      (5L, "a x b a b"))    // starts: pos1 greedy→b@3 stretch 1; pos4→b@5 stretch 0
+      .toDF("id", "text")
+    def tfs(slop: Int): Map[Long, Long] =
+      BruteForce.phraseSlopScoreAll(df, "id", "text", Seq("a", "b"), slop)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tfs(0) == Map(2L -> 1L, 5L -> 1L))
+    assert(tfs(1) == Map(1L -> 1L, 2L -> 1L, 5L -> 2L))
+    assert(tfs(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 2L))
+  }
+
   test("a positions-less index refuses phrase queries loudly") {
     val dir = graft.TestSpark.tmpDir("phrase-nopos")
     val pages = graft.corpus.SyntheticCorpus.generate(spark, 40, seed = 3L)
