@@ -100,7 +100,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) fail("subcommand required: build | query | phrase | search | ingest-iceberg | compact | pipeline")
+    if (args.isEmpty) fail("subcommand required: build | query | phrase | qs | search | ingest-iceberg | compact | pipeline")
     val (flags, positional) = parse(args.toSeq.tail)
     def index = flags.getOrElse("index", fail("--index required"))
     lazy val (spark, ownSession) = session(s"graft-${args.head}")
@@ -125,6 +125,16 @@ object Cli {
         new IndexReader(spark, index)
           .phraseTopK(positional.map(graft.analyze.Analyzer.lowerLikeCatalyst),
             k, slop)
+          .show(k, truncate = false)
+
+      case "qs" =>
+        // Lucene query_string: graft.Cli qs --index DIR --k 10 \
+        //   '+spark merge^2 "window sort"~1 -slow st*m sprk~1'
+        val k = flags.getOrElse("k", "10").toInt
+        if (positional.isEmpty) fail("qs needs a query string")
+        new graft.query.IndexSearch(spark, index)
+          .queryStringTopK(positional.mkString(" "), k,
+            flags.getOrElse("max-expansions", "50").toInt)
           .show(k, truncate = false)
 
       case "search" =>

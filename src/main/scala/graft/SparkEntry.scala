@@ -2506,6 +2506,22 @@ object SparkEntry {
         n = 10, minDocCount = 3)
     }, Some(sigTermsSql(Seq("spark", "window"), n = 10, minDocCount = 3))),
 
+    // Lucene-style query_string: one string exercising every clause shape
+    // at once — must term, boosted should, slop phrase, must_not, wildcard
+    // expansion (st*m → stream), fuzzy expansion (sprk~1 → spark; the
+    // oracle re-derives both expansions from the data with LIKE /
+    // levenshtein). Brute and index-served share the SQL, so the gate
+    // pins parse ≡ brute ≡ postings-composition ≡ DuckDB.
+    ("q_query_string", (s: SparkSession, dir: String) => {
+      graft.query.QueryString.topK(docs(s, dir), "doc_id", "text",
+        queryStringGate, k = 15)
+    }, Some(queryStringSql(15))),
+
+    ("q_query_string_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir).queryStringTopK(queryStringGate, k = 15)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(queryStringSql(15))),
+
     ("q_temperature_sample", (s: SparkSession, dir: String) => {
       graft.ops.Sampling.temperatureSample(docs(s, dir), "doc_id", "lang",
         temperature = 2.0, targetFraction = 0.3)
@@ -3591,6 +3607,76 @@ object SparkEntry {
        |        / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s
        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
        |SELECT doc_id, round(sum(s), 4) AS score FROM scored GROUP BY 1
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** The query_string gate instance — every clause shape at once. */
+  private val queryStringGate =
+    "+spark merge^2 \"window sort\"~1 -slow st*m sprk~1"
+
+  /** DuckDB replay of [[graft.query.QueryString.topK]] on
+    * [[queryStringGate]]: per-term BM25 CTEs over the union of literal
+    * terms + LIKE-derived wildcard expansion + levenshtein-derived fuzzy
+    * expansion, the slop-phrase chain replay (phraseSlopSql's shape,
+    * unrounded so the CLAUSE SUM rounds once like the engine), clause
+    * contributions folded in query order, must gate as a NULL check and
+    * must_not as NOT IN. */
+  private def queryStringSql(k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       | fz AS (SELECT DISTINCT term FROM toks
+       |   WHERE abs(len(term) - 4) <= 1 AND levenshtein(term, 'sprk') <= 1),
+       | wc AS (SELECT DISTINCT term FROM toks WHERE term LIKE 'st%m'),
+       | qt AS (SELECT 'spark' AS term UNION SELECT 'merge'
+       |   UNION SELECT term FROM fz UNION SELECT term FROM wc),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+       | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |   ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+       |        / (CAST(df.df AS DOUBLE) + 0.5))
+       |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+       |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |        / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g),
+       | per AS (SELECT doc_id,
+       |   sum(CASE WHEN term = 'spark' THEN s END) AS s_must,
+       |   sum(CASE WHEN term = 'merge' THEN s END) AS s_merge,
+       |   sum(CASE WHEN term IN (SELECT term FROM wc) THEN s END) AS s_wc,
+       |   sum(CASE WHEN term IN (SELECT term FROM fz) THEN s END) AS s_fz
+       |  FROM scored GROUP BY 1),
+       | tl AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | pdfs AS (SELECT
+       |   (SELECT count(*) FROM tl WHERE list_contains(l, 'window')) AS df0,
+       |   (SELECT count(*) FROM tl WHERE list_contains(l, 'sort')) AS df1),
+       | pstats AS (SELECT
+       |   ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(pdfs.df0 AS DOUBLE)) + 0.5)
+       |     / (CAST(pdfs.df0 AS DOUBLE) + 0.5))
+       |   + ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(pdfs.df1 AS DOUBLE)) + 0.5)
+       |     / (CAST(pdfs.df1 AS DOUBLE) + 0.5)) AS idfsum,
+       |   CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE) AS avgdl
+       |   FROM g, pdfs),
+       | pos AS (SELECT doc_id, len(l) AS pdl,
+       |   list_filter(generate_series(1, len(l)), x -> l[x] = 'window') AS parr0,
+       |   list_filter(generate_series(1, len(l)), x -> l[x] = 'sort') AS parr1
+       |  FROM tl),
+       | ptfs AS (SELECT doc_id, pdl,
+       |   len(list_filter(parr0,
+       |     p0 -> (list_filter(parr1, y -> y > (p0))[1]) - p0 - 1 <= 1)) AS ptf
+       |   FROM pos),
+       | ph AS (SELECT doc_id,
+       |   pstats.idfsum * ((CAST(ptf AS DOUBLE) * 2.2) / (CAST(ptf AS DOUBLE)
+       |     + 1.2 * (0.25 + 0.75 * (CAST(pdl AS DOUBLE) / pstats.avgdl)))) AS s_ph
+       |  FROM ptfs, pstats WHERE ptf > 0),
+       | base AS (SELECT coalesce(per.doc_id, ph.doc_id) AS doc_id,
+       |   s_must, s_merge, s_wc, s_fz, s_ph
+       |  FROM per FULL OUTER JOIN ph ON per.doc_id = ph.doc_id),
+       | notm AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow')
+       |SELECT doc_id, round(coalesce(s_must, 0) + 2*coalesce(s_merge, 0)
+       |  + coalesce(s_ph, 0) + coalesce(s_wc, 0) + coalesce(s_fz, 0), 4) AS score
+       |FROM base WHERE s_must IS NOT NULL
+       |  AND doc_id NOT IN (SELECT doc_id FROM notm)
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
   /** DuckDB replay of [[graft.query.Search.matchStats]]: exact integer

@@ -167,6 +167,34 @@ final class IndexReader(spark: SparkSession, val indexDir: String) {
     * returning silently-empty matches. Result is (docId, score), k rows,
     * ordered (score desc, docId asc). */
   def phraseTopK(phrase: Seq[String], k: Int, slop: Int = 0): DataFrame = {
+    val (seg, idfSum) = phrasePrep(phrase, slop)
+    val (avgdl, kk, ph, sl) = (globals.avgdl, k, phrase, slop)
+    val del = deletedBc
+    val perShard = seg.groupByKey(_.shard)
+      .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
+        Phrase.shardTopK(avgdl, kk, ph, idfSum, del.value, sl)(shard, rows))
+    perShard.toDF("docId", "score")
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+  }
+
+  /** EVERY phrase-matching doc's score, untruncated — (docId, score),
+    * unordered. The composition primitive for the query-string engine's
+    * phrase clauses (their scores sum with term clauses, so per-shard
+    * pre-truncation would drop contributors). Same pruned postings read
+    * as [[phraseTopK]]; output is match-set-sized, not corpus-sized. */
+  def phraseScores(phrase: Seq[String], slop: Int = 0): DataFrame = {
+    val (seg, idfSum) = phrasePrep(phrase, slop)
+    val (avgdl, ph, sl) = (globals.avgdl, phrase, slop)
+    val del = deletedBc
+    seg.groupByKey(_.shard)
+      .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
+        Phrase.shardScores(avgdl, ph, idfSum, del.value, sl)(shard, rows))
+      .toDF("docId", "score")
+  }
+
+  private def phrasePrep(phrase: Seq[String], slop: Int)
+      : (Dataset[SegmentRead], Double) = {
     require(slop >= 0, "slop must be >= 0")
     require(phrase.nonEmpty, "empty phrase")
     gens.foreach { case (g, d) =>
@@ -182,14 +210,7 @@ final class IndexReader(spark: SparkSession, val indexDir: String) {
     // slot) — same fold order as BruteForce.phraseScoreAll
     val idfSum = phrase
       .map(t => Bm25.idf(globals.n, dfByTerm.getOrElse(t, 0L))).sum
-    val (avgdl, kk, ph, sl) = (globals.avgdl, k, phrase, slop)
-    val del = deletedBc
-    val perShard = seg.groupByKey(_.shard)
-      .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
-        Phrase.shardTopK(avgdl, kk, ph, idfSum, del.value, sl)(shard, rows))
-    perShard.toDF("docId", "score")
-      .orderBy(desc("score"), asc("docId"))
-      .limit(k)
+    (seg, idfSum)
   }
 
   /** Driver-local serving cache: term -> (merged df, globally docId-sorted

@@ -444,6 +444,72 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("doc_count"))
   }
+
+  /** Per-(doc, term) BM25 contributions decoded straight from the
+    * bucket-pruned postings — (docId, term, score), one row per posting,
+    * tombstoned docs excluded. The composition primitive behind
+    * [[queryStringTopK]]: downstream clause algebra pivots these into
+    * fixed-order Column sums, exactly like the brute pivot. */
+  def termScores(queryTerms: Seq[String]): DataFrame = {
+    val terms = norm(queryTerms).distinct.sorted
+    val seg = reader.segmentsFor(terms)
+    val dfByTerm = spark.sparkContext.broadcast(reader.mergedDfMap(seg))
+    val (n, avgdl) = (reader.globals.n, reader.globals.avgdl)
+    val del = reader.deletedBc
+    seg.flatMap { r =>
+      val idf = Bm25.idf(n, dfByTerm.value.getOrElse(r.term, r.df))
+      val ids = PForDelta.decodeGaps(r.gaps, r.n, r.firstDocId)
+      val tfs = PForDelta.decode(r.tfs, r.n)
+      val dls = PForDelta.decode(r.dls, r.n)
+      (0 until r.n).iterator
+        .filter(j => !IndexReader.isDeleted(del.value, ids(j)))
+        .map(j => (ids(j), r.term,
+          Bm25.score(idf, tfs(j).toDouble, dls(j).toDouble, avgdl)))
+    }.toDF("docId", "term", "score")
+  }
+
+  /** Lucene-style `query_string` served from the INDEX (grammar and
+    * semantics on [[QueryString]]): fuzzy/wildcard expansions resolve
+    * against termstats/, term clauses score from [[termScores]] postings
+    * decodes pivoted into the brute form's fixed-order Column algebra,
+    * phrase clauses from positional postings
+    * ([[IndexReader.phraseScores]]), must_not gates from
+    * [[matchingDocIds]] anti-joins. The corpus text is never read.
+    * Rank-identical to [[QueryString.topK]] (QueryStringSpec). */
+  def queryStringTopK(q: String, k: Int, maxExpansions: Int = 50)
+      : DataFrame = {
+    val clauses = QueryString.parse(q)
+    val resolved = QueryString.resolve(clauses,
+      (t, d) => fuzzyExpand(t, d).select("term").as[String].collect().toSeq,
+      p => termStats
+        .filter(col("term").like(QueryString.globToLike(p)))
+        .select("term").as[String].collect().toSeq,
+      maxExpansions)
+    if (resolved.exists(r => r.occur == QueryString.Must &&
+        r.phrase.isEmpty && r.terms.isEmpty))
+      return Seq.empty[(Long, Double)].toDF("docId", "score")
+    val scoringTerms = resolved
+      .filter(_.occur != QueryString.MustNot)
+      .flatMap(_.terms).distinct.sorted
+    val pivoted =
+      if (scoringTerms.isEmpty) None
+      else Some(termScores(scoringTerms).groupBy("docId")
+        .pivot("term", scoringTerms).agg(first(col("score"))))
+    val phraseFrames = resolved.zipWithIndex.collect {
+      case (r, i) if r.phrase.isDefined && r.occur != QueryString.MustNot =>
+        val (slots, slop) = r.phrase.get
+        i -> reader.phraseScores(slots.map(Analyzer.lowerLikeCatalyst), slop)
+    }.toMap
+    val notFrames = resolved.collect {
+      case r if r.occur == QueryString.MustNot && r.phrase.isDefined =>
+        val (slots, slop) = r.phrase.get
+        reader.phraseScores(slots.map(Analyzer.lowerLikeCatalyst), slop)
+          .select(col("docId"))
+      case r if r.occur == QueryString.MustNot && r.terms.nonEmpty =>
+        matchingDocIds(r.terms)
+    }
+    QueryString.compose(pivoted, resolved, phraseFrames, notFrames, k)
+  }
 }
 
 object IndexSearch {

@@ -168,13 +168,15 @@ object Phrase {
     count
   }
 
-  /** Executor-side per-shard phrase top-k — top-level so the Spark closure
-    * captures only scalars + the phrase. `idfSum` is computed driver-side
-    * from the GLOBAL merged dfs (a shard only sees its own generations).
-    * `slop = 0` runs the exact consecutive-position counter; `slop > 0`
-    * the greedy ordered-proximity counter — identical leapfrog skeleton
-    * (a document still must contain every slot term). */
-  def shardTopK(avgdl: Double, k: Int, phrase: Seq[String], idfSum: Double,
+  /** Executor-side per-shard phrase scorer emitting EVERY matching doc —
+    * the composition primitive behind [[shardTopK]] and the query-string
+    * engine's phrase clauses (which need full per-doc phrase scores to sum
+    * with term clauses, not a pre-truncated page). Same leapfrog
+    * skeleton: `slop = 0` runs the exact consecutive-position counter;
+    * `slop > 0` the greedy ordered-proximity counter (a document still
+    * must contain every slot term). Matches per shard are bounded by the
+    * shard's doc range, so the buffer is shard-sized at worst. */
+  def shardScores(avgdl: Double, phrase: Seq[String], idfSum: Double,
       deleted: Array[Long] = null, slop: Int = 0)(
       shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
     val byTerm = rows.toArray.groupBy(_.term)
@@ -183,7 +185,7 @@ object Phrase {
     val cursors = phrase.map { t =>
       new PosCursor(byTerm(t).sortBy(_.firstDocId))
     }.toArray
-    val topk = new TopKHeap(k)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scored]
     var live = true
     while (live && !cursors.exists(_.exhausted)) {
       var target = 0L
@@ -206,12 +208,25 @@ object Phrase {
           else if (slop == 0) phraseTf(cursors)
           else phraseTfSlop(cursors, slop)
         if (ptf > 0)
-          topk.offer(target,
+          out += Scored(target,
             Bm25.score(idfSum, ptf.toDouble, cursors(0).dl.toDouble, avgdl))
         j = 0
         while (j < cursors.length) { cursors(j).advance(); j += 1 }
       }
     }
+    out.iterator
+  }
+
+  /** Executor-side per-shard phrase top-k — top-level so the Spark closure
+    * captures only scalars + the phrase. `idfSum` is computed driver-side
+    * from the GLOBAL merged dfs (a shard only sees its own generations).
+    * Selection = [[shardScores]] through a bounded heap. */
+  def shardTopK(avgdl: Double, k: Int, phrase: Seq[String], idfSum: Double,
+      deleted: Array[Long] = null, slop: Int = 0)(
+      shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
+    val topk = new TopKHeap(k)
+    shardScores(avgdl, phrase, idfSum, deleted, slop)(shard, rows)
+      .foreach(s => topk.offer(s.docId, s.score))
     topk.result().iterator
   }
 }
