@@ -2512,6 +2512,30 @@ object SparkEntry {
     // oracle re-derives both expansions from the data with LIKE /
     // levenshtein). Brute and index-served share the SQL, so the gate
     // pins parse ≡ brute ≡ postings-composition ≡ DuckDB.
+    // match_phrase_prefix (search-as-you-type): "window s" — last term a
+    // prefix expanding to 4 corpus terms (scan/slow/small/sort), slop 1.
+    // The oracle derives the expansion with LIKE + the ascending cap, the
+    // union-slot positions with list_contains, and the df_union idf.
+    ("q_phrase_prefix", (s: SparkSession, dir: String) => {
+      graft.query.BruteForce.phrasePrefixScoreAll(docs(s, dir), "doc_id",
+          "text", Seq("window", "s"), slop = 1, maxExpansions = 4)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(desc("score"), col("docId"))
+        .limit(15)
+        .withColumnRenamed("docId", "doc_id")
+    }, Some(phrasePrefixSql("window", "s", slop = 1, cap = 4, k = 15,
+      withTf = true))),
+
+    ("q_phrase_prefix_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir)
+        .phrasePrefixScores(Seq("window", "s"), slop = 1, maxExpansions = 4)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(desc("score"), col("docId"))
+        .limit(15)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(phrasePrefixSql("window", "s", slop = 1, cap = 4, k = 15,
+      withTf = false))),
+
     ("q_query_string", (s: SparkSession, dir: String) => {
       graft.query.QueryString.topK(docs(s, dir), "doc_id", "text",
         queryStringGate, k = 15)
@@ -3608,6 +3632,49 @@ object SparkEntry {
        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
        |SELECT doc_id, round(sum(s), 4) AS score FROM scored GROUP BY 1
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** DuckDB replay of [[graft.query.BruteForce.phrasePrefixScoreAll]] for
+    * a 2-slot (exact, prefix) phrase: expansion = LIKE-derived ascending
+    * capped dictionary slice, last-slot positions = list_contains against
+    * the expansion list, the slop chain and BM25 as in phraseSlopSql, and
+    * the prefix slot's idf from df_union (docs containing ≥ 1 expansion
+    * term). `withTf = false` drops phrase_tf (the index-served form
+    * returns (doc_id, score) only). */
+  private def phrasePrefixSql(exact: String, prefix: String, slop: Int,
+      cap: Int, k: Int, withTf: Boolean): String = {
+    val tfCol = if (withTf) " ptf AS phrase_tf," else ""
+    s"""WITH tl AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | dl AS (SELECT doc_id, len(l) AS dl, l FROM tl),
+       | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       | exp AS (SELECT term FROM (SELECT DISTINCT unnest(l) AS term FROM tl)
+       |   WHERE term LIKE '$prefix%' ORDER BY term LIMIT $cap),
+       | el AS (SELECT list(term ORDER BY term) AS el FROM exp),
+       | df0 AS (SELECT count(*) AS df FROM dl WHERE list_contains(l, '$exact')),
+       | dfu AS (SELECT count(*) AS df FROM dl, el
+       |   WHERE len(list_filter(l, t -> list_contains(el.el, t))) > 0),
+       | stats AS (SELECT
+       |   ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(df0.df AS DOUBLE)) + 0.5)
+       |     / (CAST(df0.df AS DOUBLE) + 0.5))
+       |   + ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(dfu.df AS DOUBLE)) + 0.5)
+       |     / (CAST(dfu.df AS DOUBLE) + 0.5)) AS idfsum,
+       |   CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE) AS avgdl
+       |   FROM g, df0, dfu),
+       | pos AS (SELECT doc_id, dl.dl AS dl,
+       |   list_filter(generate_series(1, len(l)), x -> l[x] = '$exact') AS parr0,
+       |   list_filter(generate_series(1, len(l)),
+       |     x -> list_contains(el.el, l[x])) AS parr1
+       |  FROM dl, el),
+       | ptfs AS (SELECT doc_id, dl,
+       |   len(list_filter(parr0,
+       |     p0 -> (list_filter(parr1, y -> y > (p0))[1]) - p0 - 1 <= $slop)) AS ptf
+       |   FROM pos)
+       |SELECT doc_id,$tfCol
+       | round(stats.idfsum * ((CAST(ptf AS DOUBLE) * 2.2) /
+       |   (CAST(ptf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |     (CAST(dl AS DOUBLE) / stats.avgdl)))), 4) AS score
+       |FROM ptfs, stats WHERE ptf > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 
   /** The query_string gate instance — every clause shape at once. */
   private val queryStringGate =

@@ -224,6 +224,122 @@ object BruteForce {
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
 
+  /** Brute-force `match_phrase_prefix` scorer (OpenSearch's
+    * search-as-you-type query; [[graft.query.IndexSearch.phrasePrefixTopK]]
+    * is the index-served form): the phrase's LAST term is a PREFIX — it
+    * expands against the corpus dictionary (ascending, capped at
+    * `maxExpansions`, the engine's expansion contract) and the last slot
+    * matches ANY expansion term. Slots 0..m−2 match exactly; `slop`
+    * stretches the chain with [[phraseSlopScoreAll]]'s greedy
+    * minimal-stretch semantics (slop = 0 = consecutive).
+    *
+    * Scoring: BM25 with tf = phrase_tf and idf = Σ exact-slot idfs +
+    * idf(df_union), where df_union = number of docs containing AT LEAST
+    * ONE expansion term — the prefix slot's actual selectivity (a
+    * per-expansion-term idf sum would inflate with the expansion size).
+    * Returns (docId, phrase_tf, score), matching docs only. */
+  def phrasePrefixScoreAll(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], slop: Int = 0, maxExpansions: Int = 50)
+      : DataFrame = {
+    require(phrase.length >= 2,
+      "match_phrase_prefix needs >= 2 slots (use a prefix query for 1)")
+    require(slop >= 0, "slop must be >= 0")
+    val exact = phrase.init.map(Analyzer.lowerLikeCatalyst)
+    val prefix = Analyzer.lowerLikeCatalyst(phrase.last)
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val withDl = docs.select(col(idCol).as("docId"),
+      Analyzer.tokensCol(col(textCol)).as("toks"))
+      .select(col("docId"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+
+    val (n, sumDl) =
+      withDl.agg(count(lit(1)), sum(col("dl"))).as[(Long, Long)].head()
+    val avgdl = sumDl.toDouble / n.toDouble
+
+    val terms = withDl
+      .select(col("docId"), explode(array_distinct(col("toks"))).as("term"))
+    val expansion = terms.select("term").distinct()
+      .filter(col("term").startsWith(prefix))
+      .as[String].collect().sorted.take(maxExpansions).toSeq
+    val empty = withDl.select(col("docId"), lit(0L).as("phrase_tf"),
+      lit(0.0).as("score")).limit(0)
+    if (expansion.isEmpty) return empty
+
+    val dfMap = terms.where(col("term").isin(exact.distinct: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val dfUnion = terms.where(col("term").isin(expansion: _*))
+      .select("docId").distinct().count()
+    val idfSum = exact.map(t => Bm25.idf(n, dfMap.getOrElse(t, 0L))).sum +
+      Bm25.idf(n, dfUnion)
+
+    val (ex, sl) = (exact.toArray, slop)
+    val expSet = new java.util.HashSet[String](
+      scala.jdk.CollectionConverters.SeqHasAsJava(expansion).asJava)
+    val ptfKernel = udf { (toks: Seq[String]) =>
+      if (toks == null) 0L else BruteForce.prefixPhraseTf(toks, ex, expSet, sl)
+    }
+    withDl.select(col("docId"), ptfKernel(col("toks")).as("phrase_tf"),
+        col("dl"))
+      .where(col("phrase_tf") > 0)
+      .select(col("docId"), col("phrase_tf"),
+        (lit(idfSum) * ((col("phrase_tf").cast("double") * lit(2.2)) /
+          (col("phrase_tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))))
+          .as("score"))
+  }
+
+  /** Prefix-phrase top-k: (docId, phrase_tf, score), ordered
+    * (score desc, docId asc), k rows. */
+  def phrasePrefixTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], slop: Int, k: Int, maxExpansions: Int = 50)
+      : DataFrame =
+    phrasePrefixScoreAll(docs, idCol, textCol, phrase, slop, maxExpansions)
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+
+  /** One-pass prefix-phrase match counter: per-slot ascending position
+    * lists (last slot = any expansion-set member) feed the SHARED counting
+    * kernels ([[Phrase.phraseTfArrs]]/[[Phrase.phraseTfSlopArrs]]) — the
+    * index path counts over identical arrays decoded from positional
+    * postings. */
+  private[query] def prefixPhraseTf(toks: Seq[String], exact: Array[String],
+      exp: java.util.HashSet[String], slop: Int): Long = {
+    val byTerm = new java.util.HashMap[String, java.util.ArrayList[Long]]()
+    exact.foreach(t =>
+      byTerm.putIfAbsent(t, new java.util.ArrayList[Long]()))
+    val lastList = new java.util.ArrayList[Long]()
+    var i = 0
+    val it = toks.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      val l = byTerm.get(t)
+      if (l != null) l.add(i.toLong)
+      if (exp.contains(t)) lastList.add(i.toLong)
+      i += 1
+    }
+    if (lastList.isEmpty) return 0L
+    val arrs = new Array[(Array[Long], Int, Int)](exact.length + 1)
+    var j = 0
+    while (j < exact.length) {
+      val l = byTerm.get(exact(j))
+      if (l.isEmpty) return 0L
+      val a = new Array[Long](l.size())
+      var q = 0
+      while (q < a.length) { a(q) = l.get(q); q += 1 }
+      arrs(j) = (a, 0, a.length)
+      j += 1
+    }
+    val last = new Array[Long](lastList.size())
+    var q = 0
+    while (q < last.length) { last(q) = lastList.get(q); q += 1 }
+    arrs(exact.length) = (last, 0, last.length)
+    if (slop == 0) Phrase.phraseTfArrs(arrs)
+    else Phrase.phraseTfSlopArrs(arrs, slop)
+  }
+
   /** Greedy minimal-stretch ordered match count over one token list —
     * the [[phraseSlopScoreAll]] kernel. Per-slot ascending position lists
     * come from one pass over `toks`; each slot keeps a monotone pointer

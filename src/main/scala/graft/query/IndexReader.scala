@@ -193,10 +193,10 @@ final class IndexReader(spark: SparkSession, val indexDir: String) {
       .toDF("docId", "score")
   }
 
-  private def phrasePrep(phrase: Seq[String], slop: Int)
-      : (Dataset[SegmentRead], Double) = {
-    require(slop >= 0, "slop must be >= 0")
-    require(phrase.nonEmpty, "empty phrase")
+  /** Refuse loudly on a positions-less index (every generation's manifest
+    * must record positions = true) — silent empty phrase matches would be
+    * a wrong answer, not a degraded one. */
+  private[query] def requirePositions(): Unit =
     gens.foreach { case (g, d) =>
       val p = graft.index.Manifest.read(d, "postings")
         .flatMap(_.params.get("positions"))
@@ -204,6 +204,12 @@ final class IndexReader(spark: SparkSession, val indexDir: String) {
         s"gen-$g at $d was built without positions — rebuild/append with " +
           "IndexParams(positions = true) to serve phrase queries")
     }
+
+  private def phrasePrep(phrase: Seq[String], slop: Int)
+      : (Dataset[SegmentRead], Double) = {
+    require(slop >= 0, "slop must be >= 0")
+    require(phrase.nonEmpty, "empty phrase")
+    requirePositions()
     val seg = segmentsFor(phrase.distinct)
     val dfByTerm = mergedDfMap(seg)
     // slot-summed idf from GLOBAL dfs (duplicated slot terms count per

@@ -445,6 +445,53 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
       .agg(count(lit(1)).as("doc_count"))
   }
 
+  /** `match_phrase_prefix` served from positional postings (OpenSearch's
+    * search-as-you-type query): the phrase's LAST term is a prefix,
+    * expanded against termstats/ (ascending, capped at `maxExpansions`);
+    * the shard kernel leapfrogs on the exact slots and the last slot's
+    * per-doc positions are the merged union of the expansion cursors'.
+    * Scoring = BM25 with idf = Σ exact-slot idfs + idf(df_union), df_union
+    * = visible docs containing ≥ 1 expansion term (semantics and brute
+    * oracle: [[BruteForce.phrasePrefixScoreAll]]; on a tombstoned index
+    * df_union excludes deletes while per-slot dfs Lucene-style keep them
+    * until compaction). Result (docId, score), k rows, (score desc,
+    * docId asc). */
+  def phrasePrefixTopK(phrase: Seq[String], k: Int, slop: Int = 0,
+      maxExpansions: Int = 50): DataFrame =
+    phrasePrefixScores(phrase, slop, maxExpansions)
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+
+  /** EVERY matching doc's match_phrase_prefix score, untruncated — the
+    * [[phrasePrefixTopK]] body without selection (callers that re-rank on
+    * rounded scores, like the oracle gates, need the full match set). */
+  def phrasePrefixScores(phrase: Seq[String], slop: Int = 0,
+      maxExpansions: Int = 50): DataFrame = {
+    require(phrase.length >= 2,
+      "match_phrase_prefix needs >= 2 slots (use prefixTopK for 1)")
+    require(slop >= 0, "slop must be >= 0")
+    reader.requirePositions()
+    val exact = phrase.init.map(Analyzer.lowerLikeCatalyst)
+    val prefix = Analyzer.lowerLikeCatalyst(phrase.last)
+    val expansion = termStats.filter(col("term").startsWith(prefix))
+      .select("term").as[String].collect().sorted.take(maxExpansions).toSeq
+    if (expansion.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("docId", "score")
+    val dfUnion = matchingDocIds(expansion).count()
+    val seg = reader.segmentsFor((exact ++ expansion).distinct)
+    val dfByTerm = reader.mergedDfMap(seg)
+    val n = reader.globals.n
+    val idfSum = exact.map(t => Bm25.idf(n, dfByTerm.getOrElse(t, 0L))).sum +
+      Bm25.idf(n, dfUnion)
+    val (avgdl, ex, exp, sl) = (reader.globals.avgdl, exact, expansion, slop)
+    val del = reader.deletedBc
+    val perShard = seg.groupByKey(_.shard)
+      .flatMapGroups((shard: Long, rows: Iterator[SegmentRead]) =>
+        Phrase.shardPrefixScores(avgdl, ex, exp, idfSum, del.value, sl)(
+          shard, rows))
+    perShard.toDF("docId", "score")
+  }
+
   /** Per-(doc, term) BM25 contributions decoded straight from the
     * bucket-pruned postings — (docId, term, score), one row per posting,
     * tombstoned docs excluded. The composition primitive behind

@@ -110,6 +110,15 @@ object Phrase {
     val arrs = new Array[(Array[Long], Int, Int)](m)
     var j = 0
     while (j < m) { arrs(j) = cursors(j).positions(); j += 1 }
+    phraseTfArrs(arrs)
+  }
+
+  /** [[phraseTf]] over raw (positions, from, until) slot views — shared
+    * with the match_phrase_prefix path, whose last slot is a MERGED union
+    * of expansion terms' positions rather than one cursor's. */
+  private[query] def phraseTfArrs(arrs: Array[(Array[Long], Int, Int)])
+      : Long = {
+    val m = arrs.length
     val (p0, f0, u0) = arrs(0)
     val ptr = Array.tabulate(m)(j => arrs(j)._2)
     var count = 0L
@@ -117,7 +126,7 @@ object Phrase {
     while (a < u0) {
       val want0 = p0(a)
       var ok = true
-      j = 1
+      var j = 1
       while (ok && j < m) {
         val (pj, _, uj) = arrs(j)
         val want = want0 + j
@@ -146,6 +155,13 @@ object Phrase {
     val arrs = new Array[(Array[Long], Int, Int)](m)
     var j = 0
     while (j < m) { arrs(j) = cursors(j).positions(); j += 1 }
+    phraseTfSlopArrs(arrs, slop)
+  }
+
+  /** [[phraseTfSlop]] over raw slot views (see [[phraseTfArrs]]). */
+  private[query] def phraseTfSlopArrs(arrs: Array[(Array[Long], Int, Int)],
+      slop: Int): Long = {
+    val m = arrs.length
     val (p0, f0, u0) = arrs(0)
     val ptr = Array.tabulate(m)(j => arrs(j)._2)
     var count = 0L
@@ -153,7 +169,7 @@ object Phrase {
     while (a < u0) {
       var prev = p0(a)
       var ok = true
-      j = 1
+      var j = 1
       while (ok && j < m) {
         val (pj, _, uj) = arrs(j)
         var q = ptr(j)
@@ -228,5 +244,91 @@ object Phrase {
     shardScores(avgdl, phrase, idfSum, deleted, slop)(shard, rows)
       .foreach(s => topk.offer(s.docId, s.score))
     topk.result().iterator
+  }
+
+  /** Executor-side per-shard match_phrase_prefix scorer: slots
+    * `exact` match their terms, the LAST slot matches ANY `expansion`
+    * term — its position list per document is the MERGED union of the
+    * expansion cursors' positions. Leapfrog drives on the exact slots
+    * (every doc must contain them all); expansion cursors advance to each
+    * aligned target and only contributors' payloads decode. Emits every
+    * matching doc (selection is the caller's heap/TakeOrdered). */
+  def shardPrefixScores(avgdl: Double, exact: Seq[String],
+      expansion: Seq[String], idfSum: Double, deleted: Array[Long] = null,
+      slop: Int = 0)(
+      shard: Long, rows: Iterator[SegmentRead]): Iterator[Scored] = {
+    require(exact.nonEmpty,
+      "match_phrase_prefix needs >= 1 exact slot (use a prefix query for 1-term)")
+    val byTerm = rows.toArray.groupBy(_.term)
+    if (exact.distinct.exists(t => !byTerm.contains(t))) return Iterator.empty
+    val expTerms = expansion.distinct.sorted.filter(byTerm.contains)
+    if (expTerms.isEmpty) return Iterator.empty
+    val cursors = exact.map { t =>
+      new PosCursor(byTerm(t).sortBy(_.firstDocId))
+    }.toArray
+    val expCursors = expTerms.map { t =>
+      new PosCursor(byTerm(t).sortBy(_.firstDocId))
+    }.toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scored]
+    var live = true
+    while (live && !cursors.exists(_.exhausted)) {
+      var target = 0L
+      var j = 0
+      while (j < cursors.length) {
+        if (cursors(j).curDoc > target) target = cursors(j).curDoc
+        j += 1
+      }
+      var aligned = true
+      j = 0
+      while (j < cursors.length) {
+        cursors(j).advanceTo(target)
+        if (cursors(j).exhausted) { aligned = false; live = false }
+        else if (cursors(j).curDoc != target) aligned = false
+        j += 1
+      }
+      if (aligned) {
+        if (!IndexReader.isDeleted(deleted, target)) {
+          // merged ascending union of the expansion terms' positions
+          var total = 0
+          val slices = new Array[(Array[Long], Int, Int)](expCursors.length)
+          j = 0
+          while (j < expCursors.length) {
+            expCursors(j).advanceTo(target)
+            if (!expCursors(j).exhausted && expCursors(j).curDoc == target) {
+              val s = expCursors(j).positions()
+              slices(j) = s
+              total += s._3 - s._2
+            }
+            j += 1
+          }
+          if (total > 0) {
+            val merged = new Array[Long](total)
+            var w = 0
+            j = 0
+            while (j < slices.length) {
+              val s = slices(j)
+              if (s != null) {
+                var q = s._2
+                while (q < s._3) { merged(w) = s._1(q); w += 1; q += 1 }
+              }
+              j += 1
+            }
+            java.util.Arrays.sort(merged)
+            val arrs = new Array[(Array[Long], Int, Int)](cursors.length + 1)
+            j = 0
+            while (j < cursors.length) { arrs(j) = cursors(j).positions(); j += 1 }
+            arrs(cursors.length) = (merged, 0, merged.length)
+            val ptf =
+              if (slop == 0) phraseTfArrs(arrs) else phraseTfSlopArrs(arrs, slop)
+            if (ptf > 0)
+              out += Scored(target,
+                Bm25.score(idfSum, ptf.toDouble, cursors(0).dl.toDouble, avgdl))
+          }
+        }
+        j = 0
+        while (j < cursors.length) { cursors(j).advance(); j += 1 }
+      }
+    }
+    out.iterator
   }
 }
