@@ -2536,6 +2536,40 @@ object SparkEntry {
     }, Some(phrasePrefixSql("window", "s", slop = 1, cap = 4, k = 15,
       withTf = false))),
 
+    // rescore: primary BM25 window of 30, phrase re-rank at 2x weight —
+    // the oracle replays window selection on rounded primary scores, the
+    // slop-phrase chain, and the total-mode combination
+    ("q_rescore", (s: SparkSession, dir: String) => {
+      graft.query.Search.rescoreTopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "merge"), Seq("window", "sort"), slop = 1,
+        windowSize = 30, k = 15, queryWeight = 1.0, rescoreWeight = 2.0)
+    }, Some(rescoreSql(Seq("merge", "spark"), 30, 15, 2.0))),
+
+    ("q_rescore_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir)
+        .rescoreTopK(Seq("spark", "merge"), Seq("window", "sort"), slop = 1,
+          windowSize = 30, k = 15, queryWeight = 1.0, rescoreWeight = 2.0)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(rescoreSql(Seq("merge", "spark"), 30, 15, 2.0))),
+
+    // function_score / field_value_factor: BM25 × ln(1 + 0.001·n_chars)
+    ("q_function_score", (s: SparkSession, dir: String) => {
+      graft.query.Search.fieldValueFactorTopK(docs(s, dir), "doc_id",
+        "text", Seq("spark", "merge"), "n_chars", factor = 0.001,
+        modifier = "ln1p", k = 15)
+    }, Some(fvfSql(Seq("merge", "spark"), 0.001, 15))),
+
+    ("q_function_score_indexed", (s: SparkSession, dir: String) => {
+      val meta = s.read.parquet(s"${docIndexDir(s, dir)}/docs")
+        .select(col("docId"),
+          expr("CAST(substring(url, 2) AS BIGINT)").as("doc_id"))
+        .join(docs(s, dir).select("doc_id", "n_chars"), "doc_id")
+        .select("docId", "n_chars")
+      docIndexSearch(s, dir).fieldValueFactorTopK(Seq("spark", "merge"),
+          meta, "n_chars", factor = 0.001, modifier = "ln1p", k = 15)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(fvfSql(Seq("merge", "spark"), 0.001, 15))),
+
     ("q_query_string", (s: SparkSession, dir: String) => {
       graft.query.QueryString.topK(docs(s, dir), "doc_id", "text",
         queryStringGate, k = 15)
@@ -3674,6 +3708,60 @@ object SparkEntry {
        |     (CAST(dl AS DOUBLE) / stats.avgdl)))), 4) AS score
        |FROM ptfs, stats WHERE ptf > 0
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.query.Search.rescoreTopK]] (score_mode
+    * total, phrase ["window","sort"] slop 1): window = top-N by rounded
+    * primary BM25, phrase scores join the window only, combined rounds
+    * once. */
+  private def rescoreSql(terms0: Seq[String], window: Int, k: Int,
+      rw: Double): String = {
+    val termList = terms0.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""${bm25ScoredCtes(termList)},
+       | win AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+       |   GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $window),
+       | tl AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | pdl AS (SELECT doc_id, len(l) AS pdl, l FROM tl),
+       | pdfs AS (SELECT
+       |   (SELECT count(*) FROM pdl WHERE list_contains(l, 'window')) AS df0,
+       |   (SELECT count(*) FROM pdl WHERE list_contains(l, 'sort')) AS df1),
+       | pstats AS (SELECT
+       |   ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(pdfs.df0 AS DOUBLE)) + 0.5)
+       |     / (CAST(pdfs.df0 AS DOUBLE) + 0.5))
+       |   + ln(1.0 + ((CAST(g.n AS DOUBLE) - CAST(pdfs.df1 AS DOUBLE)) + 0.5)
+       |     / (CAST(pdfs.df1 AS DOUBLE) + 0.5)) AS idfsum,
+       |   CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE) AS avgdl
+       |   FROM g, pdfs),
+       | pos AS (SELECT doc_id, pdl.pdl AS pdl,
+       |   list_filter(generate_series(1, len(l)), x -> l[x] = 'window') AS parr0,
+       |   list_filter(generate_series(1, len(l)), x -> l[x] = 'sort') AS parr1
+       |  FROM pdl),
+       | ptfs AS (SELECT doc_id, pdl,
+       |   len(list_filter(parr0,
+       |     p0 -> (list_filter(parr1, y -> y > (p0))[1]) - p0 - 1 <= 1)) AS ptf
+       |   FROM pos),
+       | ph AS (SELECT doc_id,
+       |   pstats.idfsum * ((CAST(ptf AS DOUBLE) * 2.2) / (CAST(ptf AS DOUBLE)
+       |     + 1.2 * (0.25 + 0.75 * (CAST(pdl AS DOUBLE) / pstats.avgdl)))) AS s_ph
+       |  FROM ptfs, pstats WHERE ptf > 0)
+       |SELECT win.doc_id,
+       | round(1.0 * win.score + $rw * coalesce(ph.s_ph, 0), 4) AS score
+       |FROM win LEFT JOIN ph ON win.doc_id = ph.doc_id
+       |ORDER BY score DESC, win.doc_id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.query.Search.fieldValueFactorTopK]] with
+    * the ln1p modifier: per-doc BM25 sum × ln(1 + factor·n_chars),
+    * rounded once. */
+  private def fvfSql(terms0: Seq[String], factor: Double, k: Int): String = {
+    val termList = terms0.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""${bm25ScoredCtes(termList)},
+       | per AS (SELECT doc_id, sum(s) AS score FROM scored GROUP BY 1)
+       |SELECT per.doc_id,
+       | round(per.score * ln(1.0 + $factor
+       |   * coalesce(CAST(d.n_chars AS DOUBLE), 0.0)), 4) AS score
+       |FROM per JOIN documents d ON per.doc_id = d.doc_id
+       |ORDER BY score DESC, per.doc_id LIMIT $k""".stripMargin
   }
 
   /** The query_string gate instance — every clause shape at once. */

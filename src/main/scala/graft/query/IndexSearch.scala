@@ -492,6 +492,49 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     perShard.toDF("docId", "score")
   }
 
+  /** Query rescoring served from the index (OpenSearch `rescore`): the
+    * primary window is [[boolTopK]]'s postings-scored rounded ranking,
+    * the secondary phrase scores come from positional postings and join
+    * ONLY the window (window-many rows). Semantics identical to
+    * [[Search.rescoreTopK]]. */
+  def rescoreTopK(queryTerms: Seq[String], phrase: Seq[String], slop: Int,
+      windowSize: Int, k: Int, queryWeight: Double = 1.0,
+      rescoreWeight: Double = 1.0, scoreMode: String = "total"): DataFrame = {
+    require(k <= windowSize, "k must be <= windowSize (page is the window)")
+    val window = boolTopK(Nil, queryTerms, Nil, windowSize)
+    val ph = reader.phraseScores(phrase.map(Analyzer.lowerLikeCatalyst), slop)
+      .withColumnRenamed("score", "_ph")
+    window.join(ph, Seq("docId"), "left_outer")
+      .select(col("docId"),
+        Search.rescoreCombine(col("score"), col("_ph"), queryWeight,
+          rescoreWeight, scoreMode).as("score"))
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+  }
+
+  /** function_score / field_value_factor served from the index: BM25 from
+    * postings ([[termScores]] pivoted into the brute fold order), field
+    * values from a docId-keyed dimension frame. Semantics identical to
+    * [[Search.fieldValueFactorTopK]]. */
+  def fieldValueFactorTopK(queryTerms: Seq[String], meta: DataFrame,
+      valueCol: String, factor: Double, modifier: String, k: Int)
+      : DataFrame = {
+    val terms = norm(queryTerms).distinct.sorted
+    val pivoted = termScores(terms).groupBy("docId")
+      .pivot("term", terms).agg(first(col("score")))
+    val total = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val m = meta.select(col("docId"), col(valueCol).cast("double").as("_fv"))
+    pivoted.select(col("docId"), total.as("score"))
+      .join(m, Seq("docId"), "left_outer")
+      .select(col("docId"),
+        round(col("score") * Search.fvfModifier(
+          lit(factor) * coalesce(col("_fv"), lit(0.0)), modifier), 4)
+          .as("score"))
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+  }
+
   /** Per-(doc, term) BM25 contributions decoded straight from the
     * bucket-pruned postings — (docId, term, score), one row per posting,
     * tombstoned docs excluded. The composition primitive behind

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -339,4 +339,90 @@ object Search {
       .orderBy(desc("jlh"), col("term"))
       .limit(n)
   }
+
+  /** Combine a primary and a secondary score per the OpenSearch `rescore`
+    * `score_mode` contract. Primary enters ROUNDED (it is the ranking the
+    * window was selected on); secondary enters raw and the combination
+    * rounds once. */
+  private[query] def rescoreCombine(primary: Column, secondary: Column,
+      queryWeight: Double, rescoreWeight: Double, scoreMode: String)
+      : Column = {
+    val p = lit(queryWeight) * primary
+    val s = lit(rescoreWeight) * coalesce(secondary, lit(0.0))
+    val c = scoreMode match {
+      case "total" => p + s
+      case "multiply" => p * s
+      case "max" => greatest(p, s)
+      case "avg" => (p + s) / lit(2.0)
+      case other => throw new IllegalArgumentException(
+        s"unknown score_mode: $other")
+    }
+    round(c, 4)
+  }
+
+  /** Query rescoring (OpenSearch `rescore`): rank by the primary BM25
+    * query, then re-rank ONLY the top `windowSize` docs with a secondary
+    * phrase query — combined = query_weight × primary + rescore_weight ×
+    * phrase (score_mode total; multiply/max/avg supported). Docs outside
+    * the window keep their primary order BELOW every window doc (the
+    * returned page is capped at the window, OpenSearch's contract when
+    * k ≤ window — enforced here). The expensive phrase scorer touches
+    * window-many docs, not the corpus: exactly why rescore exists. */
+  def rescoreTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], phrase: Seq[String], slop: Int,
+      windowSize: Int, k: Int, queryWeight: Double = 1.0,
+      rescoreWeight: Double = 1.0, scoreMode: String = "total"): DataFrame = {
+    require(k <= windowSize, "k must be <= windowSize (page is the window)")
+    val terms = queryTerms.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val window = BruteForce.scoreAll(docs, idCol, textCol, terms)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(desc("score"), col("docId"))
+      .limit(windowSize)
+    val ph = BruteForce.phraseSlopScoreAll(docs, idCol, textCol,
+        phrase.map(Analyzer.lowerLikeCatalyst), slop)
+      .select(col("docId"), col("score").as("_ph"))
+    window.join(ph, Seq("docId"), "left_outer")
+      .select(col("docId"),
+        rescoreCombine(col("score"), col("_ph"), queryWeight,
+          rescoreWeight, scoreMode).as("score"))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", idCol)
+  }
+
+  /** function_score / field_value_factor (OpenSearch): final score =
+    * BM25 × modifier(factor × field). Modifiers: none, log1p, ln1p, sqrt,
+    * square, reciprocal — the well-defined subset (log1p = log10(1+x),
+    * Lucene's table). The field is `valueCol` of the docs table itself
+    * (the index-served form takes a docId-keyed dimension instead); null
+    * field → factor term 0. */
+  def fieldValueFactorTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], valueCol: String,
+      factor: Double, modifier: String, k: Int): DataFrame = {
+    val terms = queryTerms.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val scored = BruteForce.scoreAll(docs, idCol, textCol, terms)
+    val m = docs.select(col(idCol).as("docId"),
+      col(valueCol).cast("double").as("_fv"))
+    scored.join(m, Seq("docId"), "left_outer")
+      .select(col("docId"),
+        round(col("score") * fvfModifier(
+          lit(factor) * coalesce(col("_fv"), lit(0.0)), modifier), 4)
+          .as("score"))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+      .withColumnRenamed("docId", idCol)
+  }
+
+  /** The field_value_factor modifier table (shared brute/index). */
+  private[query] def fvfModifier(x: Column, modifier: String): Column =
+    modifier match {
+      case "none" => x
+      case "log1p" => log(10.0, lit(1.0) + x)
+      case "ln1p" => log(lit(1.0) + x)
+      case "sqrt" => sqrt(x)
+      case "square" => x * x
+      case "reciprocal" => lit(1.0) / x
+      case other => throw new IllegalArgumentException(
+        s"unknown field_value_factor modifier: $other")
+    }
 }
