@@ -2536,6 +2536,41 @@ object SparkEntry {
     }, Some(phrasePrefixSql("window", "s", slop = 1, cap = 4, k = 15,
       withTf = false))),
 
+    // percentiles / histogram / cardinality aggregations beside a query —
+    // exact interpolated quantiles, fixed-interval buckets, and the KMV
+    // bottom-k estimator (replayed hash-for-hash) over the match set
+    ("q_match_percentiles", (s: SparkSession, dir: String) => {
+      graft.query.Search.matchPercentiles(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window"), "n_chars", Seq(0.25, 0.5, 0.9, 0.99))
+    }, Some(matchPercentilesSql(Seq("spark", "window"),
+      Seq(0.25, 0.5, 0.9, 0.99)))),
+
+    ("q_match_percentiles_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir).matchPercentiles(Seq("spark", "window"),
+        indexMeta(s, dir, "n_chars"), "n_chars", Seq(0.25, 0.5, 0.9, 0.99))
+    }, Some(matchPercentilesSql(Seq("spark", "window"),
+      Seq(0.25, 0.5, 0.9, 0.99)))),
+
+    ("q_match_histogram", (s: SparkSession, dir: String) => {
+      graft.query.Search.matchHistogram(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window"), "n_chars", interval = 100.0)
+    }, Some(matchHistogramSql(Seq("spark", "window"), 100.0))),
+
+    ("q_match_histogram_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir).matchHistogram(Seq("spark", "window"),
+        indexMeta(s, dir, "n_chars"), "n_chars", interval = 100.0)
+    }, Some(matchHistogramSql(Seq("spark", "window"), 100.0))),
+
+    ("q_match_cardinality", (s: SparkSession, dir: String) => {
+      graft.query.Search.matchCardinality(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window"), "n_chars", k = 16)
+    }, Some(matchCardinalitySql(Seq("spark", "window"), 16))),
+
+    ("q_match_cardinality_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir).matchCardinality(Seq("spark", "window"),
+        indexMeta(s, dir, "n_chars"), "n_chars", k = 16)
+    }, Some(matchCardinalitySql(Seq("spark", "window"), 16))),
+
     // rescore: primary BM25 window of 30, phrase re-rank at 2x weight —
     // the oracle replays window selection on rounded primary scores, the
     // slop-phrase chain, and the total-mode combination
@@ -2560,13 +2595,9 @@ object SparkEntry {
     }, Some(fvfSql(Seq("merge", "spark"), 0.001, 15))),
 
     ("q_function_score_indexed", (s: SparkSession, dir: String) => {
-      val meta = s.read.parquet(s"${docIndexDir(s, dir)}/docs")
-        .select(col("docId"),
-          expr("CAST(substring(url, 2) AS BIGINT)").as("doc_id"))
-        .join(docs(s, dir).select("doc_id", "n_chars"), "doc_id")
-        .select("docId", "n_chars")
       docIndexSearch(s, dir).fieldValueFactorTopK(Seq("spark", "merge"),
-          meta, "n_chars", factor = 0.001, modifier = "ln1p", k = 15)
+          indexMeta(s, dir, "n_chars"), "n_chars", factor = 0.001,
+          modifier = "ln1p", k = 15)
         .transform(indexIdsToDocIds(s, dir))
     }, Some(fvfSql(Seq("merge", "spark"), 0.001, 15))),
 
@@ -3230,6 +3261,17 @@ object SparkEntry {
       .orderBy(desc("score"), col("doc_id"))
   }
 
+  /** docId-keyed dimension for the indexed agg gates: the docs/ artifact's
+    * (docId, doc_id via zero-padded url) joined to one documents-table
+    * value column — the corpus text is never re-read. */
+  private def indexMeta(s: SparkSession, dir: String,
+      valueCol: String): DataFrame =
+    s.read.parquet(s"${docIndexDir(s, dir)}/docs")
+      .select(col("docId"),
+        expr("CAST(substring(url, 2) AS BIGINT)").as("doc_id"))
+      .join(docs(s, dir).select("doc_id", valueCol), "doc_id")
+      .select("docId", valueCol)
+
   /** Index docId of a documents-table doc_id (query construction: one
     * pushed-predicate lookup on the docs/ artifact). */
   private def indexIdOf(s: SparkSession, dir: String, docId: Long): Long =
@@ -3709,6 +3751,53 @@ object SparkEntry {
        |FROM ptfs, stats WHERE ptf > 0
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** Shared match-set CTE prefix: `m` = distinct doc_ids containing any
+    * query term, `mv` = their documents rows. */
+  private def matchSetCtes(terms0: Seq[String]): String = {
+    val termList = terms0.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       | m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ($termList)),
+       | mv AS (SELECT d.* FROM documents d JOIN m USING (doc_id))""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.query.Search.matchPercentiles]]:
+    * quantile_cont shares Spark percentile's rank = p·(n−1) continuous
+    * interpolation. */
+  private def matchPercentilesSql(terms0: Seq[String], ps: Seq[Double])
+      : String = {
+    val branches = ps.map(p =>
+      s"SELECT CAST($p AS DOUBLE) AS pct, round(quantile_cont(n_chars, $p), 6) AS value FROM mv")
+    s"""${matchSetCtes(terms0)}
+       |${branches.mkString("", "\nUNION ALL ", "")}
+       |ORDER BY pct""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.query.Search.matchHistogram]]. */
+  private def matchHistogramSql(terms0: Seq[String], interval: Double)
+      : String =
+    s"""${matchSetCtes(terms0)}
+       |SELECT floor(CAST(n_chars AS DOUBLE) / $interval) * $interval AS bucket,
+       | count(*) AS doc_count
+       |FROM mv GROUP BY 1""".stripMargin
+
+  /** DuckDB replay of [[graft.query.Search.matchCardinality]]: the KMV
+    * bottom-k estimator hash-for-hash (q_kmv_distinct's replay, single
+    * bucket, over the match set). */
+  private def matchCardinalitySql(terms0: Seq[String], k: Int): String =
+    s"""${matchSetCtes(terms0)},
+       | h AS (SELECT DISTINCT substr(md5(CAST(n_chars AS VARCHAR)), 1, 16) AS hv
+       |   FROM mv),
+       | r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+       | kth AS (SELECT max(CASE WHEN rn = $k THEN hv END) AS uk,
+       |   CAST(count(*) AS INT) AS sketch_size FROM r WHERE rn <= $k),
+       | ex AS (SELECT count(DISTINCT n_chars) AS exact_distinct FROM mv)
+       |SELECT kth.sketch_size,
+       | CASE WHEN kth.sketch_size < $k THEN CAST(kth.sketch_size AS DOUBLE)
+       |      ELSE round(${(k - 1).toDouble} / (('0x' || kth.uk)::UBIGINT::DOUBLE
+       |                    / 18446744073709551616.0), 4) END AS est_distinct,
+       | ex.exact_distinct
+       |FROM kth, ex""".stripMargin
 
   /** DuckDB replay of [[graft.query.Search.rescoreTopK]] (score_mode
     * total, phrase ["window","sort"] slop 1): window = top-N by rounded

@@ -412,6 +412,44 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
       .limit(n)
   }
 
+  /** Percentiles aggregation served from the index: postings-decoded
+    * match docIds semi-join a docId-keyed `meta` frame; exact interpolated
+    * quantiles. Semantics identical to [[Search.matchPercentiles]]. */
+  def matchPercentiles(queryTerms: Seq[String], meta: DataFrame,
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "percentiles in [0,1]")
+    val arr = ps.mkString(", ")
+    meta.join(matchingDocIds(queryTerms), Seq("docId"), "left_semi")
+      .agg(expr(s"percentile($valueCol, array($arr))").as("q"))
+      .select(posexplode(col("q")).as(Seq("pos", "value")))
+      .select(element_at(array(ps.map(lit): _*), col("pos") + 1).as("pct"),
+        round(col("value"), 6).as("value"))
+      .orderBy("pct")
+  }
+
+  /** Fixed-interval numeric histogram served from the index. Semantics
+    * identical to [[Search.matchHistogram]]. */
+  def matchHistogram(queryTerms: Seq[String], meta: DataFrame,
+      valueCol: String, interval: Double): DataFrame = {
+    require(interval > 0, "interval must be > 0")
+    meta.join(matchingDocIds(queryTerms), Seq("docId"), "left_semi")
+      .groupBy((floor(col(valueCol).cast("double") / interval) *
+        interval).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+  }
+
+  /** Cardinality (KMV) aggregation served from the index. Semantics
+    * identical to [[Search.matchCardinality]]. */
+  def matchCardinality(queryTerms: Seq[String], meta: DataFrame,
+      valueCol: String, k: Int = 64): DataFrame = {
+    val m = meta.join(matchingDocIds(queryTerms), Seq("docId"), "left_semi")
+    val sk = graft.ops.Sketches.kmvEstimate(
+      graft.ops.Sketches.kmvSketch(m, Nil, valueCol, k), k)
+    sk.crossJoin(m.agg(countDistinct(col(valueCol)).as("exact_distinct")))
+      .select(col("sketch_size"), col("est_distinct"), col("exact_distinct"))
+  }
+
   /** Date-histogram aggregation over the match set (OpenSearch
     * `date_histogram` beside a query): matching docIds semi-join a
     * caller-supplied (docId, ts) metadata frame, truncate to the

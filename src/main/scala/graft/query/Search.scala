@@ -413,6 +413,63 @@ object Search {
       .withColumnRenamed("docId", idCol)
   }
 
+  /** Percentiles aggregation beside a query (OpenSearch `percentiles`,
+    * exact): continuous (linearly interpolated) quantiles of `valueCol`
+    * over the any-term match set — one row per requested percentile,
+    * (pct, value) with value rounded to 6. Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the rank = p·(n−1) interpolation, so
+    * the oracle replays bit-stably on integer inputs. */
+  def matchPercentiles(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], valueCol: String, ps: Seq[Double])
+      : DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "percentiles in [0,1]")
+    val m = matchSet(docs, idCol, textCol, queryTerms)
+    val arr = ps.mkString(", ")
+    m.agg(expr(s"percentile($valueCol, array($arr))").as("q"))
+      .select(posexplode(col("q")).as(Seq("pos", "value")))
+      .select(element_at(array(ps.map(lit): _*), col("pos") + 1).as("pct"),
+        round(col("value"), 6).as("value"))
+      .orderBy("pct")
+  }
+
+  /** Fixed-interval numeric histogram beside a query (OpenSearch
+    * `histogram` agg): bucket = floor(v / interval) · interval over the
+    * match set, empty buckets omitted (`min_doc_count: 1` semantics). */
+  def matchHistogram(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], valueCol: String, interval: Double)
+      : DataFrame = {
+    require(interval > 0, "interval must be > 0")
+    matchSet(docs, idCol, textCol, queryTerms)
+      .groupBy((floor(col(valueCol).cast("double") / interval) *
+        interval).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+  }
+
+  /** Cardinality aggregation beside a query (OpenSearch `cardinality`):
+    * KMV bottom-k estimate of distinct `valueCol` over the match set
+    * ([[graft.ops.Sketches]] — deterministic, engine-portable, exact below
+    * k), with the exact distinct count alongside so the gate pins the
+    * estimator against it. */
+  def matchCardinality(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], valueCol: String, k: Int = 64): DataFrame = {
+    val m = matchSet(docs, idCol, textCol, queryTerms)
+    val sk = graft.ops.Sketches.kmvEstimate(
+      graft.ops.Sketches.kmvSketch(m, Nil, valueCol, k), k)
+    sk.crossJoin(m.agg(countDistinct(col(valueCol)).as("exact_distinct")))
+      .select(col("sketch_size"), col("est_distinct"), col("exact_distinct"))
+  }
+
+  /** Docs matching ANY query term — the agg family's shared semi-join. */
+  private def matchSet(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val terms = queryTerms.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val matching = Analyzer.tokens(docs, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+      .select(col(idCol)).distinct()
+    docs.join(matching, Seq(idCol), "left_semi")
+  }
+
   /** The field_value_factor modifier table (shared brute/index). */
   private[query] def fvfModifier(x: Column, modifier: String): Column =
     modifier match {

@@ -354,6 +354,30 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(!served.exists(r => terms.contains(r._1)))
   }
 
+  test("matchPercentiles / matchHistogram / matchCardinality ≡ brute") {
+    val meta = docs.select(col("docId"),
+      (col("docId") * 7 % 101).cast("long").as("v"))
+    val bruteDocs = docs.join(meta, "docId")
+    val terms = Seq("w00002", "w00005")
+    val bp = Search.matchPercentiles(bruteDocs, "docId", "text", terms,
+      "v", Seq(0.1, 0.5, 0.95)).as[(Double, Double)].collect().toSeq
+    val ip = search.matchPercentiles(terms, meta, "v", Seq(0.1, 0.5, 0.95))
+      .as[(Double, Double)].collect().toSeq
+    assert(bp.size == 3 && ip == bp)
+    val bh = Search.matchHistogram(bruteDocs, "docId", "text", terms,
+      "v", 20.0).as[(Double, Long)].collect().toMap
+    val ih = search.matchHistogram(terms, meta, "v", 20.0)
+      .as[(Double, Long)].collect().toMap
+    assert(bh.nonEmpty && ih == bh)
+    assert(bh.values.sum == search.matchingDocIds(terms).count())
+    val bc = Search.matchCardinality(bruteDocs, "docId", "text", terms,
+      "v", k = 8).as[(Int, Double, Long)].collect().head
+    val ic = search.matchCardinality(terms, meta, "v", k = 8)
+      .as[(Int, Double, Long)].collect().head
+    assert(ic == bc)
+    assert(bc._1 == 8, "k=8 sketch should saturate on this fixture")
+  }
+
   test("rangeAgg: half-open buckets, unbounded tails, full coverage") {
     val meta = docs.select(col("docId"),
       (col("docId") % 100).cast("double").as("v"))
