@@ -49,7 +49,11 @@ object Bench {
     "q_ddb_cdc", "q_mongo_cdc", "q_sns_sink", "q_kafka_encode",
     "q_http_sink", "q_token_diversity", "q_chunk_passages", "q_sessionize",
     // late-r5: crawl-format decode, crawl curation, hybrid retrieval
-    "q_warc_decode", "q_robots_filter", "q_hybrid_rrf")
+    "q_warc_decode", "q_robots_filter", "q_hybrid_rrf",
+    // late-r5 search surface: slop phrase, search-as-you-type, the
+    // query_string mini-language (all index-served in their _indexed
+    // twins; the brute forms here bound the corpus-scan cost)
+    "q_phrase_slop", "q_phrase_prefix", "q_query_string", "q_rescore")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.
