@@ -2536,6 +2536,25 @@ object SparkEntry {
     }, Some(phrasePrefixSql("window", "s", slop = 1, cap = 4, k = 15,
       withTf = false))),
 
+    // terms + top_hits: biggest lang buckets of the match set, top docs
+    // per bucket by (rounded score, doc_id) — the oracle replays bucket
+    // selection and the per-bucket window
+    ("q_top_hits", (s: SparkSession, dir: String) => {
+      graft.query.Search.topHits(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window"), "lang", nBuckets = 3, perBucket = 5)
+    }, Some(topHitsSql(Seq("spark", "window"), 3, 5))),
+
+    ("q_top_hits_indexed", (s: SparkSession, dir: String) => {
+      val m = s.read.parquet(s"${docIndexDir(s, dir)}/docs")
+        .select(col("docId"),
+          expr("CAST(substring(url, 2) AS BIGINT)").as("doc_id"))
+      docIndexSearch(s, dir)
+        .topHits(Seq("spark", "window"), "lang", nBuckets = 3,
+          perBucket = 5)
+        .join(m, "docId")
+        .select("facet", "doc_count", "rnk", "doc_id", "score")
+    }, Some(topHitsSql(Seq("spark", "window"), 3, 5))),
+
     // percentiles / histogram / cardinality aggregations beside a query —
     // exact interpolated quantiles, fixed-interval buckets, and the KMV
     // bottom-k estimator (replayed hash-for-hash) over the match set
@@ -3750,6 +3769,30 @@ object SparkEntry {
        |     (CAST(dl AS DOUBLE) / stats.avgdl)))), 4) AS score
        |FROM ptfs, stats WHERE ptf > 0
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.query.Search.topHits]]: per-doc rounded
+    * BM25 sums joined to the facet column, the nBuckets biggest buckets
+    * (doc_count desc, facet), a per-bucket row_number window on
+    * (score desc, doc_id), rank ≤ perBucket. */
+  private def topHitsSql(terms0: Seq[String], nBuckets: Int,
+      perBucket: Int): String = {
+    val termList = terms0.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""${bm25ScoredCtes(termList)},
+       | per AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+       |   GROUP BY 1),
+       | sc AS (SELECT per.doc_id, per.score, d.lang AS facet
+       |   FROM per JOIN documents d USING (doc_id)),
+       | cnt AS (SELECT facet, count(*) AS doc_count FROM sc GROUP BY 1
+       |   ORDER BY doc_count DESC, facet LIMIT $nBuckets),
+       | rk AS (SELECT sc.facet, cnt.doc_count,
+       |   row_number() OVER (PARTITION BY sc.facet
+       |     ORDER BY sc.score DESC, sc.doc_id) AS rnk,
+       |   sc.doc_id, sc.score
+       |  FROM sc JOIN cnt USING (facet))
+       |SELECT facet, doc_count, rnk, doc_id, score FROM rk
+       |WHERE rnk <= $perBucket
+       |ORDER BY doc_count DESC, facet, rnk""".stripMargin
   }
 
   /** Shared match-set CTE prefix: `m` = distinct doc_ids containing any

@@ -412,6 +412,24 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
       .limit(n)
   }
 
+  /** top_hits inside a terms aggregation, served from the index: per-doc
+    * scores from the postings pivot (the brute fold order), facets from
+    * docs/ metadata — the corpus text is never read. Semantics identical
+    * to [[Search.topHits]]. */
+  def topHits(queryTerms: Seq[String], facetCol: String, nBuckets: Int,
+      perBucket: Int): DataFrame = {
+    val terms = norm(queryTerms).distinct.sorted
+    val pivoted = termScores(terms).groupBy("docId")
+      .pivot("term", terms).agg(first(col("score")))
+    val total = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val scored = pivoted
+      .select(col("docId"), round(total, 4).as("score"))
+      .join(docsMeta.select(col("docId"), col(facetCol).as("facet")),
+        "docId")
+    Search.topHitsShape(scored, nBuckets, perBucket)
+  }
+
   /** Percentiles aggregation served from the index: postings-decoded
     * match docIds semi-join a docId-keyed `meta` frame; exact interpolated
     * quantiles. Semantics identical to [[Search.matchPercentiles]]. */

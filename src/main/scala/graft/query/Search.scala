@@ -460,6 +460,42 @@ object Search {
       .select(col("sketch_size"), col("est_distinct"), col("exact_distinct"))
   }
 
+  /** top_hits inside a terms aggregation (OpenSearch `terms` +
+    * `top_hits`): bucket the match set by `facetCol`, keep the
+    * `nBuckets` biggest buckets (doc_count desc, facet asc — the terms
+    * agg's order), and inside each bucket the top `perBucket` docs by
+    * (rounded score desc, docId asc). Output (facet, doc_count, rnk,
+    * docId, score) — one row per returned hit. */
+  def topHits(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], facetCol: String, nBuckets: Int,
+      perBucket: Int): DataFrame = {
+    val terms = queryTerms.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val scored = BruteForce.scoreAll(docs, idCol, textCol, terms)
+      .withColumn("score", round(col("score"), 4))
+      .join(docs.select(col(idCol).as("docId"), col(facetCol).as("facet")),
+        "docId")
+    topHitsShape(scored, nBuckets, perBucket)
+      .withColumnRenamed("docId", idCol)
+  }
+
+  /** Shared bucket/rank shape behind the brute and index-served top_hits
+    * forms: input (docId, score, facet) for the whole match set. */
+  private[query] def topHitsShape(scored: DataFrame, nBuckets: Int,
+      perBucket: Int): DataFrame = {
+    val counts = scored.groupBy("facet")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(desc("doc_count"), col("facet"))
+      .limit(nBuckets)
+    val w = Window.partitionBy(col("facet"))
+      .orderBy(desc("score"), col("docId"))
+    scored.join(counts, "facet")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perBucket)
+      .select(col("facet"), col("doc_count"), col("rnk"),
+        col("docId"), col("score"))
+      .orderBy(desc("doc_count"), col("facet"), col("rnk"))
+  }
+
   /** Docs matching ANY query term — the agg family's shared semi-join. */
   private def matchSet(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String]): DataFrame = {

@@ -378,6 +378,21 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(bc._1 == 8, "k=8 sketch should saturate on this fixture")
   }
 
+  test("topHits ≡ brute: bucket selection, per-bucket ranks, scores") {
+    val terms = Seq("w00002", "w00005")
+    val brute = Search.topHits(docs, "docId", "text", terms, "lang",
+        nBuckets = 2, perBucket = 4)
+      .as[(String, Long, Int, Long, Double)].collect().toSeq
+    val served = search.topHits(terms, "lang", nBuckets = 2, perBucket = 4)
+      .as[(String, Long, Int, Long, Double)].collect().toSeq
+    assert(brute.nonEmpty)
+    assert(served == brute, s"topHits diverged:\n brute=$brute\n index=$served")
+    // ranks are dense 1..perBucket within each bucket
+    served.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted == (1 to rows.size))
+    }
+  }
+
   test("rangeAgg: half-open buckets, unbounded tails, full coverage") {
     val meta = docs.select(col("docId"),
       (col("docId") % 100).cast("double").as("v"))
