@@ -2536,6 +2536,57 @@ object SparkEntry {
     }, Some(phrasePrefixSql("window", "s", slop = 1, cap = 4, k = 15,
       withTf = false))),
 
+    // filters + adjacency_matrix aggregations: named term-filter buckets
+    // (empty kept at 0) and the pairwise co-occurrence matrix (zero
+    // buckets omitted, keys in declaration order)
+    ("q_filters_agg", (s: SparkSession, dir: String) => {
+      graft.query.Search.filtersAgg(docs(s, dir), "doc_id", "text",
+        filtersGate)
+    }, Some(filtersAggSql)),
+
+    ("q_filters_agg_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir).filtersAgg(filtersGate)
+    }, Some(filtersAggSql)),
+
+    ("q_adjacency_matrix", (s: SparkSession, dir: String) => {
+      graft.query.Search.adjacencyMatrix(docs(s, dir), "doc_id", "text",
+        filtersGate)
+    }, Some(adjacencySql)),
+
+    ("q_adjacency_matrix_indexed", (s: SparkSession, dir: String) => {
+      docIndexSearch(s, dir).adjacencyMatrix(filtersGate)
+    }, Some(adjacencySql)),
+
+    // pipeline aggs over the served date histogram: cumulative_sum,
+    // derivative (null first bucket), trailing 3-bucket moving average
+    ("q_histogram_pipeline", (s: SparkSession, dir: String) => {
+      val meta = s.read.parquet(s"${docIndexDir(s, dir)}/docs")
+        .select(col("docId"), expr(
+          "timestampadd(DAY, CAST(CAST(substring(url, 2) AS BIGINT) % 90" +
+            " AS INT), TIMESTAMP '2026-01-01 00:00:00')").as("ts"))
+      val hist = docIndexSearch(s, dir)
+        .dateHistogram(Seq("spark", "merge"), meta, "ts", "week")
+      graft.query.Search.movingAvg(
+        graft.query.Search.derivative(
+          graft.query.Search.cumulativeSum(hist, "bucket", "doc_count"),
+          "bucket", "doc_count"),
+        "bucket", "doc_count", window = 3)
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         | m AS (SELECT DISTINCT doc_id FROM toks
+         |       WHERE term IN ('merge', 'spark')),
+         | h AS (SELECT date_trunc('week', TIMESTAMP '2026-01-01 00:00:00'
+         |         + (doc_id % 90) * INTERVAL 1 DAY) AS bucket,
+         |       count(*) AS doc_count
+         |   FROM m GROUP BY 1)
+         |SELECT bucket, doc_count,
+         | CAST(sum(doc_count) OVER (ORDER BY bucket
+         |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative,
+         | doc_count - lag(doc_count) OVER (ORDER BY bucket) AS derivative,
+         | round(avg(doc_count) OVER (ORDER BY bucket
+         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+         |FROM h ORDER BY bucket""".stripMargin)),
+
     // terms + top_hits: biggest lang buckets of the match set, top docs
     // per bucket by (rounded score, doc_id) — the oracle replays bucket
     // selection and the per-bucket window
@@ -3770,6 +3821,43 @@ object SparkEntry {
        |FROM ptfs, stats WHERE ptf > 0
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** The filters/adjacency gate instance: two real buckets + one that
+    * matches nothing (filters keeps it at 0; adjacency omits it). */
+  private val filtersGate: Seq[(String, Seq[String])] = Seq(
+    ("storage", Seq("table", "row", "column")),
+    ("exec", Seq("scan", "join")),
+    ("none", Seq("zzzqq")))
+
+  /** Shared membership CTE for the filters/adjacency oracles. */
+  private def filtersMemSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       | mem AS (SELECT DISTINCT doc_id,
+       |   CASE WHEN term IN ('column', 'row', 'table') THEN 'storage'
+       |        WHEN term IN ('join', 'scan') THEN 'exec'
+       |        WHEN term = 'zzzqq' THEN 'none' END AS name
+       |  FROM toks
+       |  WHERE term IN ('column', 'row', 'table', 'join', 'scan', 'zzzqq'))""".stripMargin
+
+  private def filtersAggSql: String =
+    s"""$filtersMemSql,
+       | c AS (SELECT name, count(*) AS doc_count FROM mem GROUP BY 1)
+       |SELECT n.name, coalesce(c.doc_count, 0) AS doc_count
+       |FROM (VALUES ('storage'), ('exec'), ('none')) n(name)
+       |LEFT JOIN c USING (name) ORDER BY name""".stripMargin
+
+  private def adjacencySql: String =
+    s"""$filtersMemSql,
+       | ord AS (SELECT * FROM (VALUES ('storage', 0), ('exec', 1),
+       |   ('none', 2)) o(name, pos)),
+       | s AS (SELECT name AS key, count(*) AS doc_count FROM mem GROUP BY 1),
+       | p AS (SELECT concat(a.name, '&', b.name) AS key,
+       |   count(*) AS doc_count
+       |  FROM mem a JOIN mem b ON a.doc_id = b.doc_id
+       |  JOIN ord oa ON oa.name = a.name JOIN ord ob ON ob.name = b.name
+       |  WHERE oa.pos < ob.pos GROUP BY 1)
+       |SELECT key, doc_count FROM (SELECT * FROM s UNION ALL SELECT * FROM p)
+       |WHERE doc_count > 0 ORDER BY key""".stripMargin
 
   /** DuckDB replay of [[graft.query.Search.topHits]]: per-doc rounded
     * BM25 sums joined to the facet column, the nBuckets biggest buckets

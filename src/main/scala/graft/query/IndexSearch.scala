@@ -430,6 +430,27 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     Search.topHitsShape(scored, nBuckets, perBucket)
   }
 
+  /** filters aggregation served from the index: each named filter's
+    * match set decodes from bucket-pruned postings. Semantics identical
+    * to [[Search.filtersAgg]]. */
+  def filtersAgg(filters: Seq[(String, Seq[String])]): DataFrame =
+    Search.filtersShape(spark, indexMemberships(filters), filters.map(_._1))
+
+  /** adjacency_matrix served from the index. Semantics identical to
+    * [[Search.adjacencyMatrix]]. */
+  def adjacencyMatrix(filters: Seq[(String, Seq[String])]): DataFrame =
+    Search.adjacencyShape(indexMemberships(filters), filters.map(_._1))
+
+  private def indexMemberships(filters: Seq[(String, Seq[String])])
+      : DataFrame = {
+    require(filters.nonEmpty, "filters agg needs >= 1 named filter")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "duplicate filter name")
+    filters.map { case (n, ts) =>
+      matchingDocIds(ts).withColumn("name", lit(n))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Percentiles aggregation served from the index: postings-decoded
     * match docIds semi-join a docId-keyed `meta` frame; exact interpolated
     * quantiles. Semantics identical to [[Search.matchPercentiles]]. */

@@ -496,6 +496,102 @@ object Search {
       .orderBy(desc("doc_count"), col("facet"), col("rnk"))
   }
 
+  /** filters aggregation (OpenSearch `filters`): one named bucket per
+    * entry, doc_count = docs matching ANY of the bucket's terms; empty
+    * buckets kept at 0 (OpenSearch's contract). Output (name, doc_count)
+    * ordered by name. */
+  def filtersAgg(docs: DataFrame, idCol: String, textCol: String,
+      filters: Seq[(String, Seq[String])]): DataFrame =
+    filtersShape(docs.sparkSession,
+      membershipsOf(docs, idCol, textCol, filters), filters.map(_._1))
+
+  /** adjacency_matrix aggregation (OpenSearch): per-filter doc counts
+    * plus every pairwise intersection as `a&b` (filter declaration
+    * order), buckets with zero docs omitted — the co-occurrence matrix
+    * over match sets. Output (key, doc_count) ordered by key. */
+  def adjacencyMatrix(docs: DataFrame, idCol: String, textCol: String,
+      filters: Seq[(String, Seq[String])]): DataFrame =
+    adjacencyShape(membershipsOf(docs, idCol, textCol, filters),
+      filters.map(_._1))
+
+  /** (docId, name) memberships — one row per (matching doc, filter). */
+  private def membershipsOf(docs: DataFrame, idCol: String,
+      textCol: String, filters: Seq[(String, Seq[String])]): DataFrame = {
+    require(filters.nonEmpty, "filters agg needs >= 1 named filter")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "duplicate filter name")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mapping = filters.flatMap { case (n, ts) =>
+      ts.map(Analyzer.lowerLikeCatalyst).distinct.map(t => (t, n))
+    }.toDF("term", "name")
+    Analyzer.tokens(docs, idCol, textCol)
+      .join(broadcast(mapping), "term")
+      .select(col(idCol).as("docId"), col("name")).distinct()
+  }
+
+  /** Shared count shape behind the brute/index filters agg. */
+  private[query] def filtersShape(spark: org.apache.spark.sql.SparkSession,
+      memberships: DataFrame, names: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val counts = memberships.groupBy("name")
+      .agg(count(lit(1)).as("doc_count"))
+    names.toDF("name").join(counts, Seq("name"), "left_outer")
+      .select(col("name"), coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+      .orderBy("name")
+  }
+
+  /** Shared matrix shape behind the brute/index adjacency_matrix. */
+  private[query] def adjacencyShape(memberships: DataFrame,
+      names: Seq[String]): DataFrame = {
+    val order = names.zipWithIndex.toMap
+    val ordIdx = typedLit(order)
+    val singles = memberships.groupBy(col("name").as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+    val a = memberships.select(col("docId"), col("name").as("n1"))
+    val b = memberships.select(col("docId"), col("name").as("n2"))
+    val pairs = a.join(b, "docId")
+      .filter(element_at(ordIdx, col("n1")) < element_at(ordIdx, col("n2")))
+      .groupBy(concat(col("n1"), lit("&"), col("n2")).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+    singles.unionByName(pairs)
+      .filter(col("doc_count") > 0)
+      .orderBy("key")
+  }
+
+  /** Cumulative sum over a (bucket, doc_count) histogram (OpenSearch
+    * `cumulative_sum` pipeline agg). */
+  def cumulativeSum(hist: DataFrame, bucketCol: String,
+      valueCol: String): DataFrame =
+    hist.withColumn("cumulative",
+      sum(col(valueCol)).over(
+        Window.orderBy(col(bucketCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(bucketCol)
+
+  /** First derivative over a histogram (OpenSearch `derivative` pipeline
+    * agg): value − previous bucket's value, null for the first bucket.
+    * Gaps are NOT filled — buckets are as the histogram produced them. */
+  def derivative(hist: DataFrame, bucketCol: String,
+      valueCol: String): DataFrame =
+    hist.withColumn("derivative",
+      col(valueCol) - lag(col(valueCol), 1).over(
+        Window.orderBy(col(bucketCol))))
+      .orderBy(bucketCol)
+
+  /** Trailing moving average over a histogram (OpenSearch `moving_fn`
+    * with `MovingFunctions.unweightedAvg`): mean of the last `window`
+    * buckets INCLUDING the current one, rounded to 6. */
+  def movingAvg(hist: DataFrame, bucketCol: String, valueCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, "window >= 1")
+    hist.withColumn("moving_avg",
+      round(avg(col(valueCol)).over(
+        Window.orderBy(col(bucketCol))
+          .rowsBetween(-(window - 1), Window.currentRow)), 6))
+      .orderBy(bucketCol)
+  }
+
   /** Docs matching ANY query term — the agg family's shared semi-join. */
   private def matchSet(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String]): DataFrame = {

@@ -393,6 +393,42 @@ class IndexSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("filtersAgg / adjacencyMatrix ≡ brute; empty bucket kept / omitted") {
+    val filters = Seq(
+      ("a", Seq("w00002", "w00003")),
+      ("b", Seq("w00005")),
+      ("z", Seq("qqqnever")))
+    val bf = Search.filtersAgg(docs, "docId", "text", filters)
+      .as[(String, Long)].collect().toSeq
+    val sf = search.filtersAgg(filters).as[(String, Long)].collect().toSeq
+    assert(sf == bf)
+    assert(bf.toMap.apply("z") == 0L, "filters keeps empty buckets at 0")
+    val bm = Search.adjacencyMatrix(docs, "docId", "text", filters)
+      .as[(String, Long)].collect().toSeq
+    val sm = search.adjacencyMatrix(filters).as[(String, Long)].collect().toSeq
+    assert(sm == bm)
+    assert(!bm.exists(_._1.contains("z")), "adjacency omits zero buckets")
+    assert(bm.exists(_._1 == "a&b"), "pair key in declaration order")
+  }
+
+  test("pipeline aggs: cumulative_sum, derivative, moving_avg") {
+    val hist = Seq((1.0, 4L), (2.0, 6L), (3.0, 2L), (4.0, 8L))
+      .toDF("bucket", "doc_count")
+    val out = Search.movingAvg(
+        Search.derivative(
+          Search.cumulativeSum(hist, "bucket", "doc_count"),
+          "bucket", "doc_count"),
+        "bucket", "doc_count", window = 2)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getDouble(4)))
+      .toSeq
+    assert(out == Seq(
+      (1.0, 4L, 4L, None, 4.0),
+      (2.0, 6L, 10L, Some(2L), 5.0),
+      (3.0, 2L, 12L, Some(-4L), 4.0),
+      (4.0, 8L, 20L, Some(6L), 5.0)))
+  }
+
   test("rangeAgg: half-open buckets, unbounded tails, full coverage") {
     val meta = docs.select(col("docId"),
       (col("docId") % 100).cast("double").as("v"))
