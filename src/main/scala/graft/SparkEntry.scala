@@ -2536,6 +2536,18 @@ object SparkEntry {
     }, Some(phrasePrefixSql("window", "s", slop = 1, cap = 4, k = 15,
       withTf = false))),
 
+    // search page served end-to-end from the index: postings-ranked
+    // top-k, text fetched for the k hits only, best-window snippets
+    ("q_snippets_indexed", (s: SparkSession, dir: String) => {
+      val m = s.read.parquet(s"${docIndexDir(s, dir)}/docs")
+        .select(col("docId"),
+          expr("CAST(substring(url, 2) AS BIGINT)").as("doc_id"))
+      docIndexSearch(s, dir)
+        .topKWithSnippets(Seq("spark", "window", "merge"), k = 12, w = 8)
+        .join(m, "docId")
+        .select("doc_id", "score", "snippet", "n_terms")
+    }, Some(snippetsTopKSql(Seq("spark", "window", "merge"), 12, 8))),
+
     // filters + adjacency_matrix aggregations: named term-filter buckets
     // (empty kept at 0) and the pairwise co-occurrence matrix (zero
     // buckets omitted, keys in declaration order)
@@ -3605,6 +3617,37 @@ object SparkEntry {
        |     x -> CASE WHEN list_contains($ts, x)
        |          THEN '<em>' || x || '</em>' ELSE x END), ' ') END AS snippet,
        | n_terms FROM e""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.query.IndexSearch.topKWithSnippets]]: the
+    * bm25 rounded top-k joined with the best-window snippet replay. */
+  private def snippetsTopKSql(terms0: Seq[String], k: Int, w: Int): String = {
+    val terms = terms0.map(Analyzer.lowerLikeCatalyst).distinct.sorted
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val ts = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""${bm25ScoredCtes(termList)},
+       | top AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+       |   GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $k),
+       | t AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | c AS (SELECT doc_id, l,
+       |   list_filter(generate_series(0, len(l) - 1),
+       |     i -> list_contains($ts, l[i + 1])) AS starts FROM t),
+       | d2 AS (SELECT doc_id, l, starts,
+       |   list_transform(starts, st -> len(list_distinct(
+       |     list_filter(l[st + 1 : st + $w], x -> list_contains($ts, x)))))
+       |   AS cnts FROM c),
+       | e AS (SELECT doc_id, l,
+       |   CASE WHEN len(starts) > 0
+       |     THEN starts[list_position(cnts, list_max(cnts))] END AS best,
+       |   CAST(coalesce(list_max(cnts), 0) AS INT) AS n_terms FROM d2)
+       |SELECT top.doc_id, top.score,
+       | CASE WHEN best IS NOT NULL THEN array_to_string(
+       |   list_transform(l[best + 1 : best + $w],
+       |     x -> CASE WHEN list_contains($ts, x)
+       |          THEN '<em>' || x || '</em>' ELSE x END), ' ') END AS snippet,
+       | e.n_terms
+       |FROM top JOIN e USING (doc_id)
+       |ORDER BY top.score DESC, top.doc_id""".stripMargin
   }
 
   /** Fixed BPE merge table for the encode oracle — training-consistent

@@ -430,6 +430,28 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
     Search.topHitsShape(scored, nBuckets, perBucket)
   }
 
+  /** Top-k WITH highlighted snippets, served the way a real search page
+    * is: ranking comes from postings ([[boolTopK]]'s rounded shard
+    * kernel), then the docs/ text column is read for the K RESULT ROWS
+    * ONLY (join against the k-row page) and the best-window snippet
+    * kernel runs on those — the corpus-wide text scan of the brute
+    * snippet form never happens. Output (docId, score, snippet,
+    * n_terms). At serving scale, bucket docs/ by docId so the text
+    * lookup partition-prunes too. */
+  def topKWithSnippets(queryTerms: Seq[String], k: Int, w: Int)
+      : DataFrame = {
+    val terms = norm(queryTerms).distinct.sorted
+    val top = boolTopK(Nil, terms, Nil, k)
+    val text = reader.gens.map { case (_, d) =>
+      spark.read.parquet(s"$d/docs").select("docId", "text")
+    }.reduce(_.unionByName(_))
+    top.join(text, "docId")
+      .select(col("docId"), col("score"),
+        Snippets.snippet(col("text"), terms, w).as("snippet"),
+        Snippets.snippetTermCount(col("text"), terms, w).as("n_terms"))
+      .orderBy(desc("score"), asc("docId"))
+  }
+
   /** filters aggregation served from the index: each named filter's
     * match set decodes from bucket-pruned postings. Semantics identical
     * to [[Search.filtersAgg]]. */

@@ -393,6 +393,22 @@ class IndexSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("topKWithSnippets: ranking ≡ boolTopK, snippets ≡ the brute kernel") {
+    val terms = Seq("w00002", "w00005")
+    val served = search.topKWithSnippets(terms, k = 8, w = 6)
+      .as[(Long, Double, String, Int)].collect().toSeq
+    val page = rows(search.boolTopK(Nil, terms, Nil, 8))
+    assert(served.map(r => (r._1, r._2)) == page)
+    val brute = docs.select(col("docId"),
+        Snippets.snippet(col("text"), terms, 6).as("sn"),
+        Snippets.snippetTermCount(col("text"), terms, 6).as("nt"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    served.foreach { case (id, _, sn, nt) =>
+      assert(brute(id) == ((sn, nt)))
+      assert(sn.contains("<em>"))
+    }
+  }
+
   test("filtersAgg / adjacencyMatrix ≡ brute; empty bucket kept / omitted") {
     val filters = Seq(
       ("a", Seq("w00002", "w00003")),
