@@ -2536,6 +2536,17 @@ object SparkEntry {
     }, Some(phrasePrefixSql("window", "s", slop = 1, cap = 4, k = 15,
       withTf = false))),
 
+    // DSIR importance resampling: select raw docs toward the lang='en'
+    // slice's hashed-bigram distribution — the oracle re-derives the
+    // featurization, both smoothed models, the ordered per-doc weight
+    // fold, and the deterministic Gumbel top-n
+    ("q_dsir_select", (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      graft.ops.Dsir.select(d, d.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 64, n = 40)
+        .withColumnRenamed("docId", "doc_id")
+    }, Some(dsirSql(buckets = 64, n = 40))),
+
     // search page served end-to-end from the index: postings-ranked
     // top-k, text fetched for the k hits only, best-window snippets
     ("q_snippets_indexed", (s: SparkSession, dir: String) => {
@@ -3617,6 +3628,49 @@ object SparkEntry {
        |     x -> CASE WHEN list_contains($ts, x)
        |          THEN '<em>' || x || '</em>' ELSE x END), ' ') END AS snippet,
        | n_terms FROM e""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ops.Dsir.select]] (α = 0.5, seed = 7,
+    * target = lang='en'): hashed unigram+bigram buckets via the md5₆₀
+    * prefix, add-α smoothing over exactly `buckets` buckets, the per-doc
+    * weight as an ORDERED list_reduce fold (Spark's sorted-struct
+    * aggregate), and the md5-derived Gumbel key. */
+  private def dsirSql(buckets: Int, n: Int): String = {
+    val aB = 0.5 * buckets
+    s"""WITH tl AS (SELECT doc_id, $tokSql AS l FROM documents),
+       | grams AS (
+       |   SELECT doc_id, unnest(l) AS g FROM tl
+       |   UNION ALL
+       |   SELECT doc_id, unnest(list_transform(
+       |     generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1]))
+       |   FROM tl WHERE len(l) >= 2),
+       | bg AS (SELECT doc_id,
+       |   CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT % $buckets AS BIGINT)
+       |     AS bucket,
+       |   count(*) AS c FROM grams GROUP BY 1, 2),
+       | tcnt AS (SELECT bucket, sum(c) AS c FROM bg
+       |   JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+       | rcnt AS (SELECT bucket, sum(c) AS c FROM bg GROUP BY 1),
+       | tn AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM tcnt),
+       | rn AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM rcnt),
+       | bks AS (SELECT range AS bucket FROM range($buckets)),
+       | lp AS (SELECT b.bucket,
+       |   ln((CAST(coalesce(t.c, 0) AS DOUBLE) + 0.5) / (tn.nn + $aB))
+       |   - ln((CAST(coalesce(r.c, 0) AS DOUBLE) + 0.5) / (rn.nn + $aB)) AS d
+       |  FROM bks b LEFT JOIN tcnt t USING (bucket)
+       |  LEFT JOIN rcnt r USING (bucket) CROSS JOIN tn CROSS JOIN rn),
+       | w AS (SELECT bg.doc_id,
+       |   round(list_reduce(
+       |     list(CAST(bg.c AS DOUBLE) * lp.d ORDER BY bg.bucket),
+       |     (a, b) -> a + b), 6) AS log_weight
+       |  FROM bg JOIN lp USING (bucket) GROUP BY 1),
+       | g AS (SELECT doc_id, log_weight,
+       |   round(log_weight - ln(-ln(
+       |     ((('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))::UBIGINT
+       |       ::DOUBLE + 0.5) / 1152921504606846976.0))), 6) AS key
+       |  FROM w)
+       |SELECT doc_id, log_weight, key FROM g
+       |ORDER BY key DESC, doc_id LIMIT $n""".stripMargin
   }
 
   /** DuckDB replay of [[graft.query.IndexSearch.topKWithSnippets]]: the
