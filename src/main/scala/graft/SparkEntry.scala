@@ -1251,6 +1251,82 @@ object SparkEntry {
               | event_type || '-' || json_extract_string(props, '$.k') AS label
               | FROM events WHERE event_type = 'error'""".stripMargin)),
 
+    ("q_transform_ocsf", (s: SparkSession, dir: String) => {
+      // Rule-driven pipeline TRANSFORMS (the reference's `ocsf` plugin +
+      // DynamicConfigTransformer): the user writes only a marker
+      // processor; a JSONPath rule matches it and a template expands the
+      // pipeline into the full OCSF v1.1 Network Activity mapping BEFORE
+      // compilation (pipeline/Transforms.scala). The fixture synthesizes
+      // PAN-OS-traffic-shaped rows from events deterministically so the
+      // oracle re-derives every mapped OCSF column closed-form.
+      val panw = events(s, dir).select(
+        concat(lit("e"), col("event_id")).as("src_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("Start_Time"),
+        date_format(expr("ts + INTERVAL 5 SECOND"),
+          "yyyy-MM-dd'T'HH:mm:ss").as("Receive_Time"),
+        concat(lit("10.0."), pmod(col("user_id"), lit(250)), lit("."),
+          pmod(col("event_id"), lit(250))).as("Source_Address"),
+        concat(lit("192.168."), pmod(col("event_id"), lit(250)), lit(".9"))
+          .as("Destination_Address"),
+        when(pmod(col("event_id"), lit(3)) === 0, "tcp")
+          .when(pmod(col("event_id"), lit(3)) === 1, "udp")
+          .otherwise("icmp").as("Protocol"),
+        (pmod(col("event_id"), lit(5000)) * 3).as("Bytes_Sent"),
+        pmod(col("user_id"), lit(900)).as("Bytes_Received"),
+        concat(lit("rule-"), pmod(col("user_id"), lit(7))).as("Rule_Name"))
+      val yaml =
+        """panw:
+          |  source:
+          |    in_memory:
+          |      testing_key: panw
+          |  processor:
+          |    - ocsf:
+          |        type: palo_alto_networks_traffic_logs
+          |        version: '1.1'
+          |  sink:
+          |    - stdout:
+          |""".stripMargin
+      graft.pipeline.Transforms.compile(s, yaml,
+        Seq(graft.pipeline.Transforms.ocsfBundle),
+        inputs = Map("panw" -> panw)).head.df
+    }, Some("""SELECT 'e' || event_id AS src_id,
+              | CAST(epoch(date_trunc('second', ts)) AS INT) AS "time",
+              | CAST(epoch(date_trunc('second', ts)) + 5 AS INT) AS logged_time,
+              | 4 AS category_uid, 4001 AS class_uid,
+              | 'Network Activity' AS class_name,
+              | 1 AS severity_id, 6 AS activity_id, 'Traffic' AS activity_name,
+              | '10.0.' || (user_id % 250) || '.' || (event_id % 250) AS src_ip,
+              | '192.168.' || (event_id % 250) || '.9' AS dst_ip,
+              | CASE event_id % 3 WHEN 0 THEN 'tcp' WHEN 1 THEN 'udp'
+              |   ELSE 'icmp' END AS proto_name,
+              | (event_id % 5000) * 3 + (user_id % 900) AS traffic_bytes,
+              | 'rule-' || (user_id % 7) AS firewall_rule
+              | FROM events""".stripMargin)),
+
+    ("q_encrypt_roundtrip", (s: SparkSession, dir: String) => {
+      // Envelope encryption (the reference encryption-plugin): documents
+      // encrypted under TWO rotated data keys (envelope carries each
+      // row's key), then decrypted — decrypt∘encrypt ≡ identity, so the
+      // oracle re-derives the output from the plaintext table. AES kernel
+      // itself is pinned to the FIPS-197 vector in EncryptionSpec.
+      import graft.pipeline.Encryption
+      val k1 = java.util.Base64.getEncoder.encodeToString(
+        "0123456789abcdef".getBytes("UTF-8"))
+      val k2 = java.util.Base64.getEncoder.encodeToString(
+        "fedcba9876543210".getBytes("UTF-8"))
+      val keyed = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("key_ix", pmod(col("doc_id"), lit(2)))
+      val enc = Encryption.encryptColumn(
+          keyed.filter(col("key_ix") === 0), "text", "enc", k1).drop("text")
+        .unionByName(Encryption.encryptColumn(
+          keyed.filter(col("key_ix") === 1), "text", "enc", k2).drop("text"))
+      Encryption.decryptColumn(enc, "enc", "enc_key", "plain")
+        .select(col("doc_id"), col("key_ix"),
+          col("plain").cast("string").as("text"),
+          coalesce(col("plain_err"), lit("ok")).as("status"))
+    }, Some("""SELECT doc_id, doc_id % 2 AS key_ix, text, 'ok' AS status
+              | FROM documents""".stripMargin)),
+
     // ---------- enrichment ----------
     ("q_geoip_lookup", (s: SparkSession, dir: String) => {
       // synthesize an IP per event (events table has none), then the

@@ -74,8 +74,15 @@ object PipelineYaml {
     // key order from the raw java map for deterministic DAG listing.
     val order = mapper.readValue(yamlText, classOf[java.util.LinkedHashMap[String, Any]])
       .keySet().asScala.toSeq
-    order.map { name =>
-      val m = root(name).asInstanceOf[Map[String, Any]]
+    parsePlain(order.map(name => name -> root(name)))
+  }
+
+  /** Already-parsed (ordered) pipelines → definitions — the same back half
+    * as [[parse]], also fed by the transform front-end
+    * ([[Transforms.compile]]) whose rewritten config is a plain tree. */
+  def parsePlain(pipelines: Seq[(String, Any)]): Seq[PipelineDef] = {
+    pipelines.map { case (name, raw) =>
+      val m = raw.asInstanceOf[Map[String, Any]]
       val source = m.get("source") match {
         case Some(s: Map[String, Any] @unchecked) if s.nonEmpty =>
           val (pn, po) = s.head
@@ -270,7 +277,9 @@ object PipelineYaml {
           reqStr(e, "from_key", "rename_keys") -> reqStr(e, "to_key", "rename_keys")): _*)
       case "delete_entries" => DeleteEntries(strList(o, "with_keys"): _*)
       case "select_entries" => SelectEntries(strList(o, "include_keys"): _*)
-      case "convert_entry_type" =>
+      // reference name is `convert_type`, `convert_entry_type` deprecated
+      // (ConvertEntryTypeProcessor.java:40) — both accepted
+      case "convert_type" | "convert_entry_type" =>
         val keys = strList(o, "keys") ++ optStr(o, "key")
         val to = optStr(o, "type").getOrElse("integer") match {
           case "integer" => "int" case t => t
