@@ -273,7 +273,8 @@ object Curation {
     *  1. scheme and host lowercase; leading `www.` dropped
     *  2. default ports dropped (`:80` for http, `:443` for https)
     *  3. fragment dropped
-    *  4. tracking params ([[TrackingParams]]) dropped; surviving query
+    *  4. tracking params dropped ([[TrackingKeyPrefixes]] by key prefix,
+    *     [[TrackingExactKeys]] by exact key); surviving query
     *     params sorted by full `key=value` text (stable, engine-neutral)
     *  5. trailing `/` dropped from non-root paths; empty path → `/`
     *

@@ -82,11 +82,17 @@ object LangModel {
     * a driver-sized broadcast (VERDICT r4 finding #2). */
   def perplexity(df: DataFrame, idCol: String, textCol: String,
       lm: DataFrame, k: Double = 0.1,
-      maxBroadcastRows: Int = DefaultMaxBroadcastRows): DataFrame = {
-    val hint = !overBudget(lm, maxBroadcastRows)
+      maxBroadcastRows: Int = DefaultMaxBroadcastRows): DataFrame =
+    perplexityHinted(df, idCol, textCol, lm, k,
+      hint = !overBudget(lm, maxBroadcastRows))
+
+  /** [[perplexity]] with the broadcast verdict already known — the
+    * over-budget fallback path passes hint = false directly instead of
+    * re-running the limit-count probe it just ran. */
+  private def perplexityHinted(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, k: Double, hint: Boolean): DataFrame = {
     if (!hint) System.err.println(
-      s"[graft-lm] model exceeds $maxBroadcastRows rows — scoring via " +
-        "shuffle joins (no broadcast)")
+      "[graft-lm] scoring via shuffle joins (no broadcast)")
     val lmJ = if (hint) broadcast(lm) else lm
     val ctx0 = lm.groupBy("w1").agg(sum("c").as("cw1"))
     val ctx = if (hint) broadcast(ctx0) else ctx0
@@ -128,7 +134,7 @@ object LangModel {
       System.err.println(
         s"[graft-lm] model exceeds $maxBroadcastRows rows — falling back " +
           "to the relational scoring plan (no driver collect)")
-      return perplexity(df, idCol, textCol, lm, k, maxBroadcastRows)
+      return perplexityHinted(df, idCol, textCol, lm, k, hint = false)
     }
     val rows = lm.select("w1", "w2", "c").collect()
     val bc = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -159,12 +159,21 @@ object Robots {
     * allowed. */
   def filter(urls: DataFrame, urlCol: String,
       rulesByHost: DataFrame): DataFrame = {
+    // collision-proof the dimension's column names against the caller's
+    // frame (same class as Curation.domainFilter's _host fix): the join
+    // side is renamed to reserved temp names before the join, so a urls
+    // column named "rules" or like the dimension's host column survives
     val hostCol = rulesByHost.columns.head
+    val tmpHost = "__robots_host"
+    val tmpRules = "__robots_rules"
+    require(!urls.columns.contains(tmpHost) && !urls.columns.contains(tmpRules),
+      s"urls must not contain reserved columns $tmpHost/$tmpRules")
+    val dim = rulesByHost.withColumnRenamed(hostCol, tmpHost)
+      .withColumnRenamed("rules", tmpRules)
     urls
-      .join(broadcast(rulesByHost),
-        hostOf(col(urlCol)) === rulesByHost(hostCol), "left")
+      .join(broadcast(dim), hostOf(col(urlCol)) === col(tmpHost), "left")
       .withColumn("robots_allowed",
-        decideUdf(col("rules"), pathOf(col(urlCol))))
-      .drop(hostCol, "rules")
+        decideUdf(col(tmpRules), pathOf(col(urlCol))))
+      .drop(tmpHost, tmpRules)
   }
 }

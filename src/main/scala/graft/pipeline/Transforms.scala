@@ -130,7 +130,9 @@ object Transforms {
         if (close < 0) throw new TransformerException(s"unclosed [ in path: $s")
         val inner = t.substring(i + 1, close).trim
         if (inner.startsWith("?(") ) {
-          val body0 = t.substring(i + 1, t.indexOf(")]", i))
+          val end = t.indexOf(")]", i)
+          if (end < 0) throw new TransformerException(s"unclosed filter in path: $s")
+          val body0 = t.substring(i + 1, end)
           val body = body0.stripPrefix("?(").trim
           if (!body.startsWith("@.")) throw new TransformerException(s"filter must test @.: $s")
           val rest = body.stripPrefix("@.")
@@ -145,9 +147,12 @@ object Transforms {
               else lit0
             segs += Filter(EqLit(p, lit))
           } else segs += Filter(Exists(rest.trim.split('.').toVector))
-          i = t.indexOf(")]", i) + 2
+          i = end + 2
         } else {
-          segs += Index(inner.toInt)
+          segs += Index(try inner.toInt catch {
+            case _: NumberFormatException =>
+              throw new TransformerException(s"non-numeric index [$inner] in path: $s")
+          })
           i = close + 1
         }
       } else throw new TransformerException(s"unexpected char '${t.charAt(i)}' in path: $s")

@@ -123,13 +123,42 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
   def fuzzyExpand(query: String, maxDist: Int = 1): DataFrame =
     Search.fuzzyExpand(termStats, "term", query, maxDist)
 
+  /** Resolve every fuzzy and wildcard expansion of one query in a SINGLE
+    * dictionary job: the merged termstats aggregation runs once and each
+    * term is tagged with the clauses it satisfies — a multi-clause query
+    * no longer pays one full dictionary scan per clause. Keys are the
+    * RAW clause inputs, so [[QueryString.resolve]]'s lambdas look up
+    * directly; per-clause caps apply after, as the per-clause jobs did. */
+  private def batchExpand(fuzzy: Seq[(String, Int)], wild: Seq[String])
+      : (Map[(String, Int), Seq[String]], Map[String, Seq[String]]) = {
+    if (fuzzy.isEmpty && wild.isEmpty) return (Map.empty, Map.empty)
+    val conds: Seq[(String, org.apache.spark.sql.Column)] =
+      fuzzy.distinct.zipWithIndex.map { case ((t, d), i) =>
+        val q = Analyzer.lowerLikeCatalyst(t)
+        s"f$i" -> (abs(length(col("term")) - lit(q.length)) <= d &&
+          levenshtein(col("term"), lit(q)) <= d)
+      } ++ wild.distinct.zipWithIndex.map { case (p, i) =>
+        s"w$i" -> col("term").like(QueryString.globToLike(p))
+      }
+    val tags = array(conds.map { case (key, c) => when(c, lit(key)) }: _*)
+    val pairs = termStats.select(col("term"),
+        explode(array_compact(tags)).as("ck"))
+      .select("ck", "term").as[(String, String)].collect()
+    val byKey = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    (fuzzy.distinct.zipWithIndex.map { case (fd, i) =>
+      fd -> byKey.getOrElse(s"f$i", Seq.empty) }.toMap,
+     wild.distinct.zipWithIndex.map { case (p, i) =>
+      p -> byKey.getOrElse(s"w$i", Seq.empty) }.toMap)
+  }
+
   /** Fuzzy-expanded BM25 top-k served from the index: expansion terms come
-    * from termstats/ (query construction, a bounded collect), scoring from
-    * postings. Semantics identical to [[Search.fuzzyTopK]]. */
+    * from termstats/ (query construction, a bounded collect — ONE
+    * dictionary job for all query terms), scoring from postings.
+    * Semantics identical to [[Search.fuzzyTopK]]. */
   def fuzzyTopK(queryTerms: Seq[String], k: Int, maxDist: Int = 1): DataFrame = {
-    val expanded = queryTerms.flatMap { t =>
-      fuzzyExpand(t, maxDist).select("term").as[String].collect()
-    }.distinct.sorted
+    val (fz, _) = batchExpand(queryTerms.map(t => (t, maxDist)), Nil)
+    val expanded = queryTerms.flatMap(t => fz.getOrElse((t, maxDist), Nil))
+      .distinct.sorted
     if (expanded.isEmpty)
       Seq.empty[(Long, Double)].toDF("docId", "score")
     else boolTopK(Nil, expanded, Nil, k)
@@ -668,11 +697,13 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
   def queryStringTopK(q: String, k: Int, maxExpansions: Int = 50)
       : DataFrame = {
     val clauses = QueryString.parse(q)
+    // all fuzzy + wildcard expansions in ONE dictionary job
+    val (fz, wl) = batchExpand(
+      clauses.collect { case QueryString.FuzzyClause(t, d, _, _) => (t, d) },
+      clauses.collect { case QueryString.WildClause(p, _, _) => p })
     val resolved = QueryString.resolve(clauses,
-      (t, d) => fuzzyExpand(t, d).select("term").as[String].collect().toSeq,
-      p => termStats
-        .filter(col("term").like(QueryString.globToLike(p)))
-        .select("term").as[String].collect().toSeq,
+      (t, d) => fz.getOrElse((t, d), Seq.empty),
+      p => wl.getOrElse(p, Seq.empty),
       maxExpansions)
     if (resolved.exists(r => r.occur == QueryString.Must &&
         r.phrase.isEmpty && r.terms.isEmpty))
@@ -777,12 +808,15 @@ object IndexSearch {
       })
     }
     val nMust = mustSet.size
+    // minimum_should_match is a no-op with no should clauses (OpenSearch
+    // semantics; Search.boolTopK's brute gate guards identically)
+    val msm = if (shouldSet.isEmpty) 0 else minShouldMatch
     val hasCursor = !afterScore.isNaN
     val topk = new TopKHeap(k)
     var x = 0
     while (x < size) {
       if (seen(x) && !banned(x) && mustCnt(x) == nMust &&
-          (minShouldMatch <= 0 || shouldCnt(x) >= minShouldMatch)) {
+          (msm <= 0 || shouldCnt(x) >= msm)) {
         val docId = lo + x
         if (docId != excludeDocId &&
             !IndexReader.isDeleted(deleted, docId)) {

@@ -81,10 +81,15 @@ object SqsSink {
       evs.map { r =>
         val e = r.getLong(2)
         // 1. request-level flush check (willExceedLimits): bytes cap, or
-        //    message-count cap when the event can't ride the open message
+        //    message-count cap when the event can't ride the open message.
+        //    Guarded on m > 0: the reference never flushes an EMPTY batch
+        //    (willExceedMaxBatchSize returns false before the queue's
+        //    first addEntry, SqsSinkService.java:170-181), so an
+        //    oversized first event rides alone in request 1 rather than
+        //    leaving a phantom empty request index.
         val fitsOpenMsg = m > 0 && c < me && s + e <= mm
-        if (rBytes + e > MaxRequestBytes ||
-            (!fitsOpenMsg && m == MaxMessagesPerRequest)) {
+        if (m > 0 && (rBytes + e > MaxRequestBytes ||
+            (!fitsOpenMsg && m == MaxMessagesPerRequest))) {
           req += 1; m = 0; rBytes = 0L; c = 0; s = 0L
         }
         // 2. addEntry: strict < on the message byte cap (reference quirk)

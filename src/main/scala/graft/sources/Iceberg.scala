@@ -185,6 +185,9 @@ object Iceberg {
       parallelFlat(manifests)(m =>
         decodeLiveEntries(spark.sparkContext.hadoopConfiguration, m)
           .filter(f => pruneOn(f.partition)))
+        // same path-sorted order as the distributed placement below, so
+        // crossing the threshold can never reorder the file list
+        .sortBy(_.path)
     } else {
       // one executor task per manifest slice; the driver's conf ships with
       // the closure so object-store credentials/scheme impls still apply

@@ -214,6 +214,12 @@ class IndexSearchSpec extends AnyFunSuite {
       minShouldMatch = 3))
     assert(strict.size < loose.size)
     assert(strict.toSet.subsetOf(loose.toSet))
+    // msm with NO should clauses is a no-op (OpenSearch semantics) —
+    // a must-only query must not be silently emptied by the gate
+    val mustOnly = rows(search.boolTopK(must, Nil, Nil, 12))
+    val mustOnlyMsm = rows(search.boolTopK(must, Nil, Nil, 12,
+      minShouldMatch = 1))
+    assert(mustOnly.nonEmpty && mustOnlyMsm == mustOnly)
   }
 
   test("explainScore: contributions sum to the doc's ranking score") {

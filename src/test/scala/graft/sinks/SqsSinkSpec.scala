@@ -65,6 +65,18 @@ class SqsSinkSpec extends AnyFunSuite {
       (1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
   }
 
+  test("oversized FIRST event: no phantom empty request (reference never flushes an empty batch)") {
+    // > 256 KiB request cap as the queue's first event: the reference's
+    // willExceedMaxBatchSize returns false before the first addEntry
+    // (SqsSinkService.java:170-181), so request numbering starts at 1
+    val df = events(
+      ("q1", 1L, 1L, "x" * 262200), ("q1", 2L, 2L, "aa"))
+    val out = assigned(df, Thresholds(maxEventsPerMessage = 5))
+    // (src_id, request_idx): oversized rides alone in request 1, the
+    // next event flushes into request 2
+    assert(out.map(e => (e._1, e._2)).toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("queues pack independently; ties on ts break by src_id") {
     val df = events(
       ("q1", 5L, 11L, "aa"), ("q1", 5L, 10L, "aa"), ("q2", 1L, 20L, "aa"))
