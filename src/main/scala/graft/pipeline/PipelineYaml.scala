@@ -664,6 +664,13 @@ object PipelineYaml {
       inputs: Map[String, DataFrame] = Map.empty,
       outDir: Option[String] = None): Seq[SinkOutput] = {
     val outs = compile(spark, yamlText, inputs)
+    runSinks(outs, outDir)
+    outs
+  }
+
+  /** The terminal-sink write actions of [[run]], separated so front-ends
+    * that compile differently (transforms, Logstash) reuse them. */
+  def runSinks(outs: Seq[SinkOutput], outDir: Option[String]): Unit = {
     outs.foreach { so =>
       so.plugin.name match {
         case "file" =>
@@ -700,6 +707,5 @@ object PipelineYaml {
         case _ => () // stdout & friends: lazy, caller inspects `df`
       }
     }
-    outs
   }
 }

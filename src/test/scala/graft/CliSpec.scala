@@ -117,4 +117,37 @@ class CliSpec extends AnyFunSuite {
     assert(out.where(col("status") === "500").count() == 1)
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("pipeline --transforms rewrites a marker pipeline before compiling") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("cli-transform")
+    Seq(("e1", "2024-03-01T10:15:00", "2024-03-01T10:15:05", "10.0.0.1",
+        "192.168.1.9", "tcp", 100L, 10L, "r1"))
+      .toDF("src_id", "Start_Time", "Receive_Time", "Source_Address",
+        "Destination_Address", "Protocol", "Bytes_Sent", "Bytes_Received",
+        "Rule_Name")
+      .write.parquet(s"$work/in")
+    val yaml =
+      s"""panw:
+         |  source:
+         |    in_memory:
+         |      testing_key: panw
+         |  processor:
+         |    - ocsf:
+         |        type: palo_alto_networks_traffic_logs
+         |        version: '1.1'
+         |  sink:
+         |    - file:
+         |        path: $work/out
+         |        format: parquet
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$work/pipe.yaml"), yaml)
+    Cli.main(Array("pipeline", "--yaml", s"$work/pipe.yaml",
+      "--transforms", "ocsf", "--input", s"panw=$work/in"))
+    val out = spark.read.parquet(s"$work/out")
+    assert(out.count() == 1)
+    assert(out.columns.contains("class_uid") && out.columns.contains("src_ip"))
+    assert(out.select("class_name").head().getString(0) == "Network Activity")
+  }
 }
