@@ -2459,6 +2459,47 @@ object SparkEntry {
         .transform(indexIdsToDocIds(s, dir))
     }, Some(fuzzyTopKSql("scna", maxDist = 2, k = 12))),
 
+    ("q_multi_match", (s: SparkSession, dir: String) => {
+      // OpenSearch multi_match, brute form: two fields (title = first 8
+      // analyzer tokens ^2, text ^1), each scored with FIELD-LOCAL BM25
+      // stats (Lucene: every field is its own index), best_fields with a
+      // tie breaker. The oracle re-derives both field chains closed-form.
+      val title = array_join(
+        slice(graft.analyze.Analyzer.tokensCol(col("text")), 1, 8), " ")
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("title", title)
+      graft.query.Search.multiMatchTopK(d, "doc_id",
+        Seq("title" -> 2.0, "text" -> 1.0), Seq("spark", "hash"), 15,
+        "best_fields", tieBreaker = 0.3)
+        .withColumnRenamed("docId", "doc_id")
+    }, Some(multiMatchSql(Seq("spark", "hash"), 15, "best_fields",
+      tie = 0.3, titleBoost = 2.0, textBoost = 1.0))),
+
+    ("q_multi_match_indexed", (s: SparkSession, dir: String) => {
+      // the SERVED twin: per-field indexes (title index + text index over
+      // the same url set — docIds align by construction), postings-decoded
+      // field scores, same combination; shares q_multi_match's oracle
+      graft.query.IndexSearch.multiMatchTopK(
+        Seq(new graft.query.IndexSearch(s, titleIndexDir(s, dir)) -> 2.0,
+          docIndexSearch(s, dir) -> 1.0),
+        Seq("spark", "hash"), 15, "best_fields", tieBreaker = 0.3)
+        .transform(indexIdsToDocIds(s, dir))
+    }, Some(multiMatchSql(Seq("spark", "hash"), 15, "best_fields",
+      tie = 0.3, titleBoost = 2.0, textBoost = 1.0))),
+
+    ("q_multi_match_most", (s: SparkSession, dir: String) => {
+      // most_fields variant: boosted field scores SUM
+      val title = array_join(
+        slice(graft.analyze.Analyzer.tokensCol(col("text")), 1, 8), " ")
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("title", title)
+      graft.query.Search.multiMatchTopK(d, "doc_id",
+        Seq("title" -> 2.0, "text" -> 1.0), Seq("the", "data"), 12,
+        "most_fields")
+        .withColumnRenamed("docId", "doc_id")
+    }, Some(multiMatchSql(Seq("the", "data"), 12, "most_fields",
+      tie = 0.0, titleBoost = 2.0, textBoost = 1.0))),
+
     ("q_search_facets_indexed", (s: SparkSession, dir: String) => {
       docIndexSearch(s, dir).facets(Seq("spark", "window"), "lang")
     }, Some(
@@ -3416,6 +3457,70 @@ object SparkEntry {
     })
   private def docIndexSearch(s: SparkSession, dir: String): graft.query.IndexSearch =
     new graft.query.IndexSearch(s, docIndexDir(s, dir))
+
+  /** Second FIELD index over the same url set (multi_match gates): the
+    * "title" field = first 8 analyzer tokens of text. Field-local BM25
+    * stats, docIds aligned with [[docIndexDir]] by url construction. */
+  private val titleIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def titleIndexDir(s: SparkSession, dir: String): String =
+    titleIndexDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-titleindex").toString
+      import s.implicits._
+      val title = array_join(
+        slice(graft.analyze.Analyzer.tokensCol(col("text")), 1, 8), " ")
+      val pages = docs(s, dir).select(
+          format_string("d%09d", col("doc_id")).as("url"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("warc_ts"),
+          encode(concat(lit("<html><body><p>"), title,
+            lit("</p></body></html>")), "UTF-8").as("html"),
+          title.as("text"), col("lang"))
+        .as[graft.corpus.Page]
+      new graft.index.IndexBuilder(s, d, graft.index.IndexParams(
+        buckets = 8, shardSize = 64, blockSize = 32, idBuckets = 1))
+        .build(pages, s"titles@$dir")
+      d
+    })
+
+  /** DuckDB replay of multi_match over the (title^titleBoost,
+    * text^textBoost) fields: one field-local BM25 CTE chain per field
+    * (each field is its own index — own n/avgdl/df), boosted per-doc
+    * field scores combined by best_fields (best + tie × rest) or
+    * most_fields (sum), rounded after combination. */
+  private def multiMatchSql(terms0: Seq[String], k: Int, matchType: String,
+      tie: Double, titleBoost: Double, textBoost: Double): String = {
+    val terms = terms0.distinct.sorted
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    def chain(sfx: String, tokList: String) =
+      s"""toks$sfx AS (SELECT doc_id, unnest($tokList) AS term FROM documents),
+         | dl$sfx AS (SELECT doc_id, len($tokList) AS dl FROM documents),
+         | g$sfx AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl$sfx),
+         | tf$sfx AS (SELECT doc_id, term, count(*) AS tf FROM toks$sfx
+         |   WHERE term IN ($termList) GROUP BY 1, 2),
+         | df$sfx AS (SELECT term, count(*) AS df FROM tf$sfx GROUP BY 1),
+         | sc$sfx AS (
+         |  SELECT tf$sfx.doc_id,
+         |   ln(1.0 + ((CAST(g$sfx.n AS DOUBLE) - CAST(df$sfx.df AS DOUBLE)) + 0.5)
+         |        / (CAST(df$sfx.df AS DOUBLE) + 0.5))
+         |   * ((CAST(tf$sfx.tf AS DOUBLE) * 2.2) / (CAST(tf$sfx.tf AS DOUBLE)
+         |      + 1.2 * (0.25 + 0.75 * (CAST(dl$sfx.dl AS DOUBLE)
+         |        / (CAST(g$sfx.sumdl AS DOUBLE) / CAST(g$sfx.n AS DOUBLE)))))) AS s
+         |  FROM tf$sfx JOIN dl$sfx USING (doc_id) JOIN df$sfx USING (term)
+         |  CROSS JOIN g$sfx),
+         | fs$sfx AS (SELECT doc_id, sum(s) AS s FROM sc$sfx GROUP BY 1)"""
+    val titleToks = s"list_slice($tokSql, 1, 8)"
+    val combine = matchType match {
+      case "most_fields" => "sm"
+      case "best_fields" => s"mx + $tie * (sm - mx)"
+    }
+    s"""WITH ${chain("t", titleToks)},
+       | ${chain("x", tokSql)},
+       | u AS (SELECT doc_id, s * $titleBoost AS s FROM fst
+       |       UNION ALL SELECT doc_id, s * $textBoost AS s FROM fsx),
+       | c AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM u GROUP BY 1)
+       | SELECT doc_id, round($combine, 4) AS score FROM c
+       | ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 
   /** Map an index result's docId column back to the documents table's
     * doc_id via the docs/ artifact's url (zero-padded doc_id) — exact

@@ -734,6 +734,34 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
 
 object IndexSearch {
 
+  /** OpenSearch `multi_match` served from per-field INDEXES: each field
+    * of a corpus is its own index (Lucene semantics — field-local
+    * df/dl/avgdl), built over the SAME url set so docIds align exactly
+    * (docId assignment is a pure function of the url id-bucket
+    * decomposition). Per-field scores are postings decodes
+    * ([[IndexSearch.termScores]] — bucket-pruned, corpus never read),
+    * combined per document by `most_fields` (sum) or `best_fields`
+    * (best + tieBreaker × rest). Rank-identical to
+    * [[Search.multiMatchTopK]] (IndexSearchSpec). */
+  def multiMatchTopK(fields: Seq[(IndexSearch, Double)],
+      queryTerms: Seq[String], k: Int, matchType: String = "best_fields",
+      tieBreaker: Double = 0.0): DataFrame = {
+    require(fields.nonEmpty, "multi_match needs at least one field index")
+    // per-field totals fold the pivoted per-term columns in the SAME
+    // sorted-term order as BruteForce.scoreAll — bit-identical doubles,
+    // not just close ones, so rank identity needs no tolerance
+    val terms = queryTerms.map(graft.analyze.Analyzer.lowerLikeCatalyst)
+      .distinct.sorted
+    val per = fields.map { case (is, boost) =>
+      val pivoted = is.termScores(terms).groupBy("docId")
+        .pivot("term", terms).agg(first(col("score")))
+      val total = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+        .reduceLeft(_ + _)
+      pivoted.select(col("docId"), (total * boost).as("s"))
+    }
+    Search.combineFields(per, k, matchType, tieBreaker)
+  }
+
   /** Spark's `round(x, 4)`: BigDecimal HALF_UP — the rounding every brute
     * form and DuckDB oracle applies before ranking. */
   private def round4(x: Double): Double =

@@ -602,6 +602,45 @@ object Search {
     docs.join(matching, Seq(idCol), "left_semi")
   }
 
+  /** OpenSearch `multi_match` across fields, brute form: each field is a
+    * (textCol, boost) pair scored independently with ITS OWN BM25
+    * statistics (per-field df/dl/avgdl — Lucene semantics: every field is
+    * its own inverted index), then combined per document:
+    * `most_fields` sums the boosted field scores, `best_fields` takes the
+    * best field plus `tieBreaker` × the rest. Scores round to 4 after
+    * combination, ordering (score desc, docId) — the engine's rank
+    * convention. [[graft.query.IndexSearch.multiMatchTopK]] is the served
+    * twin (per-field indexes, postings-decoded scores), pinned
+    * rank-identical in IndexSearchSpec. */
+  def multiMatchTopK(docs: DataFrame, idCol: String,
+      fields: Seq[(String, Double)], queryTerms: Seq[String], k: Int,
+      matchType: String = "best_fields", tieBreaker: Double = 0.0): DataFrame = {
+    require(fields.nonEmpty, "multi_match needs at least one field")
+    val per = fields.map { case (textCol, boost) =>
+      BruteForce.scoreAll(docs, idCol, textCol, queryTerms)
+        .filter(col("score") > 0.0)
+        .select(col("docId"), (col("score") * boost).as("s"))
+    }
+    combineFields(per, k, matchType, tieBreaker)
+  }
+
+  /** Shared multi_match combination (brute + served): per-field
+    * (docId, s) frames → combined rounded top-k. */
+  private[query] def combineFields(perField: Seq[DataFrame], k: Int,
+      matchType: String, tieBreaker: Double): DataFrame = {
+    val u = perField.reduce(_ unionByName _)
+    val c = u.groupBy("docId").agg(max(col("s")).as("mx"), sum(col("s")).as("sm"))
+    val combined = matchType match {
+      case "most_fields" => col("sm")
+      case "best_fields" => col("mx") + lit(tieBreaker) * (col("sm") - col("mx"))
+      case other => throw new IllegalArgumentException(
+        s"unknown multi_match type: $other (best_fields | most_fields)")
+    }
+    c.select(col("docId"), round(combined, 4).as("score"))
+      .orderBy(desc("score"), col("docId"))
+      .limit(k)
+  }
+
   /** The field_value_factor modifier table (shared brute/index). */
   private[query] def fvfModifier(x: Column, modifier: String): Column =
     modifier match {

@@ -37,6 +37,30 @@ class IndexSearchSpec extends AnyFunSuite {
     df.select(col("docId").cast("long"), col("score"))
       .as[(Long, Double)].collect().toSeq
 
+  /** Second FIELD over the same url set: first-8-token "title". Built as
+    * its own index (field-local stats, Lucene semantics); docIds align
+    * with the text index because docId assignment is a pure function of
+    * the url set. */
+  private lazy val titleIndexDir = TestSpark.tmpDir("graft-idx-title")
+  private lazy val titleSearch: IndexSearch = {
+    search // text index first (shared corpus build)
+    val titled = spark.read.parquet(s"$indexDir/docs")
+      .select(col("url"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("warc_ts"),
+        encode(concat(lit("<html><body><p>"),
+          array_join(slice(graft.analyze.Analyzer.tokensCol(col("text")), 1, 8), " "),
+          lit("</p></body></html>")), "UTF-8").as("html"),
+        array_join(slice(graft.analyze.Analyzer.tokensCol(col("text")), 1, 8), " ")
+          .as("text"),
+        col("lang"))
+      .as[graft.corpus.Page]
+    new IndexBuilder(spark, titleIndexDir,
+      IndexParams(buckets = 8, shardSize = 128, blockSize = 32,
+        buildPartitions = 5))
+      .build(titled, "titles(seed=11,n=800)")
+    new IndexSearch(spark, titleIndexDir)
+  }
+
   test("boolTopK ≡ brute Search.boolTopK across must/should/mustNot shapes") {
     val cases = Seq(
       (Seq("the"), Seq("w00002"), Seq("w00004"), 15),
@@ -220,6 +244,33 @@ class IndexSearchSpec extends AnyFunSuite {
     val mustOnlyMsm = rows(search.boolTopK(must, Nil, Nil, 12,
       minShouldMatch = 1))
     assert(mustOnly.nonEmpty && mustOnlyMsm == mustOnly)
+  }
+
+  test("multiMatchTopK ≡ brute across best_fields/most_fields and tie breakers") {
+    val bruteDocs = {
+      titleSearch // force both builds
+      spark.read.parquet(s"$indexDir/docs").select(col("docId"), col("text"))
+        .withColumn("title",
+          array_join(slice(graft.analyze.Analyzer.tokensCol(col("text")), 1, 8), " "))
+    }
+    val served = Seq(titleSearch -> 2.0, search -> 1.0)
+    val bruteFields = Seq("title" -> 2.0, "text" -> 1.0)
+    for ((mt, tie, k) <- Seq(("best_fields", 0.0, 15), ("best_fields", 0.3, 15),
+        ("most_fields", 0.0, 12))) {
+      val brute = rows(Search.multiMatchTopK(bruteDocs, "docId", bruteFields,
+        Seq("the", "w00002"), k, mt, tie))
+      val idx = rows(IndexSearch.multiMatchTopK(served,
+        Seq("the", "w00002"), k, mt, tie))
+      assert(idx == brute, s"multi_match($mt, tie=$tie) diverged:\n" +
+        s" brute=$brute\n index=$idx")
+      assert(brute.nonEmpty)
+    }
+    // single-field degeneracy: multi_match over one field ≡ plain BM25
+    val single = rows(IndexSearch.multiMatchTopK(Seq(search -> 1.0),
+      Seq("the", "w00002"), 10, "most_fields"))
+    val plain = rows(Search.multiMatchTopK(bruteDocs, "docId",
+      Seq("text" -> 1.0), Seq("the", "w00002"), 10, "most_fields"))
+    assert(single == plain)
   }
 
   test("explainScore: contributions sum to the doc's ranking score") {
