@@ -2500,6 +2500,30 @@ object SparkEntry {
     }, Some(multiMatchSql(Seq("the", "data"), 12, "most_fields",
       tie = 0.0, titleBoost = 2.0, textBoost = 1.0))),
 
+    ("q_composite_agg", (s: SparkSession, dir: String) => {
+      // OpenSearch `composite` aggregation (the bucket-EXPORT agg): two
+      // sources (lang terms + n_chars histogram), key-ordered buckets,
+      // page 2 via the stateless strict-greater `after` cursor
+      graft.query.Search.compositeAgg(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window"),
+        Seq("lang" -> col("lang"),
+          "bucket" -> (floor(col("n_chars").cast("double") / 100.0) * 100.0)),
+        size = 6, after = Some(Seq(lit("en"), lit(200.0))))
+    }, Some(compositeSql(Seq("spark", "window"), 6, "('en', 200.0)"))),
+
+    ("q_composite_indexed", (s: SparkSession, dir: String) => {
+      // the SERVED twin: match set from postings, buckets over the docs
+      // artifact joined to the documents dimensions; same oracle
+      val meta = s.read.parquet(s"${docIndexDir(s, dir)}/docs")
+        .select(col("docId"),
+          expr("CAST(substring(url, 2) AS BIGINT)").as("doc_id"))
+        .join(docs(s, dir).select("doc_id", "lang", "n_chars"), "doc_id")
+      docIndexSearch(s, dir).compositeAgg(Seq("spark", "window"), meta,
+        Seq("lang" -> col("lang"),
+          "bucket" -> (floor(col("n_chars").cast("double") / 100.0) * 100.0)),
+        size = 6, after = Some(Seq(lit("en"), lit(200.0))))
+    }, Some(compositeSql(Seq("spark", "window"), 6, "('en', 200.0)"))),
+
     ("q_search_facets_indexed", (s: SparkSession, dir: String) => {
       docIndexSearch(s, dir).facets(Seq("spark", "window"), "lang")
     }, Some(
@@ -3481,6 +3505,22 @@ object SparkEntry {
         .build(pages, s"titles@$dir")
       d
     })
+
+  /** DuckDB replay of the composite aggregation: match set → two-source
+    * bucket counts → row-value after cursor → key-ordered page. */
+  private def compositeSql(terms0: Seq[String], size: Int,
+      afterTuple: String): String = {
+    val termList = terms0.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""WITH m AS (SELECT DISTINCT doc_id FROM
+       |   (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+       |   WHERE term IN ($termList)),
+       | b AS (SELECT lang, floor(n_chars / 100.0) * 100.0 AS bucket,
+       |   count(*) AS doc_count
+       |   FROM documents JOIN m USING (doc_id) GROUP BY 1, 2)
+       | SELECT lang, bucket, doc_count FROM b
+       | WHERE (lang, bucket) > $afterTuple
+       | ORDER BY lang, bucket LIMIT $size""".stripMargin
+  }
 
   /** DuckDB replay of multi_match over the (title^titleBoost,
     * text^textBoost) fields: one field-local BM25 CTE chain per field

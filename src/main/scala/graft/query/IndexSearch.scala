@@ -540,6 +540,22 @@ final class IndexSearch(spark: SparkSession, reader: IndexReader) {
       .select(col("sketch_size"), col("est_distinct"), col("exact_distinct"))
   }
 
+  /** Composite aggregation served from the index — semantics identical
+    * to [[Search.compositeAgg]]: the match set arrives as decoded
+    * postings semi-joined to the caller's docId-keyed metadata, buckets
+    * page by the strict-greater after cursor. The scale story is the
+    * point: each page is one keyed agg + TakeOrdered over the match
+    * set — an export of 10⁹ buckets walks in size-bounded pages with no
+    * driver state between pages. */
+  def compositeAgg(queryTerms: Seq[String], meta: DataFrame,
+      sources: Seq[(String, org.apache.spark.sql.Column)], size: Int,
+      after: Option[Seq[org.apache.spark.sql.Column]] = None): DataFrame = {
+    require(sources.nonEmpty, "composite needs at least one source")
+    Search.compositePage(
+      meta.join(matchingDocIds(queryTerms), Seq("docId"), "left_semi"),
+      sources, size, after)
+  }
+
   /** Date-histogram aggregation over the match set (OpenSearch
     * `date_histogram` beside a query): matching docIds semi-join a
     * caller-supplied (docId, ts) metadata frame, truncate to the

@@ -460,6 +460,43 @@ object Search {
       .select(col("sketch_size"), col("est_distinct"), col("exact_distinct"))
   }
 
+  /** Composite aggregation beside a query (OpenSearch `composite`): the
+    * bucket-EXPORT aggregation — multi-source bucket keys
+    * (`sources` = named grouping expressions, e.g. a terms source plus a
+    * histogram source), buckets ordered by the composite key ascending,
+    * paginated with an `after` key (strict lexicographic greater-than —
+    * the stateless cursor that walks an unbounded bucket space in
+    * size-bounded pages, where a terms agg's top-N would truncate).
+    * Output: one row per bucket `(source..., doc_count)`. The after
+    * cursor compares as a struct, so pages are disjoint and exhaustive
+    * under any partitioning. */
+  def compositeAgg(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], sources: Seq[(String, Column)], size: Int,
+      after: Option[Seq[Column]] = None): DataFrame = {
+    require(sources.nonEmpty, "composite needs at least one source")
+    compositePage(
+      matchSet(docs, idCol, textCol, queryTerms), sources, size, after)
+  }
+
+  /** Shared composite pagination (brute + served): grouped bucket counts,
+    * key-ordered, after-filtered, one page. */
+  private[query] def compositePage(matchRows: DataFrame,
+      sources: Seq[(String, Column)], size: Int,
+      after: Option[Seq[Column]]): DataFrame = {
+    val keyed = matchRows
+      .groupBy(sources.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("doc_count"))
+    val key = struct(sources.map { case (n, _) => col(n) }: _*)
+    val paged = after match {
+      case Some(vals) =>
+        require(vals.length == sources.length,
+          "after key must have one value per source")
+        keyed.filter(key > struct(vals: _*))
+      case None => keyed
+    }
+    paged.orderBy(sources.map { case (n, _) => col(n).asc }: _*).limit(size)
+  }
+
   /** top_hits inside a terms aggregation (OpenSearch `terms` +
     * `top_hits`): bucket the match set by `facetCol`, keep the
     * `nBuckets` biggest buckets (doc_count desc, facet asc — the terms

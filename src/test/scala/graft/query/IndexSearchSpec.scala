@@ -246,6 +246,42 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(mustOnly.nonEmpty && mustOnlyMsm == mustOnly)
   }
 
+  test("compositeAgg: served ≡ brute; pages are disjoint and exhaustive") {
+    search // force the index build before reading its docs artifact
+    val meta = spark.read.parquet(s"$indexDir/docs")
+      .select(col("docId"), col("lang"), length(col("text")).as("n"))
+    val sources = Seq("lang" -> col("lang"),
+      "bucket" -> (floor(col("n").cast("double") / 500.0) * 500.0))
+    val terms = Seq("the", "w00002")
+    val bruteDocs = docs.withColumn("n", length(col("text")))
+    def key3(df: DataFrame) = df
+      .select(col("lang"), col("bucket"), col("doc_count"))
+      .as[(String, Double, Long)].collect().toSeq
+    // full bucket space (one oversized page) as the reference set
+    val all = key3(Search.compositeAgg(bruteDocs, "docId", "text", terms,
+      sources, size = 100000))
+    assert(all.nonEmpty && all == all.sortBy(r => (r._1, r._2)))
+    // walk with size-3 pages via the after cursor; served ≡ brute per page
+    var after: Option[Seq[org.apache.spark.sql.Column]] = None
+    var walked = Seq.empty[(String, Double, Long)]
+    var done = false
+    var guard = 0
+    while (!done) {
+      guard += 1; assert(guard < 50, "cursor failed to advance")
+      val brutePage = key3(Search.compositeAgg(bruteDocs, "docId", "text",
+        terms, sources, size = 3, after = after))
+      val servedPage = key3(search.compositeAgg(terms, meta, sources,
+        size = 3, after = after))
+      assert(servedPage == brutePage, s"page after=$after diverged")
+      if (brutePage.isEmpty) done = true
+      else {
+        walked = walked ++ brutePage
+        after = Some(Seq(lit(brutePage.last._1), lit(brutePage.last._2)))
+      }
+    }
+    assert(walked == all) // disjoint + exhaustive + ordered
+  }
+
   test("multiMatchTopK ≡ brute across best_fields/most_fields and tie breakers") {
     val bruteDocs = {
       titleSearch // force both builds
