@@ -3028,6 +3028,16 @@ object SparkEntry {
         | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |   CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin)),
 
+    ("q_semdedup", (s: SparkSession, dir: String) => {
+      // SemDeDup-style semantic dedup: fixed literal codebook (the
+      // at-scale quantizer is sample-fit) → one-projection cluster
+      // assignment → pairwise cosine ONLY within clusters → keep-lowest-id.
+      // The oracle replays assignment, the bounded pair space, and the
+      // survivor rule closed-form.
+      graft.ops.Dedup.semDedup(embeddings(s, dir), "vec_id", "embedding",
+        annCentroids(8, 64), threshold = 0.25)
+    }, Some(semDedupSql(annCentroids(8, 64), 0.25))),
+
     // ---------- multimodal plumbing ----------
     ("q_multimodal_features", (s: SparkSession, dir: String) => {
       import s.implicits._
@@ -4935,6 +4945,29 @@ object SparkEntry {
        |   CAST(embedding AS DOUBLE[]), $qv), 4) AS cosine
        | FROM assigned
        | ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB replay of SemDeDup: the annIvfFixedSql assignment pattern
+    * (rounded-cosine rank, lowest-index tie), within-cluster pairs only,
+    * keep-lowest-id duplicate rule. */
+  private def semDedupSql(cents: Array[Array[Double]], t: Double): String = {
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(", ")
+    s"""WITH cents(ci, cv) AS (VALUES $rows),
+       | scored AS (SELECT vec_id, embedding, ci,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY
+       |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), cv), 6) DESC,
+       |       ci) AS rn
+       |   FROM embeddings, cents),
+       | assigned AS (SELECT vec_id, embedding, ci FROM scored WHERE rn = 1),
+       | dup AS (SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+       |   ON a.ci = b.ci AND a.vec_id < b.vec_id
+       |   WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |     CAST(b.embedding AS DOUBLE[])) >= $t)
+       | SELECT vec_id, ci AS cluster,
+       |   (vec_id IN (SELECT vec_id FROM dup)) AS is_dup
+       | FROM assigned""".stripMargin
   }
 
   private def annBruteSql(q: Seq[Double], k: Int): String = {

@@ -442,4 +442,43 @@ object Dedup {
         (col("n_lines_total") -
           coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed"))
   }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method description): embeddings are
+    * clustered against a codebook, and pairwise cosine comparison runs
+    * ONLY within each cluster — the quadratic pair space shrinks from
+    * O(N²) to Σ|cluster|², which is the entire reason the method scales
+    * (the paper dedups LAION-scale corpora this way). A row is a
+    * duplicate iff some LOWER-id row in its cluster sits at cosine ≥
+    * `threshold` — keep-lowest-id, the same deterministic survivor rule
+    * as [[exactSurvivors]], so the output is reproducible under any
+    * partitioning.
+    *
+    * The codebook comes in as literals (the at-scale quantizer is fit on
+    * a sample, like [[Similarity.ivfAssignTo]]'s callers): assignment is
+    * one codegen'd projection; the self-join shuffles ONCE on `_cluster`
+    * and never compares across clusters. Output: one row per input —
+    * `(idCol, cluster, is_dup)`; filter `!is_dup` for survivors.
+    * Approximation contract (the paper's): a cross-cluster near-dup pair
+    * is NOT examined — recall loss at cluster boundaries is the price of
+    * the bounded pair space.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    Seq("_cluster", "_sd_va", "_sd_idA").foreach(c =>
+      require(!df.columns.contains(c), s"input must not contain reserved column $c"))
+    val assigned = Similarity.ivfAssignTo(df, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("_cluster"))
+    val lhs = assigned.select(col("_cluster"), col(idCol).as("_sd_idA"),
+      col(vecCol).as("_sd_va"))
+    val dup = lhs.join(assigned, Seq("_cluster"))
+      .filter(col("_sd_idA") < col(idCol))
+      .filter(Similarity.cosine(col("_sd_va"), col(vecCol)) >= threshold)
+      .select(col(idCol)).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select(col(idCol), col("_cluster").as("cluster"))
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

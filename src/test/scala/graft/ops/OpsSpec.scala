@@ -318,6 +318,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p0.subsetOf(p1) && p1.subsetOf(brute))
   }
 
+  test("semDedup: one cluster ≡ brute keep-lowest-id; clusters bound the pair space") {
+    val bruteDups = vecs.as("a").join(vecs.as("b"), $"a.vec_id" < $"b.vec_id")
+      .where(Similarity.cosine($"a.embedding", $"b.embedding") >= 0.2)
+      .select($"b.vec_id").as[Long].collect().toSet
+    // one cluster = every pair examined → exactly the brute rule
+    val one = Dedup.semDedup(vecs, "vec_id", "embedding",
+      Array(Array.fill(8)(0.1)), threshold = 0.2)
+    assert(one.where($"is_dup").select("vec_id").as[Long].collect().toSet
+      == bruteDups)
+    assert(one.count() == 200 && one.select("cluster").distinct().count() == 1)
+    // four clusters: flagged set ⊆ brute (cross-cluster pairs skipped by
+    // design), and every flagged row has a lower-id partner ≥ t IN ITS
+    // OWN cluster
+    val rng = new graft.util.SplitMix64(9L)
+    val cents = Array.fill(4)(Array.fill(8)(rng.nextDouble() * 2 - 1))
+    val four = Dedup.semDedup(vecs, "vec_id", "embedding", cents, 0.2)
+    val flagged = four.where($"is_dup").select("vec_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty && flagged.subsetOf(bruteDups))
+    val byCluster = four.select("vec_id", "cluster").as[(Long, Int)]
+      .collect().toMap
+    val vecsLocal = vecs.as[(Long, Seq[Float])].collect().toMap
+    def cosL(x: Seq[Float], y: Seq[Float]): Double = {
+      val d = x.zip(y).map { case (a, b) => a.toDouble * b }.sum
+      d / (math.sqrt(x.map(a => a.toDouble * a).sum) *
+        math.sqrt(y.map(a => a.toDouble * a).sum))
+    }
+    flagged.foreach { b =>
+      val ok = byCluster.exists { case (a, c) =>
+        a < b && c == byCluster(b) && cosL(vecsLocal(a), vecsLocal(b)) >= 0.2 - 1e-9
+      }
+      assert(ok, s"flagged $b has no same-cluster lower-id partner")
+    }
+  }
+
   test("pqEncode/pqTopK: codeword-built vectors recover their codes; ADC = exact") {
     import spark.implicits._
     val cbs = Array.tabulate(2) { m =>
