@@ -3028,6 +3028,21 @@ object SparkEntry {
         | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |   CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin)),
 
+    ("q_analyzer_stop", (s: SparkSession, dir: String) => {
+      // `stop` analysis chain as a corpus transform (analyze/Analysis):
+      // BM25 over the stop-filtered corpus — field stats (dl, avgdl, df)
+      // shift with the filter, which is exactly what an OpenSearch stop
+      // analyzer does to scoring. Oracle re-runs the whole BM25 chain on
+      // the DuckDB-filtered token stream. (porter_stem is spec-gated —
+      // PorterSpec pins the 1980 paper's own per-step examples — since
+      // DuckDB's stemmer lives in an extension unavailable offline.)
+      val filtered = graft.analyze.Analysis.stopFilter(
+        docs(s, dir).select(col("doc_id"), col("text")), "text")
+      bm25TopK(filtered,
+        graft.analyze.Analysis.analyzeQueryTerms(Seq("the", "data", "query"),
+          graft.analyze.Analysis.EnglishStopWords), 20)
+    }, Some(bm25StopSql(Seq("data", "query"), 20))),
+
     ("q_semdedup", (s: SparkSession, dir: String) => {
       // SemDeDup-style semantic dedup: fixed literal codebook (the
       // at-scale quantizer is sample-fit) → one-projection cluster
@@ -3515,6 +3530,15 @@ object SparkEntry {
         .build(pages, s"titles@$dir")
       d
     })
+
+  /** bm25Sql over the stop-filtered token stream — the `stop` analyzer's
+    * oracle (same English stop set as Analysis.EnglishStopWords). */
+  private def bm25StopSql(terms: Seq[String], k: Int): String = {
+    val stops = graft.analyze.Analysis.EnglishStopWords
+      .map(w => s"'$w'").mkString(", ")
+    bm25Sql(terms, k,
+      tokExpr = s"list_filter($tokSql, t -> t NOT IN ($stops))")
+  }
 
   /** DuckDB replay of the composite aggregation: match set → two-source
     * bucket counts → row-value after cursor → key-ordered page. */
@@ -4421,11 +4445,12 @@ object SparkEntry {
   }
 
   private def bm25Sql(terms0: Seq[String], k: Int,
-      table: String = "documents", idCol: String = "doc_id"): String = {
+      table: String = "documents", idCol: String = "doc_id",
+      tokExpr: String = tokSql): String = {
     val terms = terms0.distinct.sorted
     val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH toks AS (
-       |  SELECT $idCol AS doc_id, unnest($tokSql) AS term FROM $table),
+       |  SELECT $idCol AS doc_id, unnest($tokExpr) AS term FROM $table),
        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
        | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
