@@ -53,7 +53,11 @@ object Bench {
     // late-r5 search surface: slop phrase, search-as-you-type, the
     // query_string mini-language (all index-served in their _indexed
     // twins; the brute forms here bound the corpus-scan cost)
-    "q_phrase_slop", "q_phrase_prefix", "q_query_string", "q_rescore")
+    "q_phrase_slop", "q_phrase_prefix", "q_query_string", "q_rescore",
+    // final-session r5: config transforms, envelope crypto, multi-field
+    // and composite search, semantic dedup, analysis chains
+    "q_transform_ocsf", "q_encrypt_roundtrip", "q_multi_match",
+    "q_composite_agg", "q_semdedup", "q_analyzer_stop")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.
