@@ -237,33 +237,35 @@ object Cli {
         // directory of <name>-rule.yaml + <name>-template.yaml pairs, or
         // the literal 'ocsf' for the bundled OCSF example. First matching
         // rule rewrites the config; no match = identity.
-        val effectiveYaml = flags.get("transforms").map { spec =>
-          val bundles =
-            if (spec == "ocsf") Seq(graft.pipeline.Transforms.ocsfBundle)
-            else {
-              val d = new java.io.File(spec)
-              val rules = Option(d.listFiles()).getOrElse(Array.empty)
-                .filter(_.getName.endsWith("-rule.yaml")).sortBy(_.getName)
-              rules.toSeq.map { rf =>
-                val tf = new java.io.File(d,
-                  rf.getName.stripSuffix("-rule.yaml") + "-template.yaml")
-                if (!tf.exists())
-                  fail(s"transforms: ${rf.getName} has no matching ${tf.getName}")
-                def slurp(f: java.io.File) = new String(
-                  java.nio.file.Files.readAllBytes(f.toPath),
-                  java.nio.charset.StandardCharsets.UTF_8)
-                graft.pipeline.Transforms.RuleTemplate(slurp(rf), slurp(tf))
+        val outs = flags.get("transforms") match {
+          case Some(spec) =>
+            val bundles =
+              if (spec == "ocsf") Seq(graft.pipeline.Transforms.ocsfBundle)
+              else {
+                val d = new java.io.File(spec)
+                if (!d.isDirectory)
+                  fail(s"transforms: '$spec' is not a directory (or the literal 'ocsf')")
+                val rules = d.listFiles()
+                  .filter(_.getName.endsWith("-rule.yaml")).sortBy(_.getName)
+                // an explicitly requested transform step with nothing to
+                // apply is a config error, not a silent no-op
+                if (rules.isEmpty)
+                  fail(s"transforms: no *-rule.yaml files in '$spec'")
+                rules.toSeq.map { rf =>
+                  val tf = new java.io.File(d,
+                    rf.getName.stripSuffix("-rule.yaml") + "-template.yaml")
+                  if (!tf.exists())
+                    fail(s"transforms: ${rf.getName} has no matching ${tf.getName}")
+                  def slurp(f: java.io.File) = new String(
+                    java.nio.file.Files.readAllBytes(f.toPath),
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  graft.pipeline.Transforms.RuleTemplate(slurp(rf), slurp(tf))
+                }
               }
-            }
-          val r = graft.pipeline.Transforms.transform(yamlText, bundles)
-          r.appliedPlugin.foreach(p => println(s"[graft] transform applied: $p"))
-          r
-        }
-        val outs = effectiveYaml match {
-          case Some(r) =>
-            val defs = graft.pipeline.PipelineYaml.parsePlain(r.plainPipelines)
-            val compiled = graft.pipeline.PipelineYaml.compileDefs(spark, defs, inputs)
-            // mirror PipelineYaml.run's terminal-sink actions
+            val (result, compiled) = graft.pipeline.Transforms
+              .compileWithResult(spark, yamlText, bundles, inputs)
+            result.appliedPlugin
+              .foreach(p => println(s"[graft] transform applied: $p"))
             graft.pipeline.PipelineYaml.runSinks(compiled, flags.get("out"))
             compiled
           case None => graft.pipeline.PipelineYaml.run(

@@ -3515,16 +3515,10 @@ object SparkEntry {
   private def titleIndexDir(s: SparkSession, dir: String): String =
     titleIndexDirs.computeIfAbsent(dir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-titleindex").toString
-      import s.implicits._
-      val title = array_join(
-        slice(graft.analyze.Analyzer.tokensCol(col("text")), 1, 8), " ")
-      val pages = docs(s, dir).select(
+      val pages = graft.corpus.SyntheticCorpus.titleField(
+        docs(s, dir).select(
           format_string("d%09d", col("doc_id")).as("url"),
-          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("warc_ts"),
-          encode(concat(lit("<html><body><p>"), title,
-            lit("</p></body></html>")), "UTF-8").as("html"),
-          title.as("text"), col("lang"))
-        .as[graft.corpus.Page]
+          col("text"), col("lang")))
       new graft.index.IndexBuilder(s, d, graft.index.IndexParams(
         buckets = 8, shardSize = 64, blockSize = 32, idBuckets = 1))
         .build(pages, s"titles@$dir")
@@ -3550,7 +3544,8 @@ object SparkEntry {
        |   WHERE term IN ($termList)),
        | b AS (SELECT lang, floor(n_chars / 100.0) * 100.0 AS bucket,
        |   count(*) AS doc_count
-       |   FROM documents JOIN m USING (doc_id) GROUP BY 1, 2)
+       |   FROM documents JOIN m USING (doc_id)
+       |   WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2)
        | SELECT lang, bucket, doc_count FROM b
        | WHERE (lang, bucket) > $afterTuple
        | ORDER BY lang, bucket LIMIT $size""".stripMargin
@@ -4451,7 +4446,7 @@ object SparkEntry {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id, unnest($tokExpr) AS term FROM $table),
-       | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       | dl AS (SELECT $idCol AS doc_id, len($tokExpr) AS dl FROM $table),
        | g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
        |        WHERE term IN ($termList) GROUP BY 1, 2),

@@ -34,6 +34,28 @@ object SyntheticCorpus {
   val VocabSize = 20000
   val ZipfS = 1.07
 
+  /** Derive a first-`nTokens`-token "title" FIELD corpus from
+    * (url, text, lang)-shaped rows: the multi_match fixtures' second
+    * field as its own [[Page]] set — title text space-joined (analyzer
+    * tokens are [a-z0-9]+ so re-tokenization is the identity) and html
+    * re-wrapped so the build's html↔text byte-identity gate holds.
+    * ONE definition shared by the gate query, the plan dump and the
+    * spec, so the three can never drift. */
+  def titleField(df: org.apache.spark.sql.DataFrame,
+      nTokens: Int = 8): Dataset[Page] = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val title = array_join(
+      slice(graft.analyze.Analyzer.tokensCol(col("text")), 1, nTokens), " ")
+    df.select(col("url"),
+        lit(Timestamp.valueOf("2026-01-01 00:00:00")).as("warc_ts"),
+        encode(concat(lit("<html><body><p>"), title,
+          lit("</p></body></html>")), "UTF-8").as("html"),
+        title.as("text"), col("lang"))
+      .as[Page]
+  }
+
   val Stopwords: Array[String] = Array(
     "the", "of", "and", "a", "to", "in", "is", "you", "that", "it",
     "he", "was", "for", "on", "are", "as", "with", "his", "they", "i",

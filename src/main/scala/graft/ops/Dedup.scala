@@ -467,8 +467,13 @@ object Dedup {
       centroids: Array[Array[Double]], threshold: Double): DataFrame = {
     Seq("_cluster", "_sd_va", "_sd_idA").foreach(c =>
       require(!df.columns.contains(c), s"input must not contain reserved column $c"))
+    // the assignment projection is referenced three times (both join
+    // sides + the final flag join); localCheckpoint materializes it ONCE
+    // so the input scan and the |codebook|-way argmax don't re-run
+    // (the Graphs iterative pattern)
     val assigned = Similarity.ivfAssignTo(df, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("_cluster"))
+      .localCheckpoint()
     val lhs = assigned.select(col("_cluster"), col(idCol).as("_sd_idA"),
       col(vecCol).as("_sd_va"))
     val dup = lhs.join(assigned, Seq("_cluster"))

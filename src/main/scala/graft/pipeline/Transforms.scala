@@ -528,9 +528,19 @@ object Transforms {
       bundles: Seq[RuleTemplate],
       inputs: Map[String, org.apache.spark.sql.DataFrame] = Map.empty,
       functions: Map[String, Option[String] => Option[String]] = defaultFunctions())
-      : Seq[PipelineYaml.SinkOutput] = {
+      : Seq[PipelineYaml.SinkOutput] =
+    compileWithResult(spark, yamlText, bundles, inputs, functions)._2
+
+  /** [[compile]] that also surfaces the [[TransformResult]] (which rule
+    * applied, the rewritten config) — the CLI's reporting seam. */
+  def compileWithResult(spark: org.apache.spark.sql.SparkSession, yamlText: String,
+      bundles: Seq[RuleTemplate],
+      inputs: Map[String, org.apache.spark.sql.DataFrame] = Map.empty,
+      functions: Map[String, Option[String] => Option[String]] = defaultFunctions())
+      : (TransformResult, Seq[PipelineYaml.SinkOutput]) = {
     val result = transform(yamlText, bundles, functions)
-    PipelineYaml.compileDefs(spark, PipelineYaml.parsePlain(result.plainPipelines), inputs)
+    (result, PipelineYaml.compileDefs(spark,
+      PipelineYaml.parsePlain(result.plainPipelines), inputs))
   }
 
   // ------------------------------------------------------- OCSF bundle

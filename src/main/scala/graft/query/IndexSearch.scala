@@ -39,7 +39,8 @@ import graft.index.PForDelta
   * (opensearch/.../OpenSearchSink.java:63 is the hand-off); this replaces
   * that delegation in-engine, on the engine's own segment store.
   */
-final class IndexSearch(spark: SparkSession, reader: IndexReader) {
+final class IndexSearch(spark: SparkSession,
+    private[query] val reader: IndexReader) {
   import spark.implicits._
 
   def this(spark: SparkSession, indexDir: String) =
@@ -763,6 +764,22 @@ object IndexSearch {
       queryTerms: Seq[String], k: Int, matchType: String = "best_fields",
       tieBreaker: Double = 0.0): DataFrame = {
     require(fields.nonEmpty, "multi_match needs at least one field index")
+    // docId-alignment guard: combining per-field scores by docId is only
+    // meaningful when every field index assigned the SAME docIds — i.e.
+    // identical doc count and identical id-assignment founding params
+    // (idBuckets/idOffset per generation). A mismatch would silently sum
+    // scores of DIFFERENT documents; fail fast instead.
+    val idSigs = fields.map { case (is, _) =>
+      (is.reader.globals.n, is.reader.gens.map { case (g, d) =>
+        val p = graft.index.Manifest.read(d, "docs")
+          .orElse(graft.index.Manifest.read(d, "postings"))
+          .map(_.params).getOrElse(Map.empty)
+        (g, p.getOrElse("idBuckets", "?"), p.getOrElse("idOffset", "?"))
+      })
+    }
+    require(idSigs.distinct.size == 1,
+      s"multi_match field indexes are docId-misaligned (doc counts / id " +
+        s"assignment differ): ${idSigs.distinct.mkString(" vs ")}")
     // per-field totals fold the pivoted per-term columns in the SAME
     // sorted-term order as BruteForce.scoreAll — bit-identical doubles,
     // not just close ones, so rank identity needs no tolerance

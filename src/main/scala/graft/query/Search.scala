@@ -479,11 +479,16 @@ object Search {
   }
 
   /** Shared composite pagination (brute + served): grouped bucket counts,
-    * key-ordered, after-filtered, one page. */
+    * key-ordered, after-filtered, one page. Docs where any source
+    * evaluates to null are EXCLUDED — OpenSearch's `missing_bucket:
+    * false` default (null buckets would also order differently in Spark
+    * vs the row-value-comparison oracle; excluding them keeps the cursor
+    * contract engine-independent). */
   private[query] def compositePage(matchRows: DataFrame,
       sources: Seq[(String, Column)], size: Int,
       after: Option[Seq[Column]]): DataFrame = {
     val keyed = matchRows
+      .filter(sources.map { case (_, c) => c.isNotNull }.reduce(_ && _))
       .groupBy(sources.map { case (n, c) => c.as(n) }: _*)
       .agg(count(lit(1)).as("doc_count"))
     val key = struct(sources.map { case (n, _) => col(n) }: _*)

@@ -44,16 +44,8 @@ class IndexSearchSpec extends AnyFunSuite {
   private lazy val titleIndexDir = TestSpark.tmpDir("graft-idx-title")
   private lazy val titleSearch: IndexSearch = {
     search // text index first (shared corpus build)
-    val titled = spark.read.parquet(s"$indexDir/docs")
-      .select(col("url"),
-        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("warc_ts"),
-        encode(concat(lit("<html><body><p>"),
-          array_join(slice(graft.analyze.Analyzer.tokensCol(col("text")), 1, 8), " "),
-          lit("</p></body></html>")), "UTF-8").as("html"),
-        array_join(slice(graft.analyze.Analyzer.tokensCol(col("text")), 1, 8), " ")
-          .as("text"),
-        col("lang"))
-      .as[graft.corpus.Page]
+    val titled = graft.corpus.SyntheticCorpus.titleField(
+      spark.read.parquet(s"$indexDir/docs").select("url", "text", "lang"))
     new IndexBuilder(spark, titleIndexDir,
       IndexParams(buckets = 8, shardSize = 128, blockSize = 32,
         buildPartitions = 5))
