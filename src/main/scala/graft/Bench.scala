@@ -57,7 +57,7 @@ object Bench {
     // final-session r5: config transforms, envelope crypto, multi-field
     // and composite search, semantic dedup, analysis chains
     "q_transform_ocsf", "q_encrypt_roundtrip", "q_multi_match",
-    "q_composite_agg", "q_semdedup", "q_analyzer_stop")
+    "q_composite_agg", "q_semdedup", "q_analyzer_stop", "q_percolate")
 
   // ------------------------------------------------------------------
   // Contention probes: the shared host shows multi-minute 3-20× storms.

@@ -3028,6 +3028,16 @@ object SparkEntry {
         | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |   CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin)),
 
+    ("q_percolate", (s: SparkSession, dir: String) => {
+      // PERCOLATION (reverse search): stored bool term queries matched
+      // against every document — corpus tokenizes once and never
+      // shuffles, queries broadcast, matching is set algebra in the join
+      // condition. Oracle replays every query's gates with DuckDB list
+      // functions over the same distinct-token sets.
+      graft.query.Percolate.percolate(docs(s, dir), "doc_id", "text",
+        percolateQueries)
+    }, Some(percolateSql(percolateQueries))),
+
     ("q_analyzer_stop", (s: SparkSession, dir: String) => {
       // `stop` analysis chain as a corpus transform (analyze/Analysis):
       // BM25 over the stop-filtered corpus — field stats (dl, avgdl, df)
@@ -3524,6 +3534,40 @@ object SparkEntry {
         .build(pages, s"titles@$dir")
       d
     })
+
+  /** The percolation gate's stored-query set: every bool shape — must
+    * only, must+mustNot, should-with-msm, mixed, and an alert-ish
+    * narrow one. Terms are known corpus vocabulary. */
+  private lazy val percolateQueries: Seq[graft.query.Percolate.StoredQuery] = {
+    import graft.query.Percolate.StoredQuery
+    Seq(
+      StoredQuery("q-spark", must = Seq("spark")),
+      StoredQuery("q-spark-no-hash", must = Seq("spark"), mustNot = Seq("hash")),
+      StoredQuery("q-any-join2", should = Seq("join", "window", "shuffle"),
+        minShould = 2),
+      StoredQuery("q-data-query", must = Seq("data", "query")),
+      StoredQuery("q-mixed", must = Seq("the"),
+        should = Seq("spark", "hash"), mustNot = Seq("window"), minShould = 1))
+  }
+
+  /** DuckDB replay of percolation: per-doc distinct token sets × the
+    * stored-query VALUES table, every gate as list algebra. */
+  private def percolateSql(qs: Seq[graft.query.Percolate.StoredQuery]): String = {
+    def arr(ts: Seq[String]) =
+      if (ts.isEmpty) "[]::VARCHAR[]"
+      else ts.distinct.map(t => s"'$t'").mkString("[", ", ", "]")
+    val rows = qs.map { q =>
+      val eff = if (q.should.isEmpty) 0
+        else math.max(q.minShould, if (q.must.isEmpty) 1 else 0)
+      s"('${q.queryId}', ${arr(q.must)}, ${arr(q.should)}, ${arr(q.mustNot)}, $eff)"
+    }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, list_distinct($tokSql) AS ts FROM documents),
+       | q(query_id, q_must, q_should, q_not, q_min) AS (VALUES $rows)
+       | SELECT doc_id, query_id FROM toks, q
+       | WHERE list_has_all(ts, q_must)
+       |   AND NOT list_has_any(ts, q_not)
+       |   AND len(list_intersect(ts, q_should)) >= q_min""".stripMargin
+  }
 
   /** bm25Sql over the stop-filtered token stream — the `stop` analyzer's
     * oracle (same English stop set as Analysis.EnglishStopWords). */
