@@ -27,6 +27,8 @@ import graft.query.IndexReader
   * spark-submit --class graft.Cli <jar> ingest-warc --warc-dir /data/crawl --index /data/index
   * spark-submit --class graft.Cli <jar> delete  --index /data/index stale terms
   * spark-submit --class graft.Cli <jar> compact --index /data/index
+  * spark-submit --class graft.Cli <jar> reindex --index /data/index \
+  *   --dest /data/index2 [--buckets 8 --shard-size 8192 … --positions]
   * }}}
   *
   * `search` is the index-served OpenSearch-query-shape surface
@@ -100,7 +102,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) fail("subcommand required: build | query | phrase | qs | search | ingest-iceberg | compact | pipeline")
+    if (args.isEmpty) fail("subcommand required: build | query | phrase | qs | search | ingest-iceberg | compact | reindex | pipeline")
     val (flags, positional) = parse(args.toSeq.tail)
     def index = flags.getOrElse("index", fail("--index required"))
     lazy val (spark, ownSession) = session(s"graft-${args.head}")
@@ -213,6 +215,14 @@ object Cli {
           case Some(g) => s"[graft] compacted into generation $g"
           case None => "[graft] nothing to compact"
         })
+
+      case "reindex" =>
+        // _reindex: rebuild from the index's stored fields under NEW
+        // founding params (tombstones materialize):
+        //   reindex --index <src> --dest <dir> [--buckets N …]
+        val dest = flags.getOrElse("dest", fail("--dest <dir> required"))
+        graft.index.Reindex.reindex(spark, index, dest, params(flags))
+        println(s"[graft] reindexed $index -> $dest")
 
       case "pipeline" =>
         // run a reference-shaped pipelines.yaml from spark-submit:

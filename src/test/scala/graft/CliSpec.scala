@@ -38,6 +38,14 @@ class CliSpec extends AnyFunSuite {
       "--buckets", "4", "--shard-size", "128", "--positions"))
     assert(!spark.sparkContext.isStopped)
 
+    // reindex under different founding params; rank identity by url is
+    // pinned in ReindexSpec — here the CLI plumbing end to end
+    Cli.main(Array("reindex", "--index", s"$work/idx",
+      "--dest", s"$work/idx2", "--buckets", "8", "--shard-size", "64",
+      "--positions"))
+    val re = new graft.query.IndexReader(spark, s"$work/idx2")
+    assert(re.topK(Seq("w00001", "the"), 5).collect().length == 5)
+
     // search: every index-served query shape through the CLI surface;
     // semantics are pinned rank-identical to brute in IndexSearchSpec —
     // this drives the flag plumbing end to end
