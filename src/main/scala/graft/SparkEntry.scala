@@ -3551,15 +3551,18 @@ object SparkEntry {
   }
 
   /** DuckDB replay of percolation: per-doc distinct token sets × the
-    * stored-query VALUES table, every gate as list algebra. */
+    * stored-query VALUES table, every gate as list algebra. The VALUES
+    * rows come from the ENGINE's own [[graft.query.Percolate.normalize]]
+    * (analyzer tokenization, dedup, effective min-should), so the oracle
+    * replays matching over identical normalized queries and the two
+    * normalizations cannot drift. */
   private def percolateSql(qs: Seq[graft.query.Percolate.StoredQuery]): String = {
     def arr(ts: Seq[String]) =
       if (ts.isEmpty) "[]::VARCHAR[]"
-      else ts.distinct.map(t => s"'$t'").mkString("[", ", ", "]")
-    val rows = qs.map { q =>
-      val eff = if (q.should.isEmpty) 0
-        else math.max(q.minShould, if (q.must.isEmpty) 1 else 0)
-      s"('${q.queryId}', ${arr(q.must)}, ${arr(q.should)}, ${arr(q.mustNot)}, $eff)"
+      else ts.map(t => s"'$t'").mkString("[", ", ", "]")
+    val rows = qs.map(graft.query.Percolate.normalize).map {
+      case (qid, m, s, n, eff) =>
+        s"('$qid', ${arr(m)}, ${arr(s)}, ${arr(n)}, $eff)"
     }.mkString(", ")
     s"""WITH toks AS (SELECT doc_id, list_distinct($tokSql) AS ts FROM documents),
        | q(query_id, q_must, q_should, q_not, q_min) AS (VALUES $rows)

@@ -25,7 +25,12 @@ import graft.analyze.Analyzer
   */
 object Percolate {
 
-  /** One stored query. Terms are analyzer-normalized on entry. */
+  /** One stored query. Each entry runs through the full analyzer on
+    * registration ([[normalize]]): a multi-token or punctuated entry like
+    * "data query" or "error-500" decomposes into its tokens (match-query
+    * semantics — the document tokens it could actually contain), so a
+    * saved alert can never be silently dead because its term holds a
+    * character no document token can. */
   final case class StoredQuery(
       queryId: String,
       must: Seq[String] = Nil,
@@ -33,29 +38,38 @@ object Percolate {
       mustNot: Seq[String] = Nil,
       minShould: Int = 0)
 
+  /** The engine's registration-time normalization of one stored query —
+    * full analyzer per entry, duplicates dropped, the effective
+    * minimum-should (explicit msm, or the at-least-one rule when there is
+    * no must clause). ONE definition shared with the DuckDB oracle so the
+    * two cannot drift. Rejects contradictions loudly (a term both must
+    * and must_not — the same rule every bool surface applies) and queries
+    * that analyze to nothing. */
+  def normalize(q: StoredQuery): (String, Seq[String], Seq[String], Seq[String], Int) = {
+    def toks(ts: Seq[String]): Seq[String] =
+      ts.flatMap(Analyzer.analyzeQuery).distinct
+    val (m, s, n) = (toks(q.must), toks(q.should), toks(q.mustNot))
+    require(m.nonEmpty || s.nonEmpty,
+      s"stored query '${q.queryId}' analyzes to no must/should terms")
+    require(m.intersect(n).isEmpty,
+      s"stored query '${q.queryId}': a term cannot be must AND must_not")
+    val eff = if (s.isEmpty) 0 else math.max(q.minShould, if (m.isEmpty) 1 else 0)
+    (q.queryId, m, s, n, eff)
+  }
+
   /** (docId, query_id) pairs for every document × stored-query match.
     * One tokenize projection over docs + one broadcast join. */
   def percolate(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[StoredQuery]): DataFrame = {
     require(queries.nonEmpty, "percolate needs at least one stored query")
-    require(queries.forall(q => q.must.nonEmpty || q.should.nonEmpty),
-      "a stored query needs must or should terms")
     require(idCol != "_pc_terms" && idCol != "query_id",
       s"idCol '$idCol' collides with a percolate output column")
     require(queries.map(_.queryId).distinct.size == queries.size,
       "stored query ids must be unique")
     val spark = docs.sparkSession
     import spark.implicits._
-    val norm = queries.map { q =>
-      val eff = if (q.should.isEmpty) 0
-        else math.max(q.minShould, if (q.must.isEmpty) 1 else 0)
-      (q.queryId,
-        q.must.map(Analyzer.lowerLikeCatalyst).distinct,
-        q.should.map(Analyzer.lowerLikeCatalyst).distinct,
-        q.mustNot.map(Analyzer.lowerLikeCatalyst).distinct,
-        eff)
-    }
-    val qdf = norm.toDF("query_id", "q_must", "q_should", "q_not", "q_min")
+    val qdf = queries.map(normalize)
+      .toDF("query_id", "q_must", "q_should", "q_not", "q_min")
     val toks = docs.select(col(idCol),
       array_distinct(Analyzer.tokensCol(col(textCol))).as("_pc_terms"))
     val matchCond =

@@ -54,6 +54,18 @@ class PercolateSpec extends AnyFunSuite {
     }
   }
 
+  test("registration analyzes entries: multi-token and punctuated terms decompose") {
+    // "spark join" → must spark AND join (match-query semantics);
+    // "hash-join" → hash AND join via the analyzer's punctuation split
+    val out = Percolate.percolate(docs, "docId", "text", Seq(
+        StoredQuery("both", must = Seq("spark join")),
+        StoredQuery("dashed", must = Seq("hash-join"))))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "both"), (2L, "both"), (2L, "dashed")))
+    assert(Percolate.normalize(StoredQuery("n", must = Seq("Hash-Join", "join")))
+      ._2 == Seq("hash", "join"))
+  }
+
   test("invalid inputs fail loudly") {
     intercept[IllegalArgumentException] {
       Percolate.percolate(docs, "docId", "text", Seq(StoredQuery("empty")))
@@ -61,6 +73,15 @@ class PercolateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Percolate.percolate(docs, "docId", "text",
         Seq(StoredQuery("d", must = Seq("x")), StoredQuery("d", must = Seq("y"))))
+    }
+    // a term both must and must_not is a contradiction, rejected like
+    // every other bool surface (a silently-dead alert otherwise)
+    intercept[IllegalArgumentException] {
+      Percolate.normalize(StoredQuery("c", must = Seq("x"), mustNot = Seq("X")))
+    }
+    // punctuation-only term analyzes to nothing
+    intercept[IllegalArgumentException] {
+      Percolate.normalize(StoredQuery("p", must = Seq("---")))
     }
   }
 }
